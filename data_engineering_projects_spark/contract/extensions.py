@@ -1,0 +1,416 @@
+"""Training-data-pipeline extension operators (BASELINE.json north star):
+deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search over embeddings (brute-force + IVF-style partition-restricted), and
+text analysis (quality, language-ID, token stats, fingerprints).
+
+Scale design notes
+------------------
+- All dedup operators use the inverted-index shape (explode shingles →
+  equi-join on shingle/band) — never an O(n²) cross join. At 100 TB the
+  shingle join shuffles only (key, doc_id) pairs and AQE handles hot
+  shingles (stop-shingle skew).
+- All hashes are md5-derived (``functions.text.md5_hash64``) so the DuckDB
+  oracle computes identical signatures — no engine-private hash functions.
+- Vector ops are JVM higher-order functions (zip_with/aggregate): no Python,
+  no shuffle for the similarity compute itself; top-k per query compiles to
+  a window over a partitioned-by-query shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    normalize_text, NORMALIZE_TEXT_SQL, tokens, TOKENS_SQL, shingles,
+    shingles_sql, md5_hash64, md5_hash64_sql, fingerprint, FINGERPRINT_SQL,
+    LANG_MARKERS,
+)
+from ..functions.vectors import cosine_similarity, cosine_sql
+from ..sources import load_table
+from . import query
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query("text_token_stats", f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({TOKENS_SQL.format(c='text')})) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len({TOKENS_SQL.format(c='text')})), 6) AS avg_tokens,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per source (whitespace tokenization)."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text")))
+    return (d.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(nt).cast("bigint").alias("total_tokens"),
+                  F.round(F.avg(nt), 6).alias("avg_tokens"),
+                  F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+                  F.countDistinct("lang").alias("n_langs")))
+
+
+@query("text_quality", f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL.format(c='text')} AS toks,
+         length({NORMALIZE_TEXT_SQL.format(c='text')}) AS n_norm_chars
+  FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+       ROUND(CAST(n_norm_chars - (len(toks) - 1) AS DOUBLE) / len(toks), 6)
+         AS avg_token_len,
+       ROUND(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       ROUND(LEAST(len(toks) / 50.0, 1.0)
+             * (0.5 + 0.5 * LEAST(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+                                  / len(toks) / 0.1, 1.0)), 6) AS quality_score
+FROM t
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length + stopword-ratio components — the
+    standard cheap pre-filter for training-data curation. Pure Catalyst
+    expressions; scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = d.select("doc_id", toks.alias("toks"),
+                 F.length(normalize_text(F.col("text"))).alias("n_norm_chars"))
+    n = F.size("toks")
+    sw = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS)))
+    sw_ratio = sw.cast("double") / n
+    quality = (F.least(n / F.lit(50.0), F.lit(1.0))
+               * (F.lit(0.5) + F.lit(0.5) * F.least(sw_ratio / 0.1, F.lit(1.0))))
+    return d.select("doc_id", n.alias("n_tokens"),
+                    F.round((F.col("n_norm_chars") - (n - 1)).cast("double") / n, 6)
+                     .alias("avg_token_len"),
+                    F.round(sw_ratio, 6).alias("stopword_ratio"),
+                    F.round(quality, 6).alias("quality_score"))
+
+
+def _lang_pred_sql() -> str:
+    score = {lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+             for lang, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for lang in langs[:-1]:
+        conds = " AND ".join(f"{score[lang]} >= {score[o]}" for o in langs if o != lang)
+        case += f"WHEN {conds} THEN '{lang}' "
+    return case + f"ELSE '{langs[-1]}' END"
+
+
+@query("text_lang_id", f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS_SQL.format(c='text')} AS toks FROM documents)
+SELECT doc_id, lang, {_lang_pred_sql()} AS pred_lang FROM t
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram-free variant: a handful of
+    array_contains per row). Deterministic priority order breaks score ties
+    identically on both engines. (The driver corpus is synthetic word-salad,
+    so the interesting property is determinism, not accuracy.)"""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    def marker_count(ws):
+        # nb: the lambda must be unary — a second parameter would be bound
+        # to the HOF's index argument by PySpark.
+        return F.size(F.filter("toks", lambda x: x.isin(*ws)))
+
+    scores = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    pred = None
+    for lang in langs[:-1]:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@query("text_fingerprint", f"""
+SELECT doc_id, {FINGERPRINT_SQL.format(c='text')} AS fp,
+       {md5_hash64_sql(NORMALIZE_TEXT_SQL.format(c='text'), seed=0)} AS fp64
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + a 60-bit integer
+    digest (the shared hash used by MinHash/SimHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"),
+                    md5_hash64(normalize_text(F.col("text")), seed=0).alias("fp64"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", f"""
+SELECT {FINGERPRINT_SQL.format(c='text')} AS fp,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep the
+    minimum doc_id as canonical. One shuffle on a 128-bit key; at 100 TB
+    the map-side partial aggregation collapses most groups before shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy(fingerprint(F.col("text")).alias("fp"))
+             .agg(F.min("doc_id").alias("canonical_id"),
+                  F.count(F.lit(1)).alias("n_copies")))
+
+
+_SHINGLES_SQL = shingles_sql("text", k=3)
+
+_PAIR_CTE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jac AS (
+  SELECT p.doc_a, p.doc_b, p.n_common,
+         CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+  FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+               JOIN sizes sb ON p.doc_b = sb.doc_id)
+"""
+
+
+def _shingle_pairs(spark, sf_dir, threshold: float) -> DataFrame:
+    """Inverted-index n-gram Jaccard: explode distinct 3-word shingles,
+    self-equi-join on shingle (never a cross join), count intersections,
+    derive |A∪B| from per-doc shingle counts. Jaccard is a single integer
+    division — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+                .withColumn("jaccard",
+                            F.col("n_common").cast("double")
+                            / (F.col("na") + F.col("nb") - F.col("n_common"))))
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+@query("dedup_ngram_jaccard", _PAIR_CTE + """
+SELECT doc_a, doc_b, n_common, ROUND(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.2
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 3-word-shingle Jaccard >= 0.2."""
+    jac = _shingle_pairs(spark, sf_dir, 0.2)
+    return jac.select("doc_a", "doc_b", "n_common",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+_N_MINHASH = 8
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN({md5_hash64_sql('sh', seed=i)}) AS h{i}" for i in range(_N_MINHASH))
+    return f"""
+mh AS (
+  SELECT doc_id, {mins}
+  FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM documents)
+  GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, h{i} AS band_key FROM mh"
+                      for i in range(_N_MINHASH))}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+"""
+
+
+@query("dedup_minhash_lsh", _PAIR_CTE.rstrip() + ", " + _minhash_sql() + """
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       ROUND(COALESCE(j.jaccard, 0), 6) AS jaccard
+FROM cand c LEFT JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE COALESCE(j.jaccard, 0) >= 0.1
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: 8 md5-derived min-hashes per document,
+    banded 1-row-per-band (collision prob per band ≈ Jaccard), candidate
+    pairs from band-bucket equi-joins, then exact-Jaccard verification of
+    candidates only. This is the 100 TB path: signatures are fixed-width
+    (8×8 bytes/doc regardless of doc size) and the only joins are on band
+    buckets and candidate pairs — never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"))
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(md5_hash64(F.col("sh"), seed=i)).alias(f"h{i}")
+          for i in range(_N_MINHASH)])
+    bands = mh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
+            for i in range(_N_MINHASH)])).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    verified = _shingle_pairs(spark, sf_dir, 0.0).select(
+        "doc_a", "doc_b", F.col("jaccard"))
+    out = (cand.join(verified, ["doc_a", "doc_b"], "left")
+               .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+               .filter(F.col("jaccard") >= 0.1))
+    return out.select("doc_a", "doc_b", "n_shared_bands",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    tok_h = md5_hash64_sql("tok", seed=9)
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS))
+    word = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tok FROM documents),
+th AS (SELECT doc_id, {tok_h} AS h FROM tok),
+bits AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@query("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures: 16-bit sign-aggregated token hashes.
+    One explode + one groupBy with 16 conditional sums — a single shuffle
+    keyed by doc_id; signature width is constant regardless of doc size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    th = tok.select("doc_id", md5_hash64(F.col("tok"), seed=9).alias("h"))
+    sums = [F.sum(F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1))
+             .alias(f"s{j}") for j in range(_SIMHASH_BITS)]
+    bits = th.groupBy("doc_id").agg(*sums)
+    word = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        word = term if word is None else word + term
+    return bits.select("doc_id", word.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS = cosine_sql("q.embedding", "c.embedding")
+
+
+@query("embed_knn_brute", f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS} AS sim
+  FROM q JOIN c ON q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         RANK() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
+  FROM sims)
+WHERE knn_rank <= 5
+""")
+def embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-query set: the exactness baseline.
+    The query side broadcasts; similarity is a JVM zip_with/aggregate fold
+    (no Python, no shuffle); per-query top-k is a rank window partitioned
+    by query. Rank orders by ROUND(sim, 9): summation-order ulps can never
+    reorder neighbors across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sims = (F.broadcast(q).crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 9)), "neighbor_id")
+    return (sims.withColumn("knn_rank", F.rank().over(w))
+                .filter(F.col("knn_rank") <= 5)
+                .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"),
+                        "knn_rank"))
+
+
+@query("embed_knn_ivf", f"""
+WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, label, embedding FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS} AS sim
+  FROM q JOIN c ON q.label = c.label AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         RANK() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
+  FROM sims)
+WHERE knn_rank <= 3
+""")
+def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: restrict the search to the query's partition (the
+    ``label`` column plays the coarse-quantizer cell id). The candidate set
+    shrinks by ~|cells|× versus brute force — the scale path when cells are
+    pre-assigned; ``operators.similarity`` holds the centroid-assignment
+    variant."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label"),
+        F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("label").alias("c_label"), F.col("embedding").alias("c_emb"))
+    sims = (c.join(F.broadcast(q), (F.col("label") == F.col("c_label"))
+                   & (F.col("query_id") != F.col("neighbor_id")))
+             .select("query_id", "neighbor_id",
+                     cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 9)), "neighbor_id")
+    return (sims.withColumn("knn_rank", F.rank().over(w))
+                .filter(F.col("knn_rank") <= 3)
+                .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"),
+                        "knn_rank"))
+
+
+@query("embed_label_centroids", """
+SELECT label, dim, ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 6) AS centroid
+FROM embeddings, range(1, 65) t(dim)
+GROUP BY label, dim
+""")
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (the IVF training step): posexplode → per-(label,
+    dim) mean. One shuffle keyed by (label, dim) — fully parallel across
+    dimensions, no driver-side vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+              .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid")))

@@ -1,0 +1,461 @@
+"""Reference-parity queries, part 1: the four pandas pipelines (AWS TTI/PTI,
+Azure severity/variability, BigQuery trends/exceedance, Snowflake LOTTR)
+re-expressed on the driver's ``events`` table, plus general relational
+coverage (joins/aggs/sorts/set-ops) on the TPC-H-ish star schema.
+
+Mapping (FIXTURES.md §B): events.user_id ↔ tmc_code, events.value ↔
+travel_time_seconds, events.ts ↔ measurement_tstamp; day-of-month plays the
+reference's year-loop axis (the testdata spans one month).
+
+Every query is a single lazy DataFrame plan: scans are parquet with pushed
+filters/pruned columns, dimension joins are broadcast, top-k compiles to
+TakeOrderedAndProject — the shapes that survive a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.temporal import period_bucket, PERIOD_BUCKET_SQL
+from ..functions import metrics as M
+from ..operators.topk import topk_limit, topk_keys_semijoin
+from ..operators.windows import lag_diff, pct_change
+from ..operators.pivot import pivot_agg
+from ..operators.setops import union_by_name
+from ..sources import load_table
+from . import query
+
+# DuckDB CTE normalizing events.ts from TIMESTAMP_NS to µs TIMESTAMP,
+# matching what Spark reads (sources.load_table).
+EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+PERIOD = PERIOD_BUCKET_SQL.format(ts="ts")
+
+
+def _tt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events annotated with the NPMRDS-style period bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("period", period_bucket(F.col("ts")))
+
+
+def _tti_per_key(spark, sf_dir, keys: list):
+    """Shared: exact p50/p85/p95 of value per key set (1_AWS/README.md:95-103)."""
+    return (
+        _tt(spark, sf_dir)
+        .filter(F.col("period").isNotNull())
+        .groupBy(*keys)
+        .agg(F.percentile("value", 0.5).alias("tt50"),
+             F.percentile("value", 0.85).alias("tt85"),
+             F.percentile("value", 0.95).alias("tt95"))
+        .withColumn("tti", M.tti(F.col("tt85"), F.col("tt50")))
+        .withColumn("pti", M.pti(F.col("tt95"), F.col("tt50")))
+    )
+
+
+_TTI_CTE = f"""
+WITH ev AS ({EV}),
+d AS (SELECT user_id, value, {PERIOD} AS period FROM ev),
+q AS (SELECT user_id, period,
+             quantile_cont(value, 0.50) AS tt50,
+             quantile_cont(value, 0.85) AS tt85,
+             quantile_cont(value, 0.95) AS tt95
+      FROM d WHERE period IS NOT NULL GROUP BY user_id, period)
+"""
+
+
+@query("aws_tti_top10", _TTI_CTE + """
+SELECT user_id, period, ROUND(tt50, 6) AS tt50, ROUND(tt85, 6) AS tt85,
+       ROUND(tt95, 6) AS tt95, ROUND(tt85 / tt50, 6) AS tti,
+       ROUND(tt95 / tt50, 6) AS pti
+FROM q ORDER BY tt85 / tt50 DESC, user_id, period LIMIT 10
+""")
+def aws_tti_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: AWS monthly pipeline core (1_AWS/README.md:75-113) —
+    period bucket → exact quantiles → TTI/PTI → top-10 by TTI.
+
+    TTI/PTI divide bit-exact percentiles, so ordering by the exact ratio is
+    engine-stable; ids break ties deterministically."""
+    agg = _tti_per_key(spark, sf_dir, ["user_id", "period"])
+    top = topk_limit(agg, 10, F.desc("tti"), F.col("user_id"), F.col("period"))
+    return top.select(
+        "user_id", "period",
+        F.round("tt50", 6).alias("tt50"), F.round("tt85", 6).alias("tt85"),
+        F.round("tt95", 6).alias("tt95"),
+        F.round("tti", 6).alias("tti"), F.round("pti", 6).alias("pti"))
+
+
+@query("aws_pti_top10", _TTI_CTE + """
+SELECT user_id, period, ROUND(tt95 / tt50, 6) AS pti, ROUND(tt85 / tt50, 6) AS tti
+FROM q ORDER BY tt95 / tt50 DESC, user_id, period LIMIT 10
+""")
+def aws_pti_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second AWS sink: top-10 by PTI (1_AWS/README.md:113)."""
+    agg = _tti_per_key(spark, sf_dir, ["user_id", "period"])
+    top = topk_limit(agg, 10, F.desc("pti"), F.col("user_id"), F.col("period"))
+    return top.select("user_id", "period",
+                      F.round("pti", 6).alias("pti"), F.round("tti", 6).alias("tti"))
+
+
+@query("azure_severity_top10", f"""
+WITH ev AS ({EV}),
+q AS (SELECT user_id,
+             quantile_cont(value, 0.50) AS tt50,
+             quantile_cont(value, 0.85) AS tt85,
+             quantile_cont(value, 0.95) AS tt95
+      FROM ev GROUP BY user_id)
+SELECT user_id, ROUND(tt85 / tt50, 6) AS tti, ROUND(tt95 / tt50, 6) AS pti,
+       ROUND((tt85 / tt50 + tt95 / tt50) / 2, 6) AS severity
+FROM q ORDER BY (tt85 / tt50 + tt95 / tt50) / 2 DESC, user_id LIMIT 10
+""")
+def azure_severity_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Azure yearly pipeline: severity=(TTI+PTI)/2 per segment, nlargest-10
+    (2_Azure/READ.md:62-82)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (ev.groupBy("user_id")
+             .agg(F.percentile("value", 0.5).alias("tt50"),
+                  F.percentile("value", 0.85).alias("tt85"),
+                  F.percentile("value", 0.95).alias("tt95"))
+             .withColumn("tti", M.tti(F.col("tt85"), F.col("tt50")))
+             .withColumn("pti", M.pti(F.col("tt95"), F.col("tt50")))
+             .withColumn("severity", M.severity(F.col("tti"), F.col("pti"))))
+    top = topk_limit(agg, 10, F.desc("severity"), F.col("user_id"))
+    return top.select("user_id", F.round("tti", 6).alias("tti"),
+                      F.round("pti", 6).alias("pti"),
+                      F.round("severity", 6).alias("severity"))
+
+
+@query("azure_variability_top10", f"""
+WITH ev AS ({EV}),
+q AS (SELECT user_id, weekofyear(ts) AS wk,
+             quantile_cont(value, 0.50) AS tt50,
+             quantile_cont(value, 0.85) AS tt85,
+             quantile_cont(value, 0.95) AS tt95
+      FROM ev GROUP BY user_id, weekofyear(ts)),
+v AS (SELECT user_id, AVG((tt95 / tt50) / (tt85 / tt50)) AS avg_variability
+      FROM q GROUP BY user_id)
+SELECT user_id, ROUND(avg_variability, 6) AS avg_variability
+FROM v ORDER BY ROUND(avg_variability, 6) DESC, user_id LIMIT 10
+""")
+def azure_variability_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Azure: variability=PTI/TTI per (segment, week) — week plays the
+    reference's year axis — then cross-week mean, top-10
+    (2_Azure/READ.md:73, :93-94). Selection orders by the ROUNDed mean:
+    AVG is summation-order-dependent at the last ulp, the rounded value
+    is not."""
+    ev = load_table(spark, sf_dir, "events")
+    per_week = (ev.withColumn("wk", F.weekofyear("ts"))
+                  .groupBy("user_id", "wk")
+                  .agg(F.percentile("value", 0.5).alias("tt50"),
+                       F.percentile("value", 0.85).alias("tt85"),
+                       F.percentile("value", 0.95).alias("tt95"))
+                  .withColumn("variability",
+                              M.variability(M.tti(F.col("tt85"), F.col("tt50")),
+                                            M.pti(F.col("tt95"), F.col("tt50")))))
+    agg = per_week.groupBy("user_id").agg(F.avg("variability").alias("avg_variability"))
+    top = topk_limit(agg, 10, F.desc(F.round("avg_variability", 6)), F.col("user_id"))
+    return top.select("user_id", F.round("avg_variability", 6).alias("avg_variability"))
+
+
+_BQ_TTI_CTE = f"""
+WITH ev AS ({EV}),
+d AS (SELECT user_id, CAST(ts AS DATE) AS day, value, {PERIOD} AS period FROM ev),
+q AS (SELECT user_id, day, period,
+             quantile_cont(value, 0.85) / quantile_cont(value, 0.50) AS tti
+      FROM d WHERE period IS NOT NULL GROUP BY user_id, day, period)
+"""
+
+
+@query("bq_tti_trend_lag", _BQ_TTI_CTE + """
+, top10 AS (SELECT user_id FROM q GROUP BY user_id
+            ORDER BY ROUND(AVG(tti), 6) DESC, user_id LIMIT 10),
+daily AS (SELECT q.user_id, q.day, AVG(q.tti) AS avg_tti
+          FROM q SEMI JOIN top10 ON q.user_id = top10.user_id
+          GROUP BY q.user_id, q.day)
+SELECT user_id, day, ROUND(avg_tti, 6) AS avg_tti,
+       ROUND(COALESCE(avg_tti - LAG(avg_tti) OVER (PARTITION BY user_id ORDER BY day), 0), 6) AS tti_change
+FROM daily
+""")
+def bq_tti_trend_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery trends (3_BigQuery/READ.md:109-116): top-10 segments by mean
+    TTI → semi-join filter → per-day mean → lag diff with fillna(0).
+    Day plays the reference's year axis. The implicit pandas row order
+    becomes an explicit per-segment window ordered by day (§7.4 trap #3)."""
+    tti = (_tt(spark, sf_dir)
+           .filter(F.col("period").isNotNull())
+           .withColumn("day", F.to_date("ts"))
+           .groupBy("user_id", "day", "period")
+           .agg((F.percentile("value", 0.85) / F.percentile("value", 0.5)).alias("tti")))
+    top10 = topk_limit(tti.groupBy("user_id").agg(F.avg("tti").alias("m")), 10,
+                       F.desc(F.round("m", 6)), F.col("user_id")).select("user_id")
+    daily = (topk_keys_semijoin(tti, top10, "user_id")
+             .groupBy("user_id", "day").agg(F.avg("tti").alias("avg_tti")))
+    out = lag_diff(daily, "avg_tti", "day", ["user_id"], out_col="tti_change")
+    return out.select("user_id", "day", F.round("avg_tti", 6).alias("avg_tti"),
+                      F.round("tti_change", 6).alias("tti_change"))
+
+
+@query("bq_exceedance", _BQ_TTI_CTE + """
+SELECT user_id, period, ROUND(AVG(CAST(tti > 1.5 AS INT)), 6) AS exceed_rate,
+       COUNT(*) AS n_days
+FROM q GROUP BY user_id, period
+""")
+def bq_exceedance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exceedance rate = mean of boolean (TTI>1.5) per (segment, period)
+    (3_BigQuery/READ.md:119-122); explicit int cast per §7.4 trap #5."""
+    tti = (_tt(spark, sf_dir)
+           .filter(F.col("period").isNotNull())
+           .withColumn("day", F.to_date("ts"))
+           .groupBy("user_id", "day", "period")
+           .agg((F.percentile("value", 0.85) / F.percentile("value", 0.5)).alias("tti")))
+    return (tti.groupBy("user_id", "period")
+               .agg(F.round(F.avg(M.exceedance_flag(F.col("tti"))), 6).alias("exceed_rate"),
+                    F.count(F.lit(1)).alias("n_days")))
+
+
+_LOTTR_CTE = f"""
+WITH ev AS ({EV}),
+d AS (SELECT user_id, value, {PERIOD} AS period FROM ev),
+q AS (SELECT user_id, period,
+             quantile_cont(value, 0.80) / quantile_cont(value, 0.50) AS lottr
+      FROM d WHERE period IS NOT NULL GROUP BY user_id, period)
+"""
+
+
+@query("snowflake_lottr_pivot", _LOTTR_CTE + """
+SELECT user_id,
+       ROUND(COALESCE(MAX(CASE WHEN period = 'amp' THEN lottr END), 0), 6) AS amp,
+       ROUND(COALESCE(MAX(CASE WHEN period = 'mid' THEN lottr END), 0), 6) AS mid,
+       ROUND(COALESCE(MAX(CASE WHEN period = 'pmp' THEN lottr END), 0), 6) AS pmp,
+       ROUND(COALESCE(MAX(CASE WHEN period = 'we'  THEN lottr END), 0), 6) AS we
+FROM q GROUP BY user_id
+""")
+def snowflake_lottr_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake LOTTR (4_Snowflake/READ.md:72-91): per-period p80/p50
+    pivoted to one row per segment, missing periods filled with 0.
+
+    The reference's iterated per-period merge loop (J2) becomes a single
+    groupBy().pivot() — one shuffle instead of four join stages."""
+    lottr = (_tt(spark, sf_dir)
+             .filter(F.col("period").isNotNull())
+             .groupBy("user_id", "period")
+             .agg((F.percentile("value", 0.8) / F.percentile("value", 0.5)).alias("lottr")))
+    piv = pivot_agg(lottr, ["user_id"], "period", ["amp", "mid", "pmp", "we"],
+                    F.first("lottr"), fill=None)
+    return piv.select("user_id",
+                      *[F.round(F.coalesce(F.col(p), F.lit(0.0)), 6).alias(p)
+                        for p in ("amp", "mid", "pmp", "we")])
+
+
+@query("snowflake_lottr_trend", f"""
+WITH ev AS ({EV}),
+d AS (SELECT user_id, CAST(ts AS DATE) AS day, value, {PERIOD} AS period FROM ev),
+q AS (SELECT day, user_id, period,
+             quantile_cont(value, 0.80) / quantile_cont(value, 0.50) AS lottr
+      FROM d WHERE period IS NOT NULL GROUP BY day, user_id, period),
+daily AS (SELECT day, AVG(lottr) AS avg_lottr FROM q GROUP BY day)
+SELECT day, ROUND(avg_lottr, 6) AS avg_lottr,
+       ROUND(COALESCE((avg_lottr - LAG(avg_lottr) OVER (ORDER BY day))
+                      / LAG(avg_lottr) OVER (ORDER BY day), 0), 6) AS lottr_pct_change
+FROM daily
+""")
+def snowflake_lottr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake trend table (4_Snowflake/READ.md:99-118): per-day global
+    LOTTR mean + pct_change. The global window is a single partition —
+    correct here because the series is one row per day (§7.4 trap #3);
+    the heavy lifting (the groupBys) stays fully parallel."""
+    lottr = (_tt(spark, sf_dir)
+             .filter(F.col("period").isNotNull())
+             .withColumn("day", F.to_date("ts"))
+             .groupBy("day", "user_id", "period")
+             .agg((F.percentile("value", 0.8) / F.percentile("value", 0.5)).alias("lottr")))
+    daily = lottr.groupBy("day").agg(F.avg("lottr").alias("avg_lottr"))
+    out = pct_change(daily, "avg_lottr", "day", out_col="lottr_pct_change")
+    return out.select("day", F.round("avg_lottr", 6).alias("avg_lottr"),
+                      F.round("lottr_pct_change", 6).alias("lottr_pct_change"))
+
+
+# ---------------------------------------------------------------------------
+# Star-schema relational coverage (joins / aggs / sorts / set ops)
+# ---------------------------------------------------------------------------
+
+@query("star_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the canonical multi-aggregate
+    grouped scan (SURVEY.md A4/A7/A8 family). Filter + projection push to
+    the parquet scan; partial aggregation makes the shuffle carry only
+    6 groups × 8 aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                   F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                   F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                   F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                   F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                   F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+@query("star_top_orders_by_revenue", """
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) DESC, o.o_orderkey
+LIMIT 10
+""")
+def star_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter → fact join → grouped revenue →
+    distributed top-10 (TakeOrderedAndProject, no global sort). The filtered
+    customer side is broadcast: no shuffle of lineitem for the join."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    agg = (j.groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+    return topk_limit(agg, 10, F.desc("revenue"), F.col("o_orderkey"))
+
+
+@query("star_region_revenue", """
+SELECT r.r_name AS region, n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def star_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped snowflake join chain. All three dims broadcast —
+    the 100 TB fact table never shuffles for the joins, only for the final
+    25-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+@query("star_customers_without_orders", """
+SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(AVG(c.c_acctbal), 6) AS avg_acctbal
+FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""")
+def star_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J9 — the dbt ``relationships`` test shape): customers
+    with no orders, summarized per segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal")))
+
+
+@query("star_union_segments", """
+WITH hi AS (SELECT c_custkey, c_mktsegment, c_acctbal, 'high' AS tier
+            FROM customer WHERE c_acctbal > 7500),
+lo AS (SELECT c_custkey, c_mktsegment, c_acctbal, 'low' AS tier
+       FROM customer WHERE c_acctbal < 0)
+SELECT tier, c_mktsegment, COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)
+GROUP BY tier, c_mktsegment
+""")
+def star_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/A14: ``pd.concat`` → unionByName → aggregate. Unions are
+    metadata-only in Spark: no shuffle until the groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 7500).withColumn("tier", F.lit("high"))
+    lo = c.filter(F.col("c_acctbal") < 0).withColumn("tier", F.lit("low"))
+    u = union_by_name(hi, lo)
+    return (u.groupBy("tier", "c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("c_acctbal"), 6).alias("avg_bal")))
+
+
+@query("star_part_buckets", """
+SELECT CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_bucket,
+       lower(p_type) AS type_lc,
+       COUNT(*) AS n_parts,
+       ROUND(AVG(p_retailprice), 6) AS avg_price,
+       CAST(SUM(CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END) AS BIGINT) AS brand1x
+FROM part
+GROUP BY 1, 2
+""")
+def star_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/E7: CASE bucketing + string match/normalize (the dbt incident-type
+    standardization shape, 5_dbt/READ.md:252-257)."""
+    p = load_table(spark, sf_dir, "part")
+    bucket = (F.when(F.col("p_size") < 10, "small")
+               .when(F.col("p_size") < 30, "medium").otherwise("large"))
+    return (p.groupBy(bucket.alias("size_bucket"), F.lower("p_type").alias("type_lc"))
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+                  F.sum(F.when(F.col("p_brand").like("Brand#1%"), 1).otherwise(0))
+                   .cast("bigint").alias("brand1x")))
+
+
+@query("star_orders_between", """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY o_orderpriority
+""")
+def star_orders_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 BETWEEN predicate + A10 COUNT(DISTINCT expr). The BETWEEN pushes
+    into the parquet scan (row-group min/max skipping at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp")))
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                  F.countDistinct(F.to_date("o_orderdate")).alias("n_days")))
+
+
+@query("star_priority_bigorder_rate", """
+SELECT o_orderpriority,
+       ROUND(AVG(CAST(o_totalprice > 100000 AS INT)), 6) AS big_rate,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""")
+def star_priority_bigorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 mean-of-boolean with explicit int cast (§7.4 trap #5)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.round(F.avg((F.col("o_totalprice") > 100000).cast("int")), 6)
+                   .alias("big_rate"),
+                  F.count(F.lit(1)).alias("n")))

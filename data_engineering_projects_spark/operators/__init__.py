@@ -1,0 +1,6 @@
+"""Composable operators (SURVEY.md §2.3/2.6/2.7 + extension operators)."""
+
+from .topk import topk_limit, topk_rank, topk_keys_semijoin  # noqa: F401
+from .windows import lag_diff, pct_change  # noqa: F401
+from .pivot import pivot_agg  # noqa: F401
+from .setops import union_by_name  # noqa: F401

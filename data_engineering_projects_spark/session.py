@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: these settings are chosen so the same plans survive a
+1000-executor / 100 TB deployment — AQE re-plans shuffles at runtime
+(partition coalescing + skew-join splitting), Arrow keeps any unavoidable
+Python stage vectorized, and session timezone is pinned to UTC so temporal
+semantics are deterministic regardless of cluster locale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The driver's testdata events table stores TIMESTAMP(NANOS) which Spark's
+# parquet reader rejects by default; reading it as long + explicit µs
+# truncation (sources.load_table) matches DuckDB/pandas µs behavior.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (e.g. the
+    driver's); all keys used here are runtime-settable."""
+    for k, v in _RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def get_session(app_name: str = "data_engineering_projects_spark",
+                master: str | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or fetch) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local testing;
+    on a real cluster pass None with a pre-set master or use spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

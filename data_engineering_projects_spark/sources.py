@@ -1,0 +1,91 @@
+"""Declared-schema sources for the engine.
+
+Covers SURVEY.md §2.1 S1–S5: CSV scans (S3A path or local glob), parquet
+star-schema scans, temp-view registration (the dbt ``source()`` analog).
+The XCom JSON exchange (S5) is deliberately eliminated: a single lazy plan
+spans all stages, so no data ever round-trips through the driver.
+
+Reference parity notes (citations into /root/reference):
+- S1  1_AWS/README.md:51-62   (S3 CSV via boto hook -> s3a:// path read)
+- S2  2_Azure/READ.md:48-56   (year-loop CSV with skip-on-missing)
+- S3  5_dbt/READ.md:158-159   (dbt source() -> registered view)
+- S5  1_AWS/README.md:64-67   (XCom JSON hop -> eliminated, lazy plan)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+#: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
+STAR_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema parquet table with deterministic types.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it via the nanosAsLong legacy conf
+    and truncate to microseconds (integer DIV — no double round-trip, so
+    no precision loss at 1e18 magnitudes), matching DuckDB/pandas µs
+    semantics bit-for-bit.
+    """
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or STAR_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """dbt ``source()`` analog: expose tables as temp views for spark.sql.
+
+    Views stay lazy, so Catalyst fuses across "model" boundaries exactly
+    like dbt staging views compile into downstream queries
+    (5_dbt/READ.md:127-128).
+    """
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_csv_glob(spark: SparkSession, paths: list[str], schema=None,
+                  header: bool = True) -> DataFrame:
+    """S1/S2: multi-path CSV scan with skip-on-missing semantics.
+
+    The reference's sequential year loop with try/except FileNotFoundError
+    (2_Azure/READ.md:48-56) becomes a single parallel multi-path scan over
+    the paths that exist — the existence check happens once at plan-build
+    time, and Spark parallelizes the read across the cluster.
+    """
+    existing = [p for p in paths if _path_exists(spark, p)]
+    if not existing:
+        raise FileNotFoundError(f"none of {len(paths)} input paths exist")
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(existing)
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Works for local and hadoop-visible (s3a://, hdfs://) paths."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
