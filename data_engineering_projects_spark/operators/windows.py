@@ -29,11 +29,15 @@ def lag_diff(df: DataFrame, value_col: str, order_col: str,
 def pct_change(df: DataFrame, value_col: str, order_col: str,
                partition_cols: list[str] | None = None,
                out_col: str = "pct_change", fill: float | None = 0.0) -> DataFrame:
-    """W2: (value - lag)/lag, pandas ``.pct_change().fillna(0)`` semantics."""
+    """W2: (value - lag)/lag, pandas ``.pct_change().fillna(0)`` semantics.
+
+    ``try_divide`` keeps a zero previous value NULL (→ filled) instead of
+    raising under ANSI mode / producing pandas' inf — the one deliberate
+    deviation from pandas, which yields ±inf there."""
     w = (Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()) \
         .orderBy(order_col)
     prev = F.lag(value_col).over(w)
-    d = (F.col(value_col) - prev) / prev
+    d = F.try_divide(F.col(value_col) - prev, prev)
     if fill is not None:
         d = F.coalesce(d, F.lit(fill))
     return df.withColumn(out_col, d)

@@ -1,0 +1,130 @@
+"""Model registry + topologically-ordered runner — the dbt analog
+(SURVEY.md §3 entry point 3, §7.3).
+
+Mapping from dbt concepts (5_dbt/READ.md):
+- model          = a Python function ``(spark, **deps) -> DataFrame``
+- ``ref()``      = declared dependency edges; the DAG is explicit and
+                   topologically executed (5_dbt/READ.md:74-99)
+- ``var()``      = the graph's config dict (5_dbt/READ.md:118-121)
+- materialized=view  -> the DataFrame stays lazy and is passed downstream
+  unmaterialized, so Catalyst fuses across model boundaries exactly like
+  dbt staging views compile into consumers (5_dbt/READ.md:127-128)
+- materialized=table -> checkpoint to parquet and re-read, cutting plan
+  depth and enabling reuse across downstream models without recompute
+  (5_dbt/READ.md:123-133)
+- tests run attached to a model, gating downstream models fail-fast, like
+  ``run_data_quality_checks`` preceding ``transform_data_with_dbt`` in the
+  reference DAG (5_dbt/READ.md:53-71)
+
+Catalyst supplies compile→analyze→optimize→execute; this layer only
+supplies naming, ordering, materialization, and gates.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from enum import Enum
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..quality import Check, CheckResult, run_checks
+
+
+class Materialization(str, Enum):
+    VIEW = "view"
+    TABLE = "table"
+
+
+@dataclass
+class Model:
+    name: str
+    fn: Callable[..., DataFrame]
+    deps: tuple[str, ...] = ()
+    materialization: Materialization = Materialization.VIEW
+    checks: list[Check] = field(default_factory=list)
+    partition_by: tuple[str, ...] = ()
+
+
+class ModelGraph:
+    """A registry of models forming a DAG, executed in topological order.
+
+    >>> g = ModelGraph(vars={"start_date": "2024-01-01"})
+    >>> @g.model()
+    ... def stg_speed(spark, vars):
+    ...     return ...
+    >>> @g.model(deps=["stg_speed"], materialization="table")
+    ... def hourly(spark, vars, stg_speed):
+    ...     return stg_speed.groupBy(...).agg(...)
+    >>> results = g.run(spark)
+    """
+
+    def __init__(self, vars: dict | None = None, warehouse_dir: str | None = None):
+        self.vars = dict(vars or {})
+        self.warehouse_dir = warehouse_dir
+        self._models: dict[str, Model] = {}
+        self.check_results: dict[str, list[CheckResult]] = {}
+
+    def model(self, name: str | None = None, deps: list[str] | None = None,
+              materialization: str | Materialization = Materialization.VIEW,
+              checks: list[Check] | None = None,
+              partition_by: list[str] | None = None):
+        def deco(fn):
+            n = name or fn.__name__
+            self._models[n] = Model(
+                n, fn, tuple(deps or ()), Materialization(materialization),
+                list(checks or ()), tuple(partition_by or ()))
+            return fn
+        return deco
+
+    def add_source(self, name: str, fn: Callable[[SparkSession, dict], DataFrame]):
+        """dbt ``source()`` analog: a leaf model wrapping a raw scan."""
+        self._models[name] = Model(name, fn, ())
+
+    def topo_order(self) -> list[str]:
+        ts = TopologicalSorter({n: m.deps for n, m in self._models.items()})
+        return list(ts.static_order())
+
+    def run(self, spark: SparkSession,
+            select: list[str] | None = None) -> dict[str, DataFrame]:
+        """Execute the DAG (optionally only ``select`` models + ancestors).
+        Returns the materialized DataFrame per model. ERROR-severity check
+        failures raise before any downstream model runs."""
+        wanted = set(self._models) if select is None else self._closure(select)
+        built: dict[str, DataFrame] = {}
+        for name in self.topo_order():
+            if name not in wanted:
+                continue
+            m = self._models[name]
+            kwargs = {d: built[d] for d in m.deps}
+            df = m.fn(spark, self.vars, **kwargs)
+            if m.checks:
+                self.check_results[name] = run_checks(df, m.checks)
+            built[name] = self._materialize(spark, m, df)
+        return built
+
+    def _closure(self, select: list[str]) -> set[str]:
+        out: set[str] = set()
+        stack = list(select)
+        while stack:
+            n = stack.pop()
+            if n in out:
+                continue
+            out.add(n)
+            stack.extend(self._models[n].deps)
+        return out
+
+    def _materialize(self, spark: SparkSession, m: Model, df: DataFrame) -> DataFrame:
+        if m.materialization is Materialization.VIEW or not self.warehouse_dir:
+            df.createOrReplaceTempView(m.name)
+            return df
+        path = os.path.join(self.warehouse_dir, m.name)
+        writer = df.write.mode("overwrite")
+        if m.partition_by:
+            writer = writer.partitionBy(*m.partition_by)
+        writer.parquet(path)
+        out = spark.read.parquet(path)
+        out.createOrReplaceTempView(m.name)
+        return out

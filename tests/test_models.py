@@ -1,0 +1,63 @@
+"""ModelGraph (dbt-analog) tests: topo order, selection closure,
+materialization, quality gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.plans.models import ModelGraph, Materialization
+from data_engineering_projects_spark import quality as Q
+
+
+def _graph(spark, tmp_path=None):
+    g = ModelGraph(vars={"min_v": 2}, warehouse_dir=str(tmp_path) if tmp_path else None)
+    g.add_source("src", lambda s, v: s.range(10).withColumnRenamed("id", "v"))
+
+    @g.model(deps=["src"])
+    def filtered(s, v, src):
+        return src.filter(F.col("v") >= v["min_v"])
+
+    @g.model(deps=["filtered"], materialization=Materialization.TABLE)
+    def summed(s, v, filtered):
+        return filtered.agg(F.sum("v").alias("total"))
+
+    return g
+
+
+def test_topo_and_run(spark, tmp_path):
+    g = _graph(spark, tmp_path)
+    order = g.topo_order()
+    assert order.index("src") < order.index("filtered") < order.index("summed")
+    built = g.run(spark)
+    assert built["summed"].collect()[0]["total"] == sum(range(2, 10))
+    # table materialization wrote parquet and re-read it
+    assert (tmp_path / "summed").exists()
+    # temp views registered (dbt ref() via spark.table works)
+    assert spark.table("filtered").count() == 8
+
+
+def test_select_closure(spark):
+    g = _graph(spark)
+    built = g.run(spark, select=["filtered"])
+    assert set(built) == {"src", "filtered"}
+
+
+def test_check_gate_blocks_downstream(spark):
+    g = ModelGraph()
+    g.add_source("src", lambda s, v: s.createDataFrame(
+        [(1, None)], "id long, name string"))
+    ran = []
+
+    @g.model(deps=["src"], checks=[Q.not_null("name")])
+    def staged(s, v, src):
+        return src
+
+    @g.model(deps=["staged"])
+    def downstream(s, v, staged):
+        ran.append(True)
+        return staged
+
+    with pytest.raises(Q.QualityError):
+        g.run(spark)
+    assert not ran  # fail-fast: downstream never built (5_dbt/READ.md:71)
