@@ -1,0 +1,102 @@
+"""Additional coverage queries: staging-model row-level semantics, the dbt
+time-bucket macro, global rank, and the multimodal plumbing (rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_range, CLEAN_RANGE_SQL
+from ..functions.temporal import time_bucket, TIME_BUCKET_SQL
+from ..sources import load_table
+from . import query
+
+EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+
+@query("dbt_stg_volume_clean", f"""
+WITH ev AS ({EV})
+SELECT event_id AS record_id, user_id AS location_id,
+       CAST(ts AS TIMESTAMP) AS recorded_time,
+       {CLEAN_RANGE_SQL.format(c='value', lo=0, hi=120)} AS average_speed,
+       'run-001' AS batch_id
+FROM ev
+WHERE event_type = 'click'
+  AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25'
+""")
+def dbt_stg_volume_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level staging-model semantics in one query (5_dbt/READ.md:149-184):
+    rename projection (P2), timestamp pass-through (E1), var-window BETWEEN
+    (P6), range-clamp cleaning CASE (P10), batch metadata literal (E12 —
+    parameterized, not invocation-time, per §7.4 trap #10)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.filter((F.col("event_type") == "click")
+                      & F.col("ts").between(F.lit("2024-01-05").cast("timestamp"),
+                                            F.lit("2024-01-25").cast("timestamp")))
+              .select(F.col("event_id").alias("record_id"),
+                      F.col("user_id").alias("location_id"),
+                      F.col("ts").alias("recorded_time"),
+                      clean_range(F.col("value"), 0, 120).alias("average_speed"),
+                      F.lit("run-001").alias("batch_id")))
+
+
+@query("dbt_time_bucket_rollup", f"""
+WITH ev AS ({EV})
+SELECT {TIME_BUCKET_SQL.format(ts='ts')} AS time_bucket,
+       event_type, COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS avg_value
+FROM ev GROUP BY 1, 2
+""")
+def dbt_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt ``time_buckets`` macro (5_dbt/READ.md:810-822) as a grouping
+    expression — the second bucketing scheme in the reference, distinct
+    from the NPMRDS period bucket (E6 family)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(time_bucket(F.col("ts")).alias("time_bucket"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+@query("star_nation_rank_global", """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name)
+SELECT nation, revenue, revenue_rank FROM (
+  SELECT nation, revenue,
+         RANK() OVER (ORDER BY revenue DESC) AS revenue_rank FROM rev)
+WHERE revenue_rank <= 5
+""")
+def star_nation_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 global RANK + QUALIFY rewrite on an aggregate (the
+    mart_daily_congestion global-rank shape, 5_dbt/READ.md:581-588). The
+    rank input is the ROUNDed revenue so ordering is engine-stable; the
+    window is single-partition but runs over only 25 pre-aggregated rows —
+    the heavy join/agg stays parallel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue")))
+    w = Window.orderBy(F.desc("revenue"))
+    return (rev.withColumn("revenue_rank", F.rank().over(w))
+               .filter(F.col("revenue_rank") <= 5))
+
+
+@query("multimodal_image_features")  # rows-only: mapInPandas kernel, not SQL
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → binary media column →
+    Arrow-batched mapInPandas decode (deterministic fake kernel; the real
+    codec slot is gated behind NotImplementedError — see ``multimodal``).
+    Registered without an oracle: the kernel is procedural Python by
+    design, so the driver applies its rows-only check."""
+    from ..multimodal import attach_fake_media, decode_images, fake_image_decoder
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return decode_images(media, decoder=fake_image_decoder)

@@ -1,0 +1,113 @@
+"""Streaming variants of the engine's rollups (SURVEY.md §7.6).
+
+The reference's "streaming" is a cron re-run of a batch job
+(5_dbt/READ.md:41); these jobs give the true incremental path: the daily dbt
+pipeline's hourly rollup as an event-time windowed aggregation with
+watermarked late-data handling, plus a custom stateful operator
+(sessionization) via ``applyInPandasWithState`` — the pattern the engine
+uses wherever an operator needs cross-batch state Spark lacks natively.
+
+Scale posture: state is partitioned by key across executors (RocksDB/HDFS
+state store on a real cluster); the watermark bounds state size, so the
+job runs indefinitely on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+
+def hourly_rollup_stream(events: DataFrame,
+                         watermark: str = "2 hours",
+                         window_len: str = "1 hour") -> DataFrame:
+    """Streaming analog of the dbt hourly congestion rollup
+    (5_dbt/READ.md:398-412): per (user, 1-hour event-time window)
+    avg/min/max/count of value, tolerating ``watermark`` of lateness.
+
+    ``events`` must be a streaming DataFrame with (ts timestamp,
+    user_id long, value double). Late rows beyond the watermark are
+    dropped deterministically; windows finalize once the watermark passes
+    their end — the streaming replacement for the reference's "rerun the
+    whole batch daily" model.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_len).alias("w"), F.col("user_id"))
+            .agg(F.avg("value").alias("avg_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "user_id", "avg_value", "min_value", "max_value", "n_events"))
+
+
+_SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("status", StringType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start_ms", LongType()),
+    StructField("last_ms", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: event sessionization with an inactivity
+    gap, via ``applyInPandasWithState`` (arbitrary per-key state the
+    built-in windowed aggs can't express). Emits a row when a session
+    closes (gap elapsed → state timeout).
+
+    State per user is three longs; the timeout bounds its lifetime.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start_ms, unit="ms"),
+                "session_end": pd.Timestamp(last_ms, unit="ms"),
+                "n_events": n, "status": "closed",
+            }])
+            return
+        ts_min = ts_max = None
+        n_new = 0
+        for pdf in pdf_iter:
+            ts = pd.to_datetime(pdf["ts"])
+            lo, hi = ts.min(), ts.max()
+            ts_min = lo if ts_min is None else min(ts_min, lo)
+            ts_max = hi if ts_max is None else max(ts_max, hi)
+            n_new += len(pdf)
+        if n_new:
+            lo_ms = int(ts_min.value // 1_000_000)
+            hi_ms = int(ts_max.value // 1_000_000)
+            if state.exists:
+                start_ms, last_ms, n = state.get
+                state.update((min(start_ms, lo_ms), max(last_ms, hi_ms), n + n_new))
+            else:
+                state.update((lo_ms, hi_ms, n_new))
+            state.setTimeoutTimestamp(hi_ms + gap_ms)
+        return
+        yield  # pragma: no cover — make fn a generator on all paths
+
+    return (events
+            .withWatermark("ts", f"{gap_minutes} minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, _SESSION_SCHEMA, _STATE_SCHEMA,
+                                    "Update", GroupStateTimeout.EventTimeTimeout))

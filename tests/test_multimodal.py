@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: schema, Arrow-batched decode, 1→N frame
+sampling, and the NotImplementedError gate on the real-decoder slot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.multimodal import (
+    attach_fake_media, decode_images, fake_image_decoder, frame_sample,
+    real_image_decoder, IMAGE_FEATURES_SCHEMA,
+)
+from data_engineering_projects_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF, "documents")
+    return attach_fake_media(docs, "doc_id", "text")
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    row = media.first()
+    assert row["n_bytes"] == 64 and len(row["content"]) == 64
+
+
+def test_decode_images_deterministic(media):
+    feats = decode_images(media, decoder=fake_image_decoder, batch_partitions=4)
+    assert feats.schema == IMAGE_FEATURES_SCHEMA
+    rows = {r["media_id"]: r for r in feats.collect()}
+    # cross-check one row against a driver-side decode of the same bytes
+    sample = media.filter(F.col("media_id") == min(rows)).first()
+    w, h, m = fake_image_decoder(bytes(sample["content"]))
+    got = rows[sample["media_id"]]
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["mean_intensity"] == pytest.approx(m)
+    assert all(1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+               for r in rows.values())
+
+
+def test_frame_sample_one_to_many(media):
+    frames = frame_sample(media, every_n_bytes=16)
+    counts = frames.groupBy("media_id").count().collect()
+    assert counts and all(r["count"] == 4 for r in counts)  # 64/16
+
+
+def test_real_decoder_is_gated(media):
+    with pytest.raises(Exception) as ei:
+        decode_images(media, decoder=real_image_decoder).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)

@@ -1,0 +1,70 @@
+"""Operator-level semantics tests (SURVEY.md §7.4 traps), including the
+tie-semantics split and pivot-vs-iterated-join equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.operators import (
+    topk_limit, topk_rank, pivot_agg, lag_diff, pct_change, union_by_name,
+)
+
+
+@pytest.fixture(scope="module")
+def tied(spark):
+    # three rows tied at 9.0 around the k=2 cut
+    rows = [("a", 9.0), ("b", 9.0), ("c", 9.0), ("d", 5.0)]
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def test_topk_tie_semantics(tied):
+    """head(k) cuts at exactly k; RANK+QUALIFY keeps all ties (§7.4 #4)."""
+    limit = topk_limit(tied, 2, F.desc("v"), F.col("k")).collect()
+    assert [r["k"] for r in limit] == ["a", "b"]
+    rank = topk_rank(tied, 2, [F.desc("v")]).collect()
+    assert {r["k"] for r in rank} == {"a", "b", "c"}  # ties included
+    assert all(r["rnk"] == 1 for r in rank)
+
+
+def test_pivot_equals_iterated_join(spark):
+    """J2: groupBy().pivot() reproduces the reference's per-period merge
+    loop + fillna(0) (4_Snowflake/READ.md:87-91) with one shuffle."""
+    rows = [("t1", "amp", 1.5), ("t1", "mid", 1.2), ("t2", "we", 2.0)]
+    df = spark.createDataFrame(rows, "tmc string, period string, lottr double")
+    piv = pivot_agg(df, ["tmc"], "period", ["amp", "mid", "pmp", "we"],
+                    F.first("lottr"))
+    # the literal merge-loop fold
+    base = df.select("tmc").distinct()
+    for p in ["amp", "mid", "pmp", "we"]:
+        side = (df.filter(F.col("period") == p)
+                  .select("tmc", F.col("lottr").alias(p)))
+        base = base.join(side, "tmc", "left")
+    fold = base.na.fill(0.0)
+    assert sorted(map(tuple, piv.collect())) == sorted(map(tuple, fold.collect()))
+
+
+def test_lag_diff_and_pct_change(spark):
+    rows = [("t", 1, 10.0), ("t", 2, 15.0), ("t", 3, 12.0)]
+    df = spark.createDataFrame(rows, "k string, yr int, v double")
+    d = {r["yr"]: r["change"]
+         for r in lag_diff(df, "v", "yr", ["k"]).collect()}
+    assert d == {1: 0.0, 2: 5.0, 3: -3.0}
+    p = {r["yr"]: r["pct_change"]
+         for r in pct_change(df, "v", "yr", ["k"]).collect()}
+    assert p[1] == 0.0 and p[2] == pytest.approx(0.5) and p[3] == pytest.approx(-0.2)
+
+
+def test_pct_change_zero_prev_is_filled(spark):
+    """ANSI-safe: a zero previous value yields the fill, not an error."""
+    df = spark.createDataFrame([("t", 1, 0.0), ("t", 2, 5.0)],
+                               "k string, yr int, v double")
+    p = {r["yr"]: r["pct_change"] for r in pct_change(df, "v", "yr", ["k"]).collect()}
+    assert p[2] == 0.0
+
+
+def test_union_by_name_aligns_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = spark.createDataFrame([("y", 2)], "s string, id long")
+    u = union_by_name(a, b).collect()
+    assert {(r["id"], r["s"]) for r in u} == {(1, "x"), (2, "y")}

@@ -1,0 +1,82 @@
+"""Structured Streaming tests: watermarked windowed rollup equals its batch
+counterpart; stateful sessionization closes sessions on watermark advance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.sources import load_table
+from data_engineering_projects_spark.streaming import (
+    hourly_rollup_stream, sessionize_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    """Materialize events (µs timestamps) as a streamable parquet dir."""
+    d = tmp_path_factory.mktemp("stream_in")
+    ev = load_table(spark, SF, "events").select("ts", "user_id", "value")
+    ev.write.mode("overwrite").parquet(str(d))
+    return str(d), ev
+
+
+def test_hourly_rollup_stream_matches_batch(spark, stream_input, tmp_path):
+    path, batch_ev = stream_input
+    schema = batch_ev.schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (hourly_rollup_stream(stream)
+         .writeStream.format("memory").queryName("rollup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("rollup")
+    want = (batch_ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.avg("value").alias("avg_value"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "user_id",
+                    "avg_value", "n_events"))
+    # append mode emits only windows finalized by the watermark; every
+    # emitted window must match the batch result exactly
+    emitted = got.select("window_start", "user_id", "avg_value", "n_events")
+    j = emitted.alias("g").join(want.alias("w"), ["window_start", "user_id"])
+    n = j.count()
+    assert n == emitted.count() > 0
+    mismatch = j.filter(
+        (F.abs(F.col("g.avg_value") - F.col("w.avg_value")) > 1e-9)
+        | (F.col("g.n_events") != F.col("w.n_events"))).count()
+    assert mismatch == 0
+
+
+def test_sessionize_stream(spark, tmp_path):
+    import pandas as pd
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    # batch 1: two users active at t0; batch 2: a much later event advances
+    # the watermark past the 30-min gap, closing their sessions
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame({
+        "ts": [t0, t0 + pd.Timedelta(minutes=5),
+               t0 + pd.Timedelta(minutes=10), t0],
+        "user_id": [1, 1, 1, 2],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    b2 = pd.DataFrame({
+        "ts": [t0 + pd.Timedelta(hours=6)], "user_id": [99], "value": [0.0]})
+    spark.createDataFrame(b1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(b2).write.parquet(str(d / "b2"))
+    schema = "ts timestamp, user_id long, value double"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*"))
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = {r["user_id"]: r for r in spark.table("sessions").collect()
+            if r["status"] == "closed"}
+    assert 1 in rows and 2 in rows
+    assert rows[1]["n_events"] == 3
+    assert rows[1]["session_end"] - rows[1]["session_start"] == \
+        __import__("datetime").timedelta(minutes=10)
+    assert rows[2]["n_events"] == 1
