@@ -42,4 +42,4 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import all query modules so their registrations run."""
-    from . import parity, traffic, extensions, more  # noqa: F401
+    from . import parity, traffic, extensions, more, sessions  # noqa: F401

@@ -83,6 +83,27 @@ class ModelGraph:
         """dbt ``source()`` analog: a leaf model wrapping a raw scan."""
         self._models[name] = Model(name, fn, ())
 
+    def sql_model(self, name: str, sql: str, deps: list[str],
+                  materialization: str | Materialization = Materialization.VIEW,
+                  checks: list[Check] | None = None) -> None:
+        """A model defined as a SQL string (the dbt-model / PostgresOperator
+        SQL-file analog, 5_dbt/READ.md:47-51, :63-67). Dependencies are
+        referenced by name — they are registered as temp views when they
+        materialize — and ``{var}`` placeholders interpolate from the
+        graph's vars (the ``{{ var() }}`` analog, 5_dbt/READ.md:118-121)."""
+        def fn(spark: SparkSession, v: dict, **_deps) -> DataFrame:
+            return spark.sql(sql.format(**v))
+        self._models[name] = Model(name, fn, tuple(deps),
+                                   Materialization(materialization),
+                                   list(checks or ()))
+
+    def sql_file_model(self, name: str, path: str, deps: list[str],
+                       **kwargs) -> None:
+        """S12: run a SQL script from a file (PostgresOperator
+        ``sql='sql/generate_insights.sql'`` analog)."""
+        with open(path) as f:
+            self.sql_model(name, f.read(), deps, **kwargs)
+
     def topo_order(self) -> list[str]:
         ts = TopologicalSorter({n: m.deps for n, m in self._models.items()})
         return list(ts.static_order())

@@ -1,0 +1,85 @@
+"""Physical-plan shape audits: the optimizations SURVEY.md §4 promises must
+actually appear in the executed plans — broadcast joins for dims, pushed
+filters at the parquet scan, TakeOrderedAndProject for top-k, partial
+aggregation before the shuffle. These are the properties that survive a
+100× scale-up; this suite pins them against regressions."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from data_engineering_projects_spark import contract
+
+contract.load_all()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = plan(contract.QUERIES["star_region_revenue"](spark, sf_dir))
+    # formatted mode lists each node in the tree and the detail section
+    assert len([l for l in p.splitlines()
+                if l.strip().startswith("(") and "BroadcastHashJoin" in l]) == 3, p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """limit-k over orderBy must compile to a distributed top-k (per-
+    partition heaps), never a global sort."""
+    p = plan(contract.QUERIES["aws_tti_top10"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    p2 = plan(contract.QUERIES["star_top_orders_by_revenue"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p2, p2
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(contract.QUERIES["star_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p
+    # column pruning: quantity/price/discount/tax/flags only — no orderkey
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_selective_dim_filter_pushed_and_broadcast(spark, sf_dir):
+    p = plan(contract.QUERIES["star_top_orders_by_revenue"](spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, p
+    assert "BroadcastHashJoin" in p
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: HashAggregate appears below and above the
+    exchange (partial + final)."""
+    p = plan(contract.QUERIES["star_pricing_summary"](spark, sf_dir))
+    assert len([l for l in p.splitlines()
+                if l.strip().startswith("(") and "HashAggregate" in l]) >= 2
+    assert "hashpartitioning(l_returnflag" in p
+
+
+def test_full_outer_coalesces_keys(spark, sf_dir):
+    """J3: list-form join keys produce coalesced output columns — exactly
+    one location_id/recorded_hour in the output schema."""
+    df = contract.QUERIES["dbt_congestion_hourly"](spark, sf_dir)
+    assert df.columns.count("location_id") == 1
+    assert df.columns.count("recorded_hour") == 1
+    assert "FullOuter" in plan(df) or "full_outer" in plan(df).lower()
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """The hot path stays inside codegen stages. AQE defers stage planning,
+    so assert on the non-adaptive plan ('*(n)' = codegen stage markers)."""
+    df = contract.QUERIES["star_pricing_summary"](spark, sf_dir)
+    # load_table -> tune() re-asserts AQE, so disable it *after* building the
+    # DataFrame; physical planning happens lazily at explain time.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(df, "simple")
+        assert "*(1)" in p and "*(2)" in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

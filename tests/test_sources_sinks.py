@@ -1,0 +1,84 @@
+"""Source/sink coverage: CSV glob with skip-on-missing (S1/S2), view
+registration (S3/S4), partitioned+clustered parquet writes (S10/S11),
+SQL-string/file models (S12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+from data_engineering_projects_spark.sources import (
+    load_table, read_csv_glob, register_views,
+)
+from data_engineering_projects_spark.sinks import write_parquet
+from data_engineering_projects_spark.plans.models import ModelGraph
+
+SCHEMA = StructType([
+    StructField("tmc_code", StringType()),
+    StructField("travel_time_seconds", DoubleType()),
+    StructField("year", IntegerType()),
+])
+
+
+def test_csv_glob_skips_missing_years(spark, tmp_path):
+    """The reference's try/except year loop (2_Azure/READ.md:48-56) becomes
+    one parallel multi-path scan over the paths that exist."""
+    for year in (2015, 2017):  # 2016 deliberately missing
+        spark.createDataFrame([("T1", 10.0, year)], SCHEMA) \
+            .write.option("header", True).mode("overwrite") \
+            .csv(str(tmp_path / f"HITTAV{year}.csv"))
+    paths = [str(tmp_path / f"HITTAV{y}.csv") for y in (2015, 2016, 2017)]
+    df = read_csv_glob(spark, paths, schema=SCHEMA)
+    assert {r["year"] for r in df.collect()} == {2015, 2017}
+
+
+def test_csv_glob_all_missing_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_csv_glob(spark, [str(tmp_path / "nope.csv")], schema=SCHEMA)
+
+
+def test_register_views(spark, sf_dir):
+    register_views(spark, sf_dir, "nation", "region")
+    got = spark.sql("""
+        SELECT r.r_name, COUNT(*) AS n FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name""")
+    assert got.count() == 5
+
+
+def test_partitioned_clustered_write(spark, tmp_path, sf_dir):
+    """S11 (5_dbt/READ.md:389-394): day-partition + sort-within-partition
+    clustering; the partition column prunes on re-read."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "part")
+    write_parquet(ev, out, partition_by=["day"],
+                  sort_within_partitions=["user_id"])
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("day") == "2024-01-05")
+    assert one_day.count() > 0
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain()
+    assert "PartitionFilters" in buf.getvalue()
+
+
+def test_sql_model_with_vars(spark):
+    g = ModelGraph(vars={"min_n": 2})
+    g.add_source("src", lambda s, v: s.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int"))
+    g.sql_model("agg", "SELECT k, COUNT(*) AS n FROM src GROUP BY k", ["src"])
+    g.sql_model("big", "SELECT * FROM agg WHERE n >= {min_n}", ["agg"])
+    built = g.run(spark)
+    assert [r["k"] for r in built["big"].collect()] == ["a"]
+
+
+def test_sql_file_model(spark, tmp_path):
+    f = tmp_path / "insights.sql"
+    f.write_text("SELECT COUNT(*) AS n FROM src")
+    g = ModelGraph()
+    g.add_source("src", lambda s, v: s.range(5))
+    g.sql_file_model("insights", str(f), ["src"])
+    assert g.run(spark)["insights"].collect()[0]["n"] == 5
