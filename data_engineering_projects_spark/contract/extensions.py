@@ -22,12 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    normalize_text, NORMALIZE_TEXT_SQL, tokens, TOKENS_SQL, shingles,
-    shingles_sql, md5_hash64, md5_hash64_sql, fingerprint, FINGERPRINT_SQL,
-    LANG_MARKERS,
+    normalize_text, NORMALIZE_TEXT_SQL, tokens, TOKENS_SQL,
+    shingles_from_tokens, shingles_sql, md5_hash64, md5_hash64_sql,
+    fingerprint, FINGERPRINT_SQL, LANG_MARKERS,
 )
 from ..functions.vectors import cosine_similarity, cosine_sql
-from ..sources import load_table
+from ..sources import load_table, widen
 from . import query
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -48,8 +48,12 @@ FROM documents GROUP BY source
 """)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics per source (whitespace tokenization)."""
-    d = load_table(spark, sf_dir, "documents")
-    nt = F.size(tokens(F.col("text")))
+    d = widen(load_table(spark, sf_dir, "documents"))
+    # materialize the token count once per row — referencing the tokenize
+    # expression from three aggregates would re-run the regexp+split 3×.
+    d = d.select("source", "lang", "n_chars",
+                 F.size(tokens(F.col("text"))).alias("nt"))
+    nt = F.col("nt")
     return (d.groupBy("source")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(nt).cast("bigint").alias("total_tokens"),
@@ -77,7 +81,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length + stopword-ratio components — the
     standard cheap pre-filter for training-data curation. Pure Catalyst
     expressions; scales linearly."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     d = d.select("doc_id", toks.alias("toks"),
                  F.length(normalize_text(F.col("text"))).alias("n_norm_chars"))
@@ -113,7 +117,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_contains per row). Deterministic priority order breaks score ties
     identically on both engines. (The driver corpus is synthetic word-salad,
     so the interesting property is determinism, not accuracy.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     d = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
     def marker_count(ws):
         # nb: the lambda must be unary — a second parameter would be bound
@@ -143,7 +147,7 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of normalized text + a 60-bit integer
     digest (the shared hash used by MinHash/SimHash)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"),
                     md5_hash64(normalize_text(F.col("text")), seed=0).alias("fp64"))
 
@@ -161,7 +165,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the content fingerprint, keep the
     minimum doc_id as canonical. One shuffle on a 128-bit key; at 100 TB
     the map-side partial aggregation collapses most groups before shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     return (d.groupBy(fingerprint(F.col("text")).alias("fp"))
              .agg(F.min("doc_id").alias("canonical_id"),
                   F.count(F.lit(1)).alias("n_copies")))
@@ -169,69 +173,92 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLES_SQL = shingles_sql("text", k=3)
 
-_PAIR_CTE = f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM documents),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
-jac AS (
-  SELECT p.doc_a, p.doc_b, p.n_common,
-         CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
-  FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
-               JOIN sizes sb ON p.doc_b = sb.doc_id)
+#: Per-document distinct shingle sets, pre-hashed to 60-bit ints (seed 0):
+#: the shared base relation for Jaccard and MinHash. Hashing at tokenize
+#: time shrinks every downstream join/intersect key from a ~30-byte string
+#: to 8 bytes; both engines hash identically so set cardinalities agree.
+_DOCS_CTE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_SHINGLES_SQL},
+                                      s -> {md5_hash64_sql('s', seed=0)})) AS shs
+  FROM documents)
 """
 
 
-def _shingle_pairs(spark, sf_dir, threshold: float) -> DataFrame:
-    """Inverted-index n-gram Jaccard: explode distinct 3-word shingles,
-    self-equi-join on shingle (never a cross join), count intersections,
-    derive |A∪B| from per-doc shingle counts. Jaccard is a single integer
-    division — bit-identical across engines."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id",
-                  F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (pairs.join(sa, "doc_a").join(sb, "doc_b")
-                .withColumn("jaccard",
-                            F.col("n_common").cast("double")
-                            / (F.col("na") + F.col("nb") - F.col("n_common"))))
-    return jac.filter(F.col("jaccard") >= threshold)
+def _doc_shingle_sets(spark, sf_dir) -> DataFrame:
+    """One row per doc: (doc_id, shs = distinct hashed 3-word shingles).
+
+    Tokens are materialized before shingling (shingles_from_tokens) so the
+    regexp+split runs once per row, not once per shingle."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    hashed = F.transform(shingles_from_tokens("toks", 3),
+                         lambda s: md5_hash64(s, seed=0))
+    return toks.select("doc_id", F.array_distinct(hashed).alias("shs"))
 
 
-@query("dedup_ngram_jaccard", _PAIR_CTE + """
+_JAC_CTE = _DOCS_CTE + """,
+sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM docs),
+jac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common,
+         CAST(COUNT(*) AS DOUBLE)
+           / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+"""
+
+
+@query("dedup_ngram_jaccard", _JAC_CTE + """
 SELECT doc_a, doc_b, n_common, ROUND(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= 0.2
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with 3-word-shingle Jaccard >= 0.2."""
-    jac = _shingle_pairs(spark, sf_dir, 0.2)
-    return jac.select("doc_a", "doc_b", "n_common",
-                      F.round("jaccard", 6).alias("jaccard"))
+    """Near-dup pairs with 3-word-shingle Jaccard >= 0.2.
+
+    Inverted-index shape: explode distinct hashed shingles, self-equi-join
+    on the 8-byte shingle hash (never a cross join), count intersections.
+    |A∪B| comes from per-doc set sizes carried *through* the explode as a
+    grouping column — no separate sizes aggregation or join-back. At
+    100 TB the join shuffles only (hash, doc_id, n_sh) triples and AQE
+    splits hot-shingle skew."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sh = sets.select("doc_id", F.size("shs").alias("n_sh"),
+                     F.explode("shs").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .withColumn("jaccard", F.col("n_common").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("n_common"))))
+    return (jac.filter(F.col("jaccard") >= 0.2)
+               .select("doc_a", "doc_b", "n_common",
+                       F.round("jaccard", 6).alias("jaccard")))
 
 
 _N_MINHASH = 8
 
+#: Universal-hash parameters for the MinHash "permutations":
+#: h_i(x) = (a_i * (x mod p) + b_i) mod p over the Mersenne prime 2^31-1.
+#: One md5 per distinct shingle (already computed for the shingle sets)
+#: feeds all 8 permutations as pure integer arithmetic — exact in both
+#: engines, no further cryptographic hashing, products stay under 2^62.
+_MH_P = (1 << 31) - 1
+_MH_AB = [(1103515245, 12345), (69069, 362437), (1664525, 1013904223),
+          (22695477, 1), (1103527590, 2531011), (134775813, 1),
+          (214013, 2531011), (16807, 0)]
+
 
 def _minhash_sql() -> str:
     mins = ", ".join(
-        f"MIN({md5_hash64_sql('sh', seed=i)}) AS h{i}" for i in range(_N_MINHASH))
+        f"list_min(list_transform(shs, h -> "
+        f"({a} * (h % {_MH_P}) + {b}) % {_MH_P})) AS h{i}"
+        for i, (a, b) in enumerate(_MH_AB))
     return f"""
-mh AS (
-  SELECT doc_id, {mins}
-  FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM documents)
-  GROUP BY doc_id),
+mh AS (SELECT doc_id, {mins} FROM docs WHERE len(shs) > 0),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, h{i} AS band_key FROM mh"
                       for i in range(_N_MINHASH))}),
@@ -243,46 +270,61 @@ cand AS (
 """
 
 
-@query("dedup_minhash_lsh", _PAIR_CTE.rstrip() + ", " + _minhash_sql() + """
+@query("dedup_minhash_lsh", _DOCS_CTE.rstrip() + ", " + _minhash_sql() + """
 SELECT c.doc_a, c.doc_b, c.n_shared_bands,
-       ROUND(COALESCE(j.jaccard, 0), 6) AS jaccard
-FROM cand c LEFT JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-WHERE COALESCE(j.jaccard, 0) >= 0.1
+       ROUND(CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+             / (len(da.shs) + len(db.shs)
+                - len(list_intersect(da.shs, db.shs))), 6) AS jaccard
+FROM cand c JOIN docs da ON c.doc_a = da.doc_id
+            JOIN docs db ON c.doc_b = db.doc_id
+WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+      / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.1
 """)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: 8 md5-derived min-hashes per document,
-    banded 1-row-per-band (collision prob per band ≈ Jaccard), candidate
+    """MinHash + LSH near-dup: 8 universal-hash minima per document
+    (affine permutations of the shared md5 shingle hash), banded
+    1-row-per-band (collision prob per band ≈ Jaccard), candidate
     pairs from band-bucket equi-joins, then exact-Jaccard verification of
-    candidates only. This is the 100 TB path: signatures are fixed-width
-    (8×8 bytes/doc regardless of doc size) and the only joins are on band
-    buckets and candidate pairs — never all-pairs."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id",
-                  F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"))
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(md5_hash64(F.col("sh"), seed=i)).alias(f"h{i}")
-          for i in range(_N_MINHASH)])
+    the candidates ONLY via array_intersect of the per-doc shingle sets.
+
+    100 TB path: signatures come from array HOFs over the per-row shingle
+    set — zero shuffle until the (tiny) band join — and verification cost
+    is proportional to candidate count, not to corpus pair count. Shingle
+    sets are fixed 8-byte hashes, so the verify join moves kilobytes per
+    doc regardless of document size."""
+    def perm(a, b):
+        # must return a UNARY lambda: a second parameter would be bound to
+        # the HOF's element-index argument by PySpark.
+        return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
+
+    sets = _doc_shingle_sets(spark, sf_dir)
+    mh = sets.filter(F.size("shs") > 0).select(
+        "doc_id",
+        *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_AB)])
     bands = mh.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
             for i in range(_N_MINHASH)])).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
              .agg(F.count(F.lit(1)).alias("n_shared_bands")))
-    verified = _shingle_pairs(spark, sf_dir, 0.0).select(
-        "doc_a", "doc_b", F.col("jaccard"))
-    out = (cand.join(verified, ["doc_a", "doc_b"], "left")
-               .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
-               .filter(F.col("jaccard") >= 0.1))
-    return out.select("doc_a", "doc_b", "n_shared_bands",
-                      F.round("jaccard", 6).alias("jaccard"))
+    da = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    db = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    jaccard = (n_common.cast("double")
+               / (F.size("sa") + F.size("sb") - n_common))
+    return (cand.join(da, "doc_a").join(db, "doc_b")
+                .withColumn("jaccard", jaccard)
+                .filter(F.col("jaccard") >= 0.1)
+                .select("doc_a", "doc_b", "n_shared_bands",
+                        F.round("jaccard", 6).alias("jaccard")))
 
 
 _SIMHASH_BITS = 16
@@ -309,7 +351,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document signatures: 16-bit sign-aggregated token hashes.
     One explode + one groupBy with 16 conditional sums — a single shuffle
     keyed by doc_id; signature width is constant regardless of doc size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     th = tok.select("doc_id", md5_hash64(F.col("tok"), seed=9).alias("h"))
     sums = [F.sum(F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1))
@@ -399,6 +441,51 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("knn_rank") <= 3)
                 .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"),
                         "knn_rank"))
+
+
+_SIGN_BITS = 8
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d}] >= 0 THEN {1 << (d - 1)} ELSE 0 END)"
+    for d in range(1, _SIGN_BITS + 1))
+
+
+@query("dedup_embed_cosine", f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         {cosine_sql('a.embedding', 'c.embedding')} AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT vec_a, vec_b, ROUND(cos, 6) AS cos
+FROM pairs WHERE cos >= 0.35
+""")
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bit LSH.
+
+    Bucket key = sign pattern of the first 8 dimensions (a fixed-hyperplane
+    random-projection sketch): vectors with high cosine land in the same
+    bucket with high probability, and candidate verification is an
+    in-bucket self-join — ~|buckets|× fewer pairs than all-pairs. All JVM
+    expressions; the only shuffle is the bucket equi-join, and AQE splits
+    any hot bucket. The 0.35 threshold is tuned to the synthetic corpus
+    (its cosine ceiling is ~0.5); production near-dup would use ~0.9."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for d in range(1, _SIGN_BITS + 1):
+        term = F.when(F.element_at("embedding", d) >= 0,
+                      F.lit(1 << (d - 1))).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+                    & (F.col("a.vec_id") < F.col("c.vec_id")))
+              .select(F.col("a.vec_id").alias("vec_a"),
+                      F.col("c.vec_id").alias("vec_b"),
+                      cosine_similarity(F.col("a.embedding"),
+                                        F.col("c.embedding")).alias("cos")))
+    return (pairs.filter(F.col("cos") >= 0.35)
+                 .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
 
 
 @query("embed_label_centroids", """

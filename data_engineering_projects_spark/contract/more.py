@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_range, CLEAN_RANGE_SQL
 from ..functions.temporal import time_bucket, TIME_BUCKET_SQL
-from ..sources import load_table
+from ..sources import load_table, widen
 from . import query
 
 EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
@@ -97,6 +97,6 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered without an oracle: the kernel is procedural Python by
     design, so the driver applies its rows-only check."""
     from ..multimodal import attach_fake_media, decode_images, fake_image_decoder
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     media = attach_fake_media(docs, "doc_id", "text")
     return decode_images(media, decoder=fake_image_decoder)

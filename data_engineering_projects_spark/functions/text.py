@@ -34,14 +34,30 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+def shingles_from_tokens(toks, k: int = 3) -> Column:
+    """k-word shingles from an already-materialized token-array column.
+
+    Callers should ``select(tokens(...).alias('toks'))`` first and shingle
+    from the named column: inlining the tokenize expression here would make
+    Catalyst re-run the regexp+split once per shingle element instead of
+    once per row (measured ~10× slower on the documents table)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks) - F.lit(k - 1)
+    sh = F.transform(F.sequence(F.lit(1), n),
+                     lambda i: F.array_join(F.slice(toks, i, k), " "))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB range is empty):
+    # guard the <k-token case explicitly.
+    return F.when(F.size(toks) >= k, sh).otherwise(
+        F.array().cast("array<string>"))
+
+
 def shingles(col, k: int = 3) -> Column:
     """k-word shingles (n-grams) as an array<string>, for Jaccard/MinHash
-    dedup. Empty array when the document has fewer than k tokens."""
-    t = tokens(col)
-    return F.expr(
-        f"transform(sequence(1, greatest(size({_sql(t)}) - {k} + 1, 0)),"
-        f" i -> array_join(slice({_sql(t)}, i, {k}), ' '))"
-    )
+    dedup. Empty array when the document has fewer than k tokens.
+
+    NOTE: computes tokens inline — fine for one-shot use, but hot paths
+    must materialize tokens first and use :func:`shingles_from_tokens`."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def shingles_sql(text_expr: str, k: int = 3) -> str:

@@ -46,6 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan before CPU-heavy per-row derivations.
+
+    Spark splits parquet scans by BYTES (spark.sql.files.maxPartitionBytes),
+    which under-parallelizes compute-bound stages: a few-MB documents file
+    arrives as 1 partition, so tokenize/shingle/hash would run on one core.
+    A round-robin repartition costs one small shuffle of the raw rows and
+    buys full-cluster parallelism for everything downstream. No-op when the
+    scan is already at least as wide as the target — at 100 TB inputs are
+    thousands of splits and this never fires.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or STAR_TABLES)}
 
