@@ -406,6 +406,33 @@ def embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "knn_rank"))
 
 
+@query("embed_knn_blas", f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS} AS sim
+  FROM q JOIN c ON q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         RANK() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
+  FROM sims)
+WHERE knn_rank <= 5
+""")
+def embed_knn_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS physical strategy for the same logical top-k as
+    ``embed_knn_brute`` — Arrow-batched mapInPandas, one numpy GEMM per
+    corpus batch, per-batch rank-with-ties<=k partial top-k, final exact
+    rank over the surviving candidates (operators.similarity). Checked
+    against the identical SQL oracle as the HOF path: two independent
+    implementations must agree to the hash."""
+    from ..operators.similarity import cosine_topk_blas
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_blas(q, e, k=5)
+
+
 @query("embed_knn_ivf", f"""
 WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -1,0 +1,203 @@
+"""Similarity-search operators over ``array<float>`` embedding columns.
+
+Two physical strategies for the same logical top-k-by-cosine operator:
+
+1. **HOF path** (``contract.extensions.embed_knn_brute``): zip_with /
+   aggregate expressions — zero Python, best when the candidate set is
+   already small (post-LSH / post-IVF).
+2. **BLAS path** (:func:`cosine_topk_blas`): Arrow-batched ``mapInPandas``
+   where each executor batch does one numpy matmul against the broadcast
+   query matrix and emits only its local top-k — the 100 TB shape: per-
+   partition partial top-k (a few KB per batch) flows into one final
+   window, so shuffle volume is O(batches × queries × k), independent of
+   corpus size.
+
+IVF (inverted-file) indexing: :func:`ivf_train` learns cell centroids with
+distributed Lloyd iterations (groupBy avg — no driver-side vectors except
+the k centroids themselves), :func:`ivf_assign` tags every corpus vector
+with its nearest cell, and a search restricted to the query's cell is the
+``embed_knn_ivf`` contract query shape.
+
+Reference note: the reference repo has no vector search at all (SURVEY.md
+§2 — absence); this module is part of the training-data-pipeline
+extension surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StructField, StructType,
+)
+
+from ..functions.vectors import cosine_similarity
+from ..sources import widen
+
+TOPK_SCHEMA = StructType([
+    StructField("query_id", LongType()),
+    StructField("neighbor_id", LongType()),
+    StructField("sim", DoubleType()),
+])
+
+
+def cosine_topk_hof(queries: DataFrame, corpus: DataFrame, k: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k, pure Catalyst expressions.
+
+    ``queries`` is broadcast; ties on the 9-decimal-rounded similarity are
+    broken by neighbor id so results are deterministic across engines and
+    partitionings. RANK semantics: ties at the k-th place are all kept.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_emb"))
+    sims = (F.broadcast(q).crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+                    .alias("sim")))
+    return _final_topk(sims, k)
+
+
+def cosine_topk_blas(queries: DataFrame, corpus: DataFrame, k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k via per-batch numpy matmul.
+
+    The (small) query set is collected once, L2-normalized, and broadcast
+    to executors; each Arrow batch of the corpus becomes one
+    ``C_norm @ Q_norm.T`` GEMM, and only rows that can reach the final
+    top-k (per-batch rank-with-ties <= k on the rounded similarity)
+    leave the batch. The final exact rank runs over those candidates.
+    """
+    import numpy as np
+
+    rows = queries.select(F.col(id_col).alias("qid"),
+                          F.col(vec_col).alias("emb")).collect()
+    qids = np.array([r["qid"] for r in rows], dtype=np.int64)
+    qmat = np.array([r["emb"] for r in rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = np.nan  # cosine undefined for zero vectors
+    qn = qmat / qnorm
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qn))
+
+    def fn(batches):
+        import pandas as pd
+        b_qids, b_qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["emb"]), dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+            cnorm[cnorm == 0] = np.nan
+            sims = (cmat / cnorm) @ b_qn.T          # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(b_qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_ids, cand = ids[mask], col[mask]
+                rounded = np.round(cand, 9)
+                if len(cand) > k:
+                    # keep rank-with-ties <= k: everything >= the k-th
+                    # largest rounded sim (duplicates counted) can still
+                    # place in the global top-k; nothing below it can.
+                    t = np.partition(rounded, -k)[-k]
+                    keep = rounded >= t
+                    cand_ids, cand = cand_ids[keep], cand[keep]
+                out_q.append(np.full(len(cand), qid, dtype=np.int64))
+                out_n.append(cand_ids)
+                out_s.append(cand)
+            yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                "neighbor_id": np.concatenate(out_n),
+                                "sim": np.concatenate(out_s)})
+
+    c = widen(corpus).select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("emb"))
+    partial = c.mapInPandas(fn, TOPK_SCHEMA)
+    return _final_topk(partial, k)
+
+
+def _final_topk(sims: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), "neighbor_id")
+    return (sims.withColumn("knn_rank", F.rank().over(w))
+                .filter(F.col("knn_rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.round("sim", 6).alias("sim"), "knn_rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF: train / assign / search
+# ---------------------------------------------------------------------------
+
+def ivf_train(corpus: DataFrame, n_cells: int, n_iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Learn ``n_cells`` centroids with distributed Lloyd iterations.
+
+    Deterministic init: the vectors with the ``n_cells`` smallest ids.
+    Each iteration assigns every vector to its nearest centroid (broadcast
+    nested-loop over the tiny centroid set) and recomputes centroids as
+    per-cell dimension means via posexplode + groupBy — all shuffles are
+    keyed by (cell, dim); no vector data ever sits on the driver.
+    Returns (cell int, centroid array<double>).
+    """
+    wn = Window.orderBy(id_col)
+    centroids = (corpus.orderBy(id_col).limit(n_cells)
+                 .select((F.row_number().over(wn) - 1).cast("int").alias("cell"),
+                         F.col(vec_col).cast("array<double>").alias("centroid")))
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        centroids = (assigned
+                     .select("cell", F.posexplode(vec_col).alias("dim", "val"))
+                     .groupBy("cell", "dim")
+                     .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                     .groupBy("cell")
+                     .agg(F.array_sort(
+                         F.collect_list(F.struct("dim", "m"))).alias("dm"))
+                     .select("cell", F.transform("dm", lambda s: s["m"])
+                             .alias("centroid")))
+    return centroids
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Tag each vector with its nearest centroid's cell id (max cosine,
+    ties to the lowest cell id). Broadcast NLJ against the centroid set
+    then a per-vector rank — the shuffle is keyed by the corpus row, so
+    this scales linearly in corpus size."""
+    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc(F.round(sim, 9)), "cell")
+    return (corpus.crossJoin(F.broadcast(centroids))
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") == 1)
+            .drop("cell_rank", "centroid"))
+
+
+def ivf_search(queries: DataFrame, assigned_corpus: DataFrame,
+               centroids: DataFrame, k: int, nprobe: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN search restricted to each query's ``nprobe`` nearest cells.
+
+    Probing multiple cells trades recall for cost exactly like FAISS IVF;
+    the per-cell equi-join replaces the all-pairs cross join, so work
+    scales with corpus/n_cells × nprobe."""
+    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc(F.round(sim, 9)), "cell")
+    probes = (queries.crossJoin(F.broadcast(centroids))
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= nprobe)
+              .select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("q_emb"), "cell"))
+    c = assigned_corpus.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("c_emb"), "cell")
+    sims = (c.join(F.broadcast(probes), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+                    .alias("sim")))
+    return _final_topk(sims, k)
