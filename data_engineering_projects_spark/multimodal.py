@@ -93,6 +93,8 @@ def decode_images(media: DataFrame,
     the idiomatic shape for opaque-binary kernels (codecs are not
     vectorizable anyway); Arrow only pays for transfer once per batch.
     """
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
     decoder = decoder or real_image_decoder
     if batch_partitions:
         media = media.repartition(batch_partitions)
@@ -111,11 +113,108 @@ def decode_images(media: DataFrame,
     return media.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("content", BinaryType()),
+])
+
+
+def fake_image_resizer(content: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real resampler: stride-samples the
+    byte stream down to w*h bytes (repeating cyclically when upscaling)."""
+    if not content:
+        return b""
+    n = max(w * h, 1)
+    return bytes(content[(i * len(content)) // n] for i in range(n))
+
+
+def resize_images(media: DataFrame, w: int, h: int,
+                  resizer=None) -> DataFrame:
+    """Resize kernel over ``mapInPandas`` — same plumbing contract as
+    :func:`decode_images` but binary-in/binary-out, the shape used by
+    thumbnailing / normalization stages ahead of feature extraction.
+    Output rows carry the new dimensions + resized bytes only; the
+    original binary column never outlives the batch."""
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
+    resizer = resizer or fake_image_resizer
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": w, "height": h,
+                "content": [resizer(bytes(c), w, h) for c in pdf["content"]],
+            })
+
+    return media.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_samples", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossing_rate", DoubleType()),
+])
+
+
+def fake_audio_decoder(content: bytes) -> tuple[int, float, float]:
+    """Deterministic stand-in for a waveform decoder: interprets bytes as
+    centered int8 samples and derives (n_samples, rms, zero-crossing
+    rate) — the canonical cheap audio-quality features."""
+    if not content:
+        return 0, 0.0, 0.0
+    samples = [b - 128 for b in content]
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    zc = sum(1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0))
+    zcr = zc / max(len(samples) - 1, 1)
+    return len(samples), rms, zcr
+
+
+def real_audio_decoder(content: bytes):  # pragma: no cover - needs librosa
+    """Production decoder slot. Requires an audio codec library that is
+    not installed in this container."""
+    try:
+        import librosa  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real audio decode requires librosa/soundfile; use "
+            "fake_audio_decoder for plumbing tests or install a codec at "
+            "deploy time") from e
+
+
+def audio_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Audio feature extraction via Arrow-batched ``mapInPandas`` —
+    identical plumbing to :func:`decode_images` with an audio-typed
+    output schema."""
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
+    decoder = decoder or real_audio_decoder
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            feats = [decoder(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_samples": [f[0] for f in feats],
+                "rms": [f[1] for f in feats],
+                "zero_crossing_rate": [f[2] for f in feats],
+            })
+
+    return media.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
     """Video-frame-sampling stand-in: emits one row per sampled "frame"
     offset with a byte-derived fingerprint — demonstrates the 1→N
     ``mapInPandas`` shape (explode-like output schema) used by real frame
     samplers."""
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
     schema = StructType([
         StructField("media_id", LongType()),
         StructField("frame_no", IntegerType()),

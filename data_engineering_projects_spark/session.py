@@ -34,6 +34,37 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor python workers via ``addPyFile``.
+
+    Closures passed to ``mapInPandas``/``applyInPandas`` may reference
+    module-level functions (e.g. decoder kernels), which cloudpickle
+    serializes BY REFERENCE — the worker must be able to import the
+    package. That holds only by accident when the driver's cwd is the
+    repo root; shipping a zip makes it hold everywhere (spark-submit from
+    any directory, notebook drivers, the external test driver). Runs once
+    per SparkContext; the zip is a few tens of KB.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_depa_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="depa_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._depa_pkg_shipped = True
+
+
 def get_session(app_name: str = "data_engineering_projects_spark",
                 master: str | None = None,
                 shuffle_partitions: int | None = None) -> SparkSession:

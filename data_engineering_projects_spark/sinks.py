@@ -36,6 +36,23 @@ def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).saveAsTable(table)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, mode: str = "overwrite") -> None:
+    """Bucketed table write: pre-shuffles rows into ``n_buckets`` by the
+    join/agg key so downstream equi-joins and aggregations between
+    co-bucketed tables are exchange-free (the plan shows SortMergeJoin
+    with no Exchange below it).
+
+    This is the 100 TB co-location strategy for repeatedly-joined fact
+    tables: pay the shuffle once at write time, never at query time.
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog).
+    """
+    (df.write.mode(mode)
+       .bucketBy(n_buckets, *bucket_cols)
+       .sortBy(*bucket_cols)
+       .saveAsTable(table))
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                num_partitions: int = 8, **options: str) -> None:
     """S6/S7: JDBC sink. ``mode='append'`` mirrors ``if_exists='append'``

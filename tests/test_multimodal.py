@@ -52,3 +52,39 @@ def test_real_decoder_is_gated(media):
         decode_images(media, decoder=real_image_decoder).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_resize_images_deterministic(media):
+    from data_engineering_projects_spark.multimodal import (
+        fake_image_resizer, resize_images,
+    )
+    out = resize_images(media, 8, 4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    sample = media.filter(F.col("media_id") == min(rows)).first()
+    want = fake_image_resizer(bytes(sample["content"]), 8, 4)
+    got = rows[sample["media_id"]]
+    assert (got["width"], got["height"]) == (8, 4)
+    assert bytes(got["content"]) == want and len(want) == 32
+
+
+def test_audio_features_deterministic(media):
+    from data_engineering_projects_spark.multimodal import (
+        audio_features, fake_audio_decoder,
+    )
+    out = audio_features(media, decoder=fake_audio_decoder)
+    rows = {r["media_id"]: r for r in out.collect()}
+    sample = media.filter(F.col("media_id") == min(rows)).first()
+    n, rms, zcr = fake_audio_decoder(bytes(sample["content"]))
+    got = rows[sample["media_id"]]
+    assert got["n_samples"] == n == 64
+    assert got["rms"] == pytest.approx(rms)
+    assert got["zero_crossing_rate"] == pytest.approx(zcr)
+    assert 0.0 <= got["zero_crossing_rate"] <= 1.0
+
+
+def test_real_audio_decoder_is_gated(media):
+    from data_engineering_projects_spark.multimodal import audio_features
+    with pytest.raises(Exception) as ei:
+        audio_features(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)

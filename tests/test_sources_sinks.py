@@ -82,3 +82,40 @@ def test_sql_file_model(spark, tmp_path):
     g.add_source("src", lambda s, v: s.range(5))
     g.sql_file_model("insights", str(f), ["src"])
     assert g.run(spark)["insights"].collect()[0]["n"] == 5
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """S11/scale: two tables co-bucketed on the join key must join with
+    zero Exchange nodes — the pay-shuffle-once-at-write-time strategy."""
+    import contextlib
+    import io
+
+    from data_engineering_projects_spark.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").limit(5000)
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "b_orders", ["o_custkey"], n_buckets=8)
+    write_bucketed(cust, "b_customer", ["c_custkey"], n_buckets=8)
+    try:
+        j = (spark.table("b_orders")
+             .join(spark.table("b_customer"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment").count())
+        # AQE defers exchange planning; assert on the non-adaptive plan
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
