@@ -139,6 +139,41 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
+#: BPE-ish subword tokenization: letter runs, digit runs, and punctuation
+#: runs each count as one token — the pre-merge alphabet of byte-pair
+#: tokenizers. Both regex engines (Java / RE2) agree on this pattern.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query("text_tokens_bpe", f"""
+WITH t AS (
+  SELECT doc_id,
+         len({TOKENS_SQL.format(c='text')}) AS ws_tokens,
+         len(regexp_extract_all({NORMALIZE_TEXT_SQL.format(c='text')},
+                                '{_BPE_RE}')) AS bpe_tokens
+  FROM documents)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       ROUND(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6) AS fertility
+FROM t WHERE ws_tokens > 0
+""")
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: subword-alphabet token count per doc next
+    to the whitespace count, plus fertility (subwords per word) — the
+    standard cost estimate for LLM training data. Pure regexp_extract_all
+    in both engines; linear scan, no shuffle."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    norm = normalize_text(F.col("text"))
+    d = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(_BPE_RE), F.lit(0)))
+         .alias("bpe_tokens"))
+    return (d.filter(F.col("ws_tokens") > 0)
+             .select("doc_id", "ws_tokens", "bpe_tokens",
+                     F.round(F.col("bpe_tokens").cast("double")
+                             / F.col("ws_tokens"), 6).alias("fertility")))
+
+
 @query("text_fingerprint", f"""
 SELECT doc_id, {FINGERPRINT_SQL.format(c='text')} AS fp,
        {md5_hash64_sql(NORMALIZE_TEXT_SQL.format(c='text'), seed=0)} AS fp64

@@ -7,3 +7,4 @@ from .setops import union_by_name  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk_hof, cosine_topk_blas, ivf_train, ivf_assign, ivf_search,
 )
+from .skew import salted_join, salted_agg  # noqa: F401

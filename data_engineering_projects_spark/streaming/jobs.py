@@ -46,6 +46,23 @@ def hourly_rollup_stream(events: DataFrame,
                     "user_id", "avg_value", "min_value", "max_value", "n_events"))
 
 
+def dedup_stream(docs: DataFrame, ts_col: str = "ts",
+                 fp_col: str = "fp", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content
+    fingerprint, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark``) — the incremental counterpart of
+    the batch ``dedup_exact`` contract query.
+
+    Two rows with the same fingerprint arriving within the watermark
+    interval dedup exactly; beyond it the old state has been reclaimed
+    (the standard recall/state-size trade for unbounded streams). At
+    100 TB/day the state store holds only (fingerprint, timestamp) pairs
+    partitioned across executors.
+    """
+    return (docs.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark([fp_col]))
+
+
 _SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),

@@ -80,3 +80,32 @@ def test_sessionize_stream(spark, tmp_path):
     assert rows[1]["session_end"] - rows[1]["session_start"] == \
         __import__("datetime").timedelta(minutes=10)
     assert rows[2]["n_events"] == 1
+
+
+def test_dedup_stream_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark collapse to
+    the first arrival; distinct fingerprints all survive."""
+    from data_engineering_projects_spark.streaming.jobs import dedup_stream
+
+    src = tmp_path / "dedup_in"
+    rows = [
+        ("2024-01-01 00:00:00", "fp_a", 1),
+        ("2024-01-01 00:05:00", "fp_a", 2),   # dup of fp_a within watermark
+        ("2024-01-01 00:10:00", "fp_b", 3),
+        ("2024-01-01 00:12:00", "fp_b", 4),   # dup of fp_b
+        ("2024-01-01 00:20:00", "fp_c", 5),
+    ]
+    (spark.createDataFrame(rows, "ts string, fp string, doc_id int")
+        .select(F.to_timestamp("ts").alias("ts"), "fp", "doc_id")
+        .write.mode("overwrite").parquet(str(src)))
+    stream = spark.readStream.schema("ts timestamp, fp string, doc_id int") \
+        .parquet(str(src))
+    out = tmp_path / "dedup_out"
+    q = (dedup_stream(stream).writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).collect()
+    assert len(got) == 3
+    assert {r["fp"] for r in got} == {"fp_a", "fp_b", "fp_c"}
