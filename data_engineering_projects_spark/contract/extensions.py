@@ -257,7 +257,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping column — no separate sizes aggregation or join-back. At
     100 TB the join shuffles only (hash, doc_id, n_sh) triples and AQE
     splits hot-shingle skew."""
-    sets = _doc_shingle_sets(spark, sf_dir)
+    # persist: both self-join sides read this relation; one in-memory
+    # materialization replaces two full recomputes of the tokenize/shingle
+    # pipeline (CacheManager keys on the plan, so repeated invocations of
+    # the query share the entry). Columnar cache of 8-byte hash arrays —
+    # bounded bytes/doc at any corpus size.
+    sets = _doc_shingle_sets(spark, sf_dir).persist()
     sh = sets.select("doc_id", F.size("shs").alias("n_sh"),
                      F.explode("shs").alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -332,7 +337,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the HOF's element-index argument by PySpark.
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
-    sets = _doc_shingle_sets(spark, sf_dir)
+    # persist: read 3x (signatures + both verify sides) — see
+    # dedup_ngram_jaccard for the materialization rationale.
+    sets = _doc_shingle_sets(spark, sf_dir).persist()
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
