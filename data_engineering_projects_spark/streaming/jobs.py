@@ -46,6 +46,39 @@ def hourly_rollup_stream(events: DataFrame,
                     "user_id", "avg_value", "min_value", "max_value", "n_events"))
 
 
+def quality_gated_sink(stream: DataFrame, checks, path: str,
+                       checkpoint: str, quarantine_path: str | None = None):
+    """Write a stream through the dbt-test-analog quality gate
+    (``quality.run_checks``) per micro-batch via ``foreachBatch``: ERROR
+    violations fail the batch (and the query — at-least-once semantics
+    mean the batch retries after the upstream fix, exactly like the
+    reference DAG ordering ``run_data_quality_checks →
+    transform_data_with_dbt``, 5_dbt/READ.md:53-71); WARN violations are
+    logged to ``quarantine_path`` as a violations report but the batch
+    commits.
+
+    Returns the started StreamingQuery.
+    """
+    from ..quality import Severity, run_checks
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # run_checks raises QualityError on ERROR-severity failures,
+        # which fails this batch and stops the query (dbt gate semantics)
+        results = run_checks(batch_df, checks)
+        warns = [r for r in results
+                 if not r.passed and r.severity == Severity.WARN]
+        if quarantine_path and warns:
+            spark = batch_df.sparkSession
+            (spark.createDataFrame(
+                [(batch_id, r.name, r.violations) for r in warns],
+                "batch_id long, check string, n_violations long")
+             .write.mode("append").parquet(quarantine_path))
+        batch_df.write.mode("append").parquet(path)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def dedup_stream(docs: DataFrame, ts_col: str = "ts",
                  fp_col: str = "fp", watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: keep the first arrival of each content

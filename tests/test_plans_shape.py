@@ -83,3 +83,31 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         assert "*(1)" in p and "*(2)" in p, p
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dedup_queries_never_cartesian(spark, sf_dir):
+    """Every dedup operator must candidate-generate via equi-joins
+    (inverted index / band buckets / sign buckets) — an O(n²) cross join
+    would be fatal at corpus scale. embed_knn_brute is the deliberate
+    exception (tiny broadcast query side)."""
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh",
+                 "dedup_embed_cosine", "dedup_exact", "dedup_simhash"]:
+        p = plan(contract.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_knn_brute_broadcasts_query_side(spark, sf_dir):
+    p = plan(contract.QUERIES["embed_knn_brute"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_sessionize_single_shuffle_key(spark, sf_dir):
+    """Both windows AND the final rollup share the user_id partitioning:
+    the whole plan has exactly one Exchange (hashpartitioning(user_id)
+    satisfies the (user_id, session_no) grouping requirement too)."""
+    import re
+    p = plan(contract.QUERIES["events_sessionize"](spark, sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_exchanges == 1, p
+    assert "hashpartitioning(user_id" in p, p

@@ -109,3 +109,42 @@ def test_dedup_stream_first_arrival_wins(spark, tmp_path):
     got = spark.read.parquet(str(out)).collect()
     assert len(got) == 3
     assert {r["fp"] for r in got} == {"fp_a", "fp_b", "fp_c"}
+
+
+def test_quality_gated_sink_warn_commits_error_fails(spark, tmp_path):
+    """foreachBatch quality gate: WARN violations quarantine + commit;
+    ERROR violations fail the query (dbt gate ordering semantics)."""
+    from data_engineering_projects_spark.quality import (
+        Severity, accepted_range, not_null,
+    )
+    from data_engineering_projects_spark.streaming.jobs import quality_gated_sink
+
+    src = tmp_path / "qg_in"
+    rows = [(1, 50.0), (2, 300.0), (3, 80.0)]  # 300 out of [0,120] range
+    spark.createDataFrame(rows, "id long, speed double") \
+        .write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("id long, speed double").parquet(str(src))
+
+    out, quar = tmp_path / "qg_out", tmp_path / "qg_quar"
+    q = quality_gated_sink(
+        stream,
+        [not_null("id"), accepted_range("speed", 0, 120, Severity.WARN)],
+        str(out), str(tmp_path / "qg_ck"), quarantine_path=str(quar))
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(str(out)).count() == 3      # warn commits
+    rep = spark.read.parquet(str(quar)).collect()
+    assert len(rep) == 1 and rep[0]["n_violations"] == 1
+
+    # ERROR severity: batch must fail and nothing commits
+    stream2 = spark.readStream.schema("id long, speed double").parquet(str(src))
+    out2 = tmp_path / "qg_out2"
+    q2 = quality_gated_sink(
+        stream2, [accepted_range("speed", 0, 120, Severity.ERROR)],
+        str(out2), str(tmp_path / "qg_ck2"))
+    with pytest.raises(Exception) as ei:
+        q2.processAllAvailable()
+    q2.stop()
+    assert "quality" in str(ei.value).lower() or "QualityError" in str(ei.value)
+    import os
+    assert not os.path.exists(str(out2)) or \
+        spark.read.parquet(str(out2)).count() == 0
