@@ -61,6 +61,76 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.lit(1_000_000)).cast("long").alias("duration_sec")))
 
 
+@query("events_props_json", f"""
+WITH ev AS ({EV})
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM ev GROUP BY event_type
+""")
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing: extract a JSON path from the ``props``
+    string column and aggregate it — the schema-on-read pattern for event
+    streams carrying loose payloads. ``get_json_object`` is a Catalyst
+    expression (codegen'd Jackson parse per row, no Python); at 100 TB
+    prefer materializing hot paths once via ``from_json`` with a declared
+    schema rather than re-parsing per reference."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(k).cast("bigint").alias("sum_k"),
+                   F.min(k).cast("bigint").alias("min_k"),
+                   F.max(k).cast("bigint").alias("max_k")))
+
+
+@query("events_type_normalize", f"""
+WITH ev AS ({EV})
+SELECT CASE WHEN LOWER(event_type) LIKE '%click%' THEN 'Interaction'
+            WHEN LOWER(event_type) LIKE '%view%' THEN 'Interaction'
+            WHEN LOWER(event_type) LIKE '%error%' THEN 'Fault'
+            ELSE UPPER(SUBSTR(event_type, 1, 1)) || LOWER(SUBSTR(event_type, 2))
+       END AS category,
+       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM ev GROUP BY 1
+""")
+def events_type_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: LOWER/LIKE standardization with INITCAP fallback — the dbt
+    incident-type normalization shape (5_dbt/READ.md:252-257) as an
+    oracle-checked query."""
+    ev = load_table(spark, sf_dir, "events")
+    lt = F.lower("event_type")
+    cat = (F.when(lt.like("%click%") | lt.like("%view%"), "Interaction")
+            .when(lt.like("%error%"), "Fault")
+            .otherwise(F.initcap("event_type")))
+    return (ev.groupBy(cat.alias("category"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+@query("events_rollup_daily", f"""
+WITH ev AS ({EV})
+SELECT event_type, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 3) AS total_value
+FROM ev
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+""")
+def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP: (type, day), (type), and grand
+    total in one pass — Spark computes all grouping sets in a single
+    shuffle with partial aggregation per set, replacing three separate
+    scans at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.rollup("event_type", F.to_date("ts").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 3).alias("total_value")))
+
+
 @query("orders_asof_window", """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS total_price

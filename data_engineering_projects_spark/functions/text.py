@@ -115,9 +115,3 @@ def lang_scores(col) -> dict[str, Column]:
     return out
 
 
-def _sql(col: Column) -> str:
-    """Render a Column back to its SQL string for use inside F.expr."""
-    from pyspark.sql.classic.column import Column as _C  # Spark 4 layout
-    if isinstance(col, _C):
-        return col._jc.toString()
-    return str(col)
