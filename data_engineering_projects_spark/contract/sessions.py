@@ -61,6 +61,67 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.lit(1_000_000)).cast("long").alias("duration_sec")))
 
 
+@query("orders_with_bigticket_items", """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_extendedprice > 4000)
+GROUP BY o_orderpriority
+""")
+def orders_with_bigticket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery → left_semi join (the TPC-H Q4 shape):
+    orders having at least one big-ticket line item, counted by priority.
+    The semi join keeps the probe side unduplicated (no distinct needed)
+    and the filter pushes into the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_extendedprice") > 4000)
+          .select("l_orderkey"))
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@query("orders_above_customer_avg", """
+WITH stats AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS cust_total,
+         COUNT(*) AS n_cust_orders
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey,
+       ROUND(o.o_totalprice, 2) AS total_price,
+       s.cust_total, s.n_cust_orders
+FROM orders o JOIN stats s ON o.o_custkey = s.o_custkey
+WHERE o.o_totalprice > 1.5 * (s.cust_total / s.n_cust_orders)
+""")
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics ("orders 1.5x above their
+    customer's average") decorrelated into a single-pass window — one
+    shuffle on o_custkey computes the per-customer average AND filters,
+    where the naive agg+self-join plan would scan orders twice and
+    shuffle twice. The oracle SQL expresses the same via the agg+join
+    form — identical results, independently derived.
+
+    Determinism: the customer total is an exact DECIMAL sum (float sum
+    order differs between engines) cast to DOUBLE, emitted unrounded —
+    a rounded *average* would sit on half-boundaries where Spark's
+    exact-BigDecimal ROUND and DuckDB's float-multiply ROUND disagree.
+    The 1.5x filter uses the identical expression tree on both sides, so
+    IEEE arithmetic agrees at thresholds."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    s = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return (o.withColumn("cust_total", s.cast("double"))
+             .withColumn("n_cust_orders", n)
+             .filter(F.col("o_totalprice")
+                     > 1.5 * (F.col("cust_total") / F.col("n_cust_orders")))
+             .select("o_orderkey", "o_custkey",
+                     F.round("o_totalprice", 2).alias("total_price"),
+                     "cust_total", "n_cust_orders"))
+
+
 @query("events_props_json", f"""
 WITH ev AS ({EV})
 SELECT event_type,
