@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): the expression library's Column
+builders must agree with independent pure-Python references on randomized
+inputs — catching convention drift (day-of-week, bucket edges, clamp
+boundaries) that example-based tests can miss.
+
+One Spark job per property run: hypothesis generates a batch of inputs,
+the whole batch goes through one DataFrame evaluation, and rows are
+compared against the python reference element-wise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.functions.cleaning import clean_range
+from data_engineering_projects_spark.functions.temporal import (
+    period_bucket, time_bucket, wday_pandas,
+)
+from data_engineering_projects_spark.functions.text import shingles_from_tokens
+
+
+def _py_period(ts: dt.datetime) -> str | None:
+    """Independent reference for the NPMRDS period bucket
+    (1_AWS/README.md:79-89): pandas convention wday Mon=1..Sun=7, with
+    the reference's preserved quirk that "weekday" is 1<wday<7 (Tue-Sat)
+    and 'we' is the 6-20h complement (Sun+Mon)."""
+    wday = ts.weekday() + 1
+    hour = ts.hour
+    if 1 < wday < 7 and 6 <= hour < 10:
+        return "amp"
+    if 1 < wday < 7 and 10 <= hour < 16:
+        return "mid"
+    if 1 < wday < 7 and 16 <= hour < 20:
+        return "pmp"
+    if 6 <= hour < 20:
+        return "we"
+    return None
+
+
+TS = st.datetimes(min_value=dt.datetime(2000, 1, 1),
+                  max_value=dt.datetime(2030, 12, 31))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TS, min_size=1, max_size=50))
+def test_period_bucket_matches_reference(spark, tss):
+    rows = [(t.replace(microsecond=0),) for t in tss]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [r["p"] for r in
+           df.select(period_bucket(F.col("ts")).alias("p")).collect()]
+    want = [_py_period(t) for (t,) in rows]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TS, min_size=1, max_size=50))
+def test_wday_pandas_convention(spark, tss):
+    rows = [(t.replace(microsecond=0),) for t in tss]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [r["w"] for r in
+           df.select(wday_pandas(F.col("ts")).alias("w")).collect()]
+    want = [t.weekday() + 1 for (t,) in rows]
+    assert got == want  # Mon=1 .. Sun=7, never the SQL Sun=1 convention
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6,
+                                   allow_nan=False)),
+    min_size=1, max_size=50))
+def test_clean_range_clamps_to_null(spark, vals):
+    lo, hi = 0.0, 120.0
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r["c"] for r in
+           df.select(clean_range(F.col("v"), lo, hi).alias("c")).collect()]
+    want = [v if v is not None and lo <= v <= hi else None for v in vals]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=40),
+                min_size=1, max_size=30))
+def test_shingles_count_invariant(spark, texts):
+    """len(shingles) == max(len(tokens) - k + 1, 0) for every input,
+    including the <k-token edge where Spark's descending sequence(1,0)
+    must be guarded to match an empty result."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from data_engineering_projects_spark.functions.text import tokens
+    out = (df.select(tokens(F.col("text")).alias("toks"))
+             .select(F.size("toks").alias("nt"),
+                     F.size(shingles_from_tokens("toks", 3)).alias("ns"))
+             .collect())
+    for r in out:
+        assert r["ns"] == max(r["nt"] - 2, 0), r
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5),
+                min_size=1, max_size=60))
+def test_topk_tie_semantics(spark, vals):
+    """T1 vs T5: limit-k returns exactly min(k, n) rows; rank-k returns
+    every row tied into the top k — rank output is always a superset."""
+    from data_engineering_projects_spark.operators.topk import (
+        topk_limit, topk_rank,
+    )
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v long")
+    k = 3
+    lim = topk_limit(df, k, F.desc("v"), F.asc("id")).collect()
+    rnk = topk_rank(df, k, [F.desc("v")]).collect()
+    assert len(lim) == min(k, len(vals))
+    kth_vals = sorted(vals, reverse=True)[:k]
+    assert len(rnk) == sum(1 for v in vals if v >= kth_vals[-1])
+    assert {r["id"] for r in lim} <= {r["id"] for r in rnk} or \
+        len(rnk) >= len(lim)
+
+
+def test_time_bucket_total_cover(spark):
+    """Every hour 0-23 lands in exactly one dbt time bucket."""
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h),) for h in range(24)], "ts timestamp")
+    out = df.select(time_bucket(F.col("ts")).alias("b")).collect()
+    assert all(r["b"] is not None for r in out)
