@@ -184,7 +184,11 @@ def bq_tti_trend_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("period").isNotNull())
            .withColumn("day", F.to_date("ts"))
            .groupBy("user_id", "day", "period")
-           .agg((F.percentile("value", 0.85) / F.percentile("value", 0.5)).alias("tti")))
+           .agg((F.percentile("value", 0.85) / F.percentile("value", 0.5)).alias("tti"))
+           # read twice (top-10 derivation + semi-join probe): persist the
+           # small aggregated relation instead of re-running the exact-
+           # percentile shuffle over the raw events
+           .persist())
     top10 = topk_limit(tti.groupBy("user_id").agg(F.avg("tti").alias("m")), 10,
                        F.desc(F.round("m", 6)), F.col("user_id")).select("user_id")
     daily = (topk_keys_semijoin(tti, top10, "user_id")

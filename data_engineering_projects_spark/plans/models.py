@@ -36,6 +36,7 @@ from ..quality import Check, CheckResult, run_checks
 class Materialization(str, Enum):
     VIEW = "view"
     TABLE = "table"
+    INCREMENTAL = "incremental"
 
 
 @dataclass
@@ -46,6 +47,7 @@ class Model:
     materialization: Materialization = Materialization.VIEW
     checks: list[Check] = field(default_factory=list)
     partition_by: tuple[str, ...] = ()
+    unique_key: tuple[str, ...] = ()
 
 
 class ModelGraph:
@@ -70,12 +72,14 @@ class ModelGraph:
     def model(self, name: str | None = None, deps: list[str] | None = None,
               materialization: str | Materialization = Materialization.VIEW,
               checks: list[Check] | None = None,
-              partition_by: list[str] | None = None):
+              partition_by: list[str] | None = None,
+              unique_key: list[str] | None = None):
         def deco(fn):
             n = name or fn.__name__
             self._models[n] = Model(
                 n, fn, tuple(deps or ()), Materialization(materialization),
-                list(checks or ()), tuple(partition_by or ()))
+                list(checks or ()), tuple(partition_by or ()),
+                tuple(unique_key or ()))
             return fn
         return deco
 
@@ -142,10 +146,27 @@ class ModelGraph:
             df.createOrReplaceTempView(m.name)
             return df
         path = os.path.join(self.warehouse_dir, m.name)
-        writer = df.write.mode("overwrite")
-        if m.partition_by:
-            writer = writer.partitionBy(*m.partition_by)
-        writer.parquet(path)
+        if m.materialization is Materialization.INCREMENTAL and os.path.exists(path):
+            # dbt 'incremental' analog: keep existing rows, append only
+            # rows whose unique key is new (anti-join against the current
+            # table — the key relation, not full rows, flows through the
+            # join). Without a unique_key, it's a blind append.
+            existing = spark.read.parquet(path)
+            if m.unique_key:
+                new_rows = df.join(
+                    existing.select(*m.unique_key).distinct(),
+                    list(m.unique_key), "left_anti")
+            else:
+                new_rows = df
+            writer = new_rows.write.mode("append")
+            if m.partition_by:
+                writer = writer.partitionBy(*m.partition_by)
+            writer.parquet(path)
+        else:
+            writer = df.write.mode("overwrite")
+            if m.partition_by:
+                writer = writer.partitionBy(*m.partition_by)
+            writer.parquet(path)
         out = spark.read.parquet(path)
         out.createOrReplaceTempView(m.name)
         return out

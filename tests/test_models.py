@@ -61,3 +61,27 @@ def test_check_gate_blocks_downstream(spark):
     with pytest.raises(Q.QualityError):
         g.run(spark)
     assert not ran  # fail-fast: downstream never built (5_dbt/READ.md:71)
+
+
+def test_incremental_materialization(spark, tmp_path):
+    """dbt 'incremental' analog: second run appends only rows whose
+    unique key is new; existing rows survive unchanged."""
+    from data_engineering_projects_spark.plans.models import ModelGraph
+
+    batches = [[(1, "a"), (2, "b")], [(2, "b2"), (3, "c")]]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["id"])
+    def inc_events(spark, vars):
+        return spark.createDataFrame(batches[state["i"]], "id long, v string")
+
+    out1 = g.run(spark)["inc_events"]
+    assert sorted((r["id"], r["v"]) for r in out1.collect()) == [(1, "a"), (2, "b")]
+
+    state["i"] = 1
+    out2 = g.run(spark)["inc_events"]
+    # id=2 already exists -> its new version is NOT applied (append-new-only);
+    # id=3 is new -> appended
+    assert sorted((r["id"], r["v"]) for r in out2.collect()) == \
+        [(1, "a"), (2, "b"), (3, "c")]
