@@ -315,6 +315,21 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("count_order")))
 
 
+@query("star_pricing_p95_approx")  # rows-only: approx sketch has no exact oracle
+def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB opt-in for A1-A3 (SURVEY §4.3): t-digest
+    `approx_percentile` instead of exact `percentile`. Same plan shape,
+    O(accuracy) memory per group instead of buffering every value — the
+    switch to flip when group cardinality stops fitting executor memory.
+    Registered rows-only: the sketch is engine-specific by design, so
+    there is no exact cross-engine oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_percentile("l_extendedprice", 0.95, 10000)
+                    .alias("p95_price_approx"),
+                   F.count(F.lit(1)).alias("n")))
+
+
 @query("star_top_orders_by_revenue", """
 SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
