@@ -433,7 +433,7 @@ def embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no Python, no shuffle); per-query top-k is a rank window partitioned
     by query. Rank orders by ROUND(sim, 9): summation-order ulps can never
     reorder neighbors across engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = widen(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
@@ -470,7 +470,7 @@ def embed_knn_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the identical SQL oracle as the HOF path: two independent
     implementations must agree to the hash."""
     from ..operators.similarity import cosine_topk_blas
-    e = load_table(spark, sf_dir, "embeddings")
+    e = widen(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10)
     return cosine_topk_blas(q, e, k=5)
 
@@ -495,7 +495,7 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks by ~|cells|× versus brute force — the scale path when cells are
     pre-assigned; ``operators.similarity`` holds the centroid-assignment
     variant."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = widen(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("label"),
         F.col("embedding").alias("q_emb"))
@@ -539,7 +539,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions; the only shuffle is the bucket equi-join, and AQE splits
     any hot bucket. The 0.35 threshold is tuned to the synthetic corpus
     (its cosine ceiling is ~0.5); production near-dup would use ~0.9."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = widen(load_table(spark, sf_dir, "embeddings"))
     bucket = None
     for d in range(1, _SIGN_BITS + 1):
         term = F.when(F.element_at("embedding", d) >= 0,
@@ -566,7 +566,7 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids (the IVF training step): posexplode → per-(label,
     dim) mean. One shuffle keyed by (label, dim) — fully parallel across
     dimensions, no driver-side vectors."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = widen(load_table(spark, sf_dir, "embeddings"))
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     return (ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
               .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid")))
