@@ -46,6 +46,50 @@ def hourly_rollup_stream(events: DataFrame,
                     "user_id", "avg_value", "min_value", "max_value", "n_events"))
 
 
+def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Sessionization via the built-in ``session_window`` (dynamic-gap
+    event-time windows) — the declarative counterpart of
+    :func:`sessionize_stream`. Prefer this when per-session aggregates
+    are enough; drop to ``applyInPandasWithState`` only for state shapes
+    session_window can't express (e.g. emitting mid-session updates)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "n_events", "total_value"))
+
+
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
+                       max_delay: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's click within the preceding ``max_delay``. Both sides are
+    watermarked and the join condition bounds event-time distance, so
+    Spark can discard buffered state once the watermark passes — the
+    state-bounding requirement for unbounded stream joins.
+    """
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("value").alias("amount")))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {max_delay}")))
+    return (p.join(c, cond)
+             .select(F.col("p_user").alias("user_id"), "purchase_id",
+                     "purchase_ts", "click_id", "click_ts", "amount"))
+
+
 def quality_gated_sink(stream: DataFrame, checks, path: str,
                        checkpoint: str, quarantine_path: str | None = None):
     """Write a stream through the dbt-test-analog quality gate

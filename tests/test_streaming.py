@@ -148,3 +148,62 @@ def test_quality_gated_sink_warn_commits_error_fails(spark, tmp_path):
     import os
     assert not os.path.exists(str(out2)) or \
         spark.read.parquet(str(out2)).count() == 0
+
+
+def test_session_window_rollup_matches_manual(spark, tmp_path):
+    """Built-in session_window: events <=gap apart merge into one session
+    per user; a gap splits sessions."""
+    from data_engineering_projects_spark.streaming.jobs import (
+        session_window_rollup,
+    )
+    src = tmp_path / "sw_in"
+    rows = [  # user 1: two sessions (09:00-09:10, 11:00); user 2: one
+        ("2024-01-01 09:00:00", 1, 10.0, 1),
+        ("2024-01-01 09:10:00", 1, 20.0, 2),
+        ("2024-01-01 11:00:00", 1, 5.0, 3),
+        ("2024-01-01 09:05:00", 2, 7.0, 4),
+        # sentinel: pushes the watermark past every real session's end so
+        # append mode emits them before the availableNow drain finishes
+        ("2024-01-02 00:00:00", 99, 0.0, 5),
+    ]
+    (spark.createDataFrame(rows, "ts string, user_id long, value double, event_id long")
+        .select(F.to_timestamp("ts").alias("ts"), "user_id", "value", "event_id")
+        .write.mode("overwrite").parquet(str(src)))
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double, event_id long").parquet(str(src))
+    out = tmp_path / "sw_out"
+    q = (session_window_rollup(stream).writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "sw_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"], r["total_value"])
+           for r in spark.read.parquet(str(out)).collect()
+           if r["user_id"] != 99}
+    assert got == {(1, 2, 30.0), (1, 1, 5.0), (2, 1, 7.0)}
+
+
+def test_stream_stream_join_attributes_within_delay(spark, tmp_path):
+    from data_engineering_projects_spark.streaming.jobs import (
+        stream_stream_join,
+    )
+    schema = "ts timestamp, user_id long, event_id long, value double"
+    clicks = [("2024-01-01 09:00:00", 1, 100, 0.0),
+              ("2024-01-01 12:00:00", 2, 101, 0.0)]
+    buys = [("2024-01-01 09:30:00", 1, 200, 9.99),   # within 1h of click 100
+            ("2024-01-01 14:00:00", 2, 201, 5.00)]   # 2h after click 101: out
+    for name, rows in [("c_in", clicks), ("p_in", buys)]:
+        (spark.createDataFrame(rows, "ts string, user_id long, event_id long, value double")
+            .select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id", "value")
+            .write.mode("overwrite").parquet(str(tmp_path / name)))
+    cs = spark.readStream.schema(schema).parquet(str(tmp_path / "c_in"))
+    ps = spark.readStream.schema(schema).parquet(str(tmp_path / "p_in"))
+    out = tmp_path / "j_out"
+    q = (stream_stream_join(cs, ps).writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "j_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [(r["user_id"], r["purchase_id"], r["click_id"])
+           for r in spark.read.parquet(str(out)).collect()]
+    assert got == [(1, 200, 100)]
