@@ -26,6 +26,7 @@ from ..functions.text import (
     shingles_from_tokens, shingles_sql, md5_hash64, md5_hash64_sql,
     fingerprint, FINGERPRINT_SQL, LANG_MARKERS,
 )
+from ..functions.determinism import DEC_AVG_SQL, dec_avg
 from ..functions.vectors import cosine_similarity, cosine_sql
 from ..sources import load_table, widen
 from . import query
@@ -557,16 +558,21 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
 
 
-@query("embed_label_centroids", """
-SELECT label, dim, ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 6) AS centroid
+@query("embed_label_centroids", f"""
+SELECT label, dim,
+       ROUND({DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)}, 6) AS centroid
 FROM embeddings, range(1, 65) t(dim)
 GROUP BY label, dim
 """)
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids (the IVF training step): posexplode → per-(label,
     dim) mean. One shuffle keyed by (label, dim) — fully parallel across
-    dimensions, no driver-side vectors."""
+    dimensions, no driver-side vectors.
+
+    The mean is the 6dp-quantized exact-DECIMAL form (``dec_avg``): the
+    per-label group is unbounded at scale, and a float sum's merge order
+    would wiggle the 6th decimal between runs (functions/determinism.py)."""
     e = widen(load_table(spark, sf_dir, "embeddings"))
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     return (ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
-              .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid")))
+              .agg(F.round(dec_avg(F.col("val").cast("double")), 6).alias("centroid")))

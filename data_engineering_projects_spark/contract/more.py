@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_range, CLEAN_RANGE_SQL
+from ..functions.determinism import DEC_AVG_SQL, dec_avg
 from ..functions.temporal import time_bucket, TIME_BUCKET_SQL
 from ..sources import load_table, widen
 from . import query
@@ -44,7 +45,7 @@ def dbt_stg_volume_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS ({EV})
 SELECT {TIME_BUCKET_SQL.format(ts='ts')} AS time_bucket,
        event_type, COUNT(*) AS n,
-       ROUND(AVG(value), 6) AS avg_value
+       ROUND({DEC_AVG_SQL.format(c='value', s=6)}, 6) AS avg_value
 FROM ev GROUP BY 1, 2
 """)
 def dbt_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +55,7 @@ def dbt_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy(time_bucket(F.col("ts")).alias("time_bucket"), "event_type")
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.avg("value"), 6).alias("avg_value")))
+                   F.round(dec_avg(F.col("value")), 6).alias("avg_value")))
 
 
 @query("star_nation_rank_global", """

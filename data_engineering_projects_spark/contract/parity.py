@@ -14,11 +14,13 @@ TakeOrderedAndProject — the shapes that survive a 1000-executor scale-up.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.temporal import period_bucket, PERIOD_BUCKET_SQL
 from ..functions import metrics as M
+from ..functions.determinism import (
+    DEC_AVG_SQL, DEC_SUM_SQL, FOLD_AVG_SQL, dec_avg, dec_sum, fold_avg)
 from ..operators.topk import topk_limit, topk_keys_semijoin
 from ..operators.windows import lag_diff, pct_change
 from ..operators.pivot import pivot_agg
@@ -131,17 +133,20 @@ q AS (SELECT user_id, weekofyear(ts) AS wk,
              quantile_cont(value, 0.85) AS tt85,
              quantile_cont(value, 0.95) AS tt95
       FROM ev GROUP BY user_id, weekofyear(ts)),
-v AS (SELECT user_id, AVG((tt95 / tt50) / (tt85 / tt50)) AS avg_variability
-      FROM q GROUP BY user_id)
+vr AS (SELECT user_id, (tt95 / tt50) / (tt85 / tt50) AS variability FROM q),
+v AS (SELECT user_id,
+             {FOLD_AVG_SQL.format(c='variability')} AS avg_variability
+      FROM vr GROUP BY user_id)
 SELECT user_id, ROUND(avg_variability, 6) AS avg_variability
 FROM v ORDER BY ROUND(avg_variability, 6) DESC, user_id LIMIT 10
 """)
 def azure_variability_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Azure: variability=PTI/TTI per (segment, week) — week plays the
     reference's year axis — then cross-week mean, top-10
-    (2_Azure/READ.md:73, :93-94). Selection orders by the ROUNDed mean:
-    AVG is summation-order-dependent at the last ulp, the rounded value
-    is not."""
+    (2_Azure/READ.md:73, :93-94). The cross-week mean folds the derived
+    ratios in sorted order (``fold_avg``: run- and engine-deterministic;
+    the group is bounded at 53 weeks), so the top-10 selection can't flip
+    on a summation-order ulp."""
     ev = load_table(spark, sf_dir, "events")
     per_week = (ev.withColumn("wk", F.weekofyear("ts"))
                   .groupBy("user_id", "wk")
@@ -151,7 +156,8 @@ def azure_variability_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .withColumn("variability",
                               M.variability(M.tti(F.col("tt85"), F.col("tt50")),
                                             M.pti(F.col("tt95"), F.col("tt50")))))
-    agg = per_week.groupBy("user_id").agg(F.avg("variability").alias("avg_variability"))
+    agg = per_week.groupBy("user_id").agg(
+        fold_avg(F.col("variability")).alias("avg_variability"))
     top = topk_limit(agg, 10, F.desc(F.round("avg_variability", 6)), F.col("user_id"))
     return top.select("user_id", F.round("avg_variability", 6).alias("avg_variability"))
 
@@ -165,10 +171,11 @@ q AS (SELECT user_id, day, period,
 """
 
 
-@query("bq_tti_trend_lag", _BQ_TTI_CTE + """
+@query("bq_tti_trend_lag", _BQ_TTI_CTE + f"""
 , top10 AS (SELECT user_id FROM q GROUP BY user_id
-            ORDER BY ROUND(AVG(tti), 6) DESC, user_id LIMIT 10),
-daily AS (SELECT q.user_id, q.day, AVG(q.tti) AS avg_tti
+            ORDER BY ROUND({FOLD_AVG_SQL.format(c='tti')}, 6) DESC, user_id LIMIT 10),
+daily AS (SELECT q.user_id, q.day,
+                 {FOLD_AVG_SQL.format(c='q.tti')} AS avg_tti
           FROM q SEMI JOIN top10 ON q.user_id = top10.user_id
           GROUP BY q.user_id, q.day)
 SELECT user_id, day, ROUND(avg_tti, 6) AS avg_tti,
@@ -179,7 +186,10 @@ def bq_tti_trend_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BigQuery trends (3_BigQuery/READ.md:109-116): top-10 segments by mean
     TTI → semi-join filter → per-day mean → lag diff with fillna(0).
     Day plays the reference's year axis. The implicit pandas row order
-    becomes an explicit per-segment window ordered by day (§7.4 trap #3)."""
+    becomes an explicit per-segment window ordered by day (§7.4 trap #3).
+    Both TTI means are sorted folds over derived ratios (bounded groups:
+    periods x days per segment), so the top-10 cut and the lagged series
+    are deterministic across runs and engines."""
     tti = (_tt(spark, sf_dir)
            .filter(F.col("period").isNotNull())
            .withColumn("day", F.to_date("ts"))
@@ -189,10 +199,10 @@ def bq_tti_trend_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            # small aggregated relation instead of re-running the exact-
            # percentile shuffle over the raw events
            .persist())
-    top10 = topk_limit(tti.groupBy("user_id").agg(F.avg("tti").alias("m")), 10,
-                       F.desc(F.round("m", 6)), F.col("user_id")).select("user_id")
+    top10 = topk_limit(tti.groupBy("user_id").agg(fold_avg(F.col("tti")).alias("m")),
+                       10, F.desc(F.round("m", 6)), F.col("user_id")).select("user_id")
     daily = (topk_keys_semijoin(tti, top10, "user_id")
-             .groupBy("user_id", "day").agg(F.avg("tti").alias("avg_tti")))
+             .groupBy("user_id", "day").agg(fold_avg(F.col("tti")).alias("avg_tti")))
     out = lag_diff(daily, "avg_tti", "day", ["user_id"], out_col="tti_change")
     return out.select("user_id", "day", F.round("avg_tti", 6).alias("avg_tti"),
                       F.round("tti_change", 6).alias("tti_change"))
@@ -256,7 +266,8 @@ d AS (SELECT user_id, CAST(ts AS DATE) AS day, value, {PERIOD} AS period FROM ev
 q AS (SELECT day, user_id, period,
              quantile_cont(value, 0.80) / quantile_cont(value, 0.50) AS lottr
       FROM d WHERE period IS NOT NULL GROUP BY day, user_id, period),
-daily AS (SELECT day, AVG(lottr) AS avg_lottr FROM q GROUP BY day)
+daily AS (SELECT day, {FOLD_AVG_SQL.format(c='lottr')} AS avg_lottr
+          FROM q GROUP BY day)
 SELECT day, ROUND(avg_lottr, 6) AS avg_lottr,
        ROUND(COALESCE((avg_lottr - LAG(avg_lottr) OVER (ORDER BY day))
                       / LAG(avg_lottr) OVER (ORDER BY day), 0), 6) AS lottr_pct_change
@@ -266,13 +277,21 @@ def snowflake_lottr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake trend table (4_Snowflake/READ.md:99-118): per-day global
     LOTTR mean + pct_change. The global window is a single partition —
     correct here because the series is one row per day (§7.4 trap #3);
-    the heavy lifting (the groupBys) stays fully parallel."""
+    the heavy lifting (the groupBys) stays fully parallel.
+
+    The per-day mean sums the derived ratios in sorted order (``fold_avg``)
+    — quantizing them through a DECIMAL cast is NOT safe here: percentile
+    ratios of 2dp data land exactly on 7-decimal rationals (e.g.
+    1.2521875), where Spark's shortest-repr HALF_UP cast and DuckDB's
+    float-multiply cast disagree. The fold needs no cast at all; the
+    per-day group is bounded by segment count x 5 periods (~8 MB per
+    group at 1M segments — acceptable buffer, functions/determinism.py)."""
     lottr = (_tt(spark, sf_dir)
              .filter(F.col("period").isNotNull())
              .withColumn("day", F.to_date("ts"))
              .groupBy("day", "user_id", "period")
              .agg((F.percentile("value", 0.8) / F.percentile("value", 0.5)).alias("lottr")))
-    daily = lottr.groupBy("day").agg(F.avg("lottr").alias("avg_lottr"))
+    daily = lottr.groupBy("day").agg(fold_avg(F.col("lottr")).alias("avg_lottr"))
     out = pct_change(daily, "avg_lottr", "day", out_col="lottr_pct_change")
     return out.select("day", F.round("avg_lottr", 6).alias("avg_lottr"),
                       F.round("lottr_pct_change", 6).alias("lottr_pct_change"))
@@ -282,15 +301,36 @@ def snowflake_lottr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Star-schema relational coverage (joins / aggs / sorts / set ops)
 # ---------------------------------------------------------------------------
 
-@query("star_pricing_summary", """
+#: Exact decimal renderings of the TPC-H money expressions (all source
+#: columns are 2dp doubles, so every cast below is exact — see
+#: functions/determinism.py). Widths chosen so products stay within
+#: DECIMAL(38): (12,2)*(4,2)=(17,4), *(4,2)=(22,6).
+_DISC_PRICE_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+                   " * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))")
+_CHARGE_SQL = (_DISC_PRICE_SQL
+               + " * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))")
+
+
+def _disc_price_dec() -> Column:
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_f = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+    return price * disc_f
+
+
+def _charge_dec() -> Column:
+    tax_f = (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
+    return _disc_price_dec() * tax_f
+
+
+@query("star_pricing_summary", f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND({DEC_SUM_SQL.format(c='l_quantity', s=2)}, 2) AS sum_qty,
+       ROUND({DEC_SUM_SQL.format(c='l_extendedprice', s=2)}, 2) AS sum_base_price,
+       ROUND(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(SUM({_CHARGE_SQL}) AS DOUBLE), 2) AS sum_charge,
+       ROUND({DEC_AVG_SQL.format(c='l_quantity', s=6)}, 6) AS avg_qty,
+       ROUND({DEC_AVG_SQL.format(c='l_extendedprice', s=6)}, 6) AS avg_price,
+       ROUND({DEC_AVG_SQL.format(c='l_discount', s=6)}, 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01'
@@ -300,18 +340,23 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: the canonical multi-aggregate
     grouped scan (SURVEY.md A4/A7/A8 family). Filter + projection push to
     the parquet scan; partial aggregation makes the shuffle carry only
-    6 groups × 8 aggregates."""
+    6 groups × 8 aggregates.
+
+    Every sum/avg routes through exact DECIMALs (2dp money columns, exact
+    casts): with millions of rows per group a float sum's last-ulp depends
+    on merge order, and ROUND(·,2) of it can flip between runs. Decimal
+    accumulation is associative — same shuffle shape, deterministic
+    output (functions/determinism.py)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.groupBy("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                   F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-                   F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-                   F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-                   F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-                   F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+              .agg(F.round(dec_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+                   F.round(dec_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+                   F.round(F.sum(_disc_price_dec()).cast("double"), 2).alias("sum_disc_price"),
+                   F.round(F.sum(_charge_dec()).cast("double"), 2).alias("sum_charge"),
+                   F.round(dec_avg(F.col("l_quantity")), 6).alias("avg_qty"),
+                   F.round(dec_avg(F.col("l_extendedprice")), 6).alias("avg_price"),
+                   F.round(dec_avg(F.col("l_discount")), 6).alias("avg_disc"),
                    F.count(F.lit(1)).alias("count_order")))
 
 
@@ -330,14 +375,14 @@ def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n")))
 
 
-@query("star_top_orders_by_revenue", """
+@query("star_top_orders_by_revenue", f"""
 SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ROUND(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
-ORDER BY ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) DESC, o.o_orderkey
+ORDER BY ROUND(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 2) DESC, o.o_orderkey
 LIMIT 10
 """)
 def star_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,14 +395,14 @@ def star_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
            .join(F.broadcast(c), o.o_custkey == c.c_custkey))
     agg = (j.groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 2)
                   .alias("revenue")))
     return topk_limit(agg, 10, F.desc("revenue"), F.col("o_orderkey"))
 
 
-@query("star_region_revenue", """
+@query("star_region_revenue", f"""
 SELECT r.r_name AS region, n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -377,14 +422,14 @@ def star_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     return (j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 2)
                    .alias("revenue"),
                   F.count(F.lit(1)).alias("n_items")))
 
 
-@query("star_customers_without_orders", """
+@query("star_customers_without_orders", f"""
 SELECT c.c_mktsegment, COUNT(*) AS n_customers,
-       ROUND(AVG(c.c_acctbal), 6) AS avg_acctbal
+       ROUND({DEC_AVG_SQL.format(c='c.c_acctbal', s=6)}, 6) AS avg_acctbal
 FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment
 """)
@@ -396,15 +441,16 @@ def star_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .groupBy("c_mktsegment")
              .agg(F.count(F.lit(1)).alias("n_customers"),
-                  F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal")))
+                  F.round(dec_avg(F.col("c_acctbal")), 6).alias("avg_acctbal")))
 
 
-@query("star_union_segments", """
+@query("star_union_segments", f"""
 WITH hi AS (SELECT c_custkey, c_mktsegment, c_acctbal, 'high' AS tier
             FROM customer WHERE c_acctbal > 7500),
 lo AS (SELECT c_custkey, c_mktsegment, c_acctbal, 'low' AS tier
        FROM customer WHERE c_acctbal < 0)
-SELECT tier, c_mktsegment, COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+SELECT tier, c_mktsegment, COUNT(*) AS n,
+       ROUND({DEC_AVG_SQL.format(c='c_acctbal', s=6)}, 6) AS avg_bal
 FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)
 GROUP BY tier, c_mktsegment
 """)
@@ -417,16 +463,16 @@ def star_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = union_by_name(hi, lo)
     return (u.groupBy("tier", "c_mktsegment")
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.round(F.avg("c_acctbal"), 6).alias("avg_bal")))
+                  F.round(dec_avg(F.col("c_acctbal")), 6).alias("avg_bal")))
 
 
-@query("star_part_buckets", """
+@query("star_part_buckets", f"""
 SELECT CASE WHEN p_size < 10 THEN 'small'
             WHEN p_size < 30 THEN 'medium'
             ELSE 'large' END AS size_bucket,
        lower(p_type) AS type_lc,
        COUNT(*) AS n_parts,
-       ROUND(AVG(p_retailprice), 6) AS avg_price,
+       ROUND({DEC_AVG_SQL.format(c='p_retailprice', s=6)}, 6) AS avg_price,
        CAST(SUM(CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END) AS BIGINT) AS brand1x
 FROM part
 GROUP BY 1, 2
@@ -439,14 +485,14 @@ def star_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                .when(F.col("p_size") < 30, "medium").otherwise("large"))
     return (p.groupBy(bucket.alias("size_bucket"), F.lower("p_type").alias("type_lc"))
              .agg(F.count(F.lit(1)).alias("n_parts"),
-                  F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+                  F.round(dec_avg(F.col("p_retailprice")), 6).alias("avg_price"),
                   F.sum(F.when(F.col("p_brand").like("Brand#1%"), 1).otherwise(0))
                    .cast("bigint").alias("brand1x")))
 
 
-@query("star_orders_between", """
+@query("star_orders_between", f"""
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price,
+       ROUND({DEC_SUM_SQL.format(c='o_totalprice', s=2)}, 2) AS total_price,
        COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
 FROM orders
 WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
@@ -461,7 +507,7 @@ def star_orders_between(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("1997-12-31").cast("timestamp")))
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_orders"),
-                  F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                  F.round(dec_sum(F.col("o_totalprice")), 2).alias("total_price"),
                   F.countDistinct(F.to_date("o_orderdate")).alias("n_days")))
 
 

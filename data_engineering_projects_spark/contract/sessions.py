@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.determinism import DEC_AVG_SQL, DEC_SUM_SQL, dec_avg, dec_sum
 from ..sources import load_table
 from . import query
 
@@ -157,7 +158,7 @@ SELECT CASE WHEN LOWER(event_type) LIKE '%click%' THEN 'Interaction'
             WHEN LOWER(event_type) LIKE '%error%' THEN 'Fault'
             ELSE UPPER(SUBSTR(event_type, 1, 1)) || LOWER(SUBSTR(event_type, 2))
        END AS category,
-       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+       COUNT(*) AS n, ROUND({DEC_AVG_SQL.format(c='value', s=6)}, 6) AS avg_value
 FROM ev GROUP BY 1
 """)
 def events_type_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,13 +172,13 @@ def events_type_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.initcap("event_type")))
     return (ev.groupBy(cat.alias("category"))
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.avg("value"), 6).alias("avg_value")))
+                   F.round(dec_avg(F.col("value")), 6).alias("avg_value")))
 
 
 @query("events_rollup_daily", f"""
 WITH ev AS ({EV})
 SELECT event_type, CAST(ts AS DATE) AS day,
-       COUNT(*) AS n, ROUND(SUM(value), 3) AS total_value
+       COUNT(*) AS n, ROUND({DEC_SUM_SQL.format(c='value', s=2)}, 3) AS total_value
 FROM ev
 GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
 """)
@@ -189,12 +190,12 @@ def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ev.rollup("event_type", F.to_date("ts").alias("day"))
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.sum("value"), 3).alias("total_value")))
+                   F.round(dec_sum(F.col("value")), 3).alias("total_value")))
 
 
-@query("orders_asof_window", """
+@query("orders_asof_window", f"""
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       ROUND({DEC_SUM_SQL.format(c='o_totalprice', s=2)}, 2) AS total_price
 FROM orders
 WHERE CAST(o_orderdate AS DATE)
       BETWEEN DATE '2001-08-01' - INTERVAL 30 DAY AND DATE '2001-08-01'
@@ -210,4 +211,4 @@ def orders_asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.filter(F.to_date("o_orderdate").between(F.date_sub(as_of, 30), as_of))
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_orders"),
-                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+                  F.round(dec_sum(F.col("o_totalprice")), 2).alias("total_price")))

@@ -20,8 +20,16 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_range
 from ..functions import metrics as M
+from ..functions.determinism import (
+    DEC_AVG_SQL, FOLD_AVG_SQL, dec_avg, fold_avg)
 from ..sources import load_table
 from . import query
+
+#: Order-independent mean of ``speed`` (<=2dp data — the DECIMAL(18,6) cast
+#: is exact; see functions/determinism.py). Replaces AVG(speed) everywhere:
+#: float AVG is summation-order-dependent, which made ROUND(AVG(speed),6)
+#: flip on half-boundaries (the CORRECTNESS_r01 dbt_congestion_hourly flake).
+_SPEED_AVG_SQL = DEC_AVG_SQL.format(c="speed", s=6)
 
 EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
@@ -95,7 +103,7 @@ def _dim_loc(spark, sf_dir) -> DataFrame:
 @query("dbt_hourly_speed_metrics", f"""
 WITH ev AS ({EV}), {_STG_SPEED_SQL}
 SELECT location_id, recorded_hour,
-       ROUND(AVG(speed), 6) AS avg_speed,
+       ROUND({_SPEED_AVG_SQL}, 6) AS avg_speed,
        MIN(speed) AS min_speed, MAX(speed) AS max_speed,
        ROUND(quantile_cont(speed, 0.5), 6) AS median_speed,
        COUNT(speed) AS reading_count
@@ -109,7 +117,7 @@ def dbt_hourly_speed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle instead of two (SURVEY.md §7.4 trap #8)."""
     s = _stg_speed(spark, sf_dir).filter(F.col("speed").isNotNull())
     return (s.groupBy("location_id", "recorded_hour")
-             .agg(F.round(F.avg("speed"), 6).alias("avg_speed"),
+             .agg(F.round(dec_avg(F.col("speed")), 6).alias("avg_speed"),
                   F.min("speed").alias("min_speed"),
                   F.max("speed").alias("max_speed"),
                   F.round(F.percentile("speed", 0.5), 6).alias("median_speed"),
@@ -119,7 +127,7 @@ def dbt_hourly_speed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONGESTION_CTE = f"""
 WITH ev AS ({EV}), {_STG_SPEED_SQL}, {_STG_VOLUME_SQL}, {_STG_INCIDENT_SQL}, {_DIM_SQL},
 speed_metrics AS (
-  SELECT location_id, recorded_hour, AVG(speed) AS avg_speed
+  SELECT location_id, recorded_hour, {_SPEED_AVG_SQL} AS avg_speed
   FROM stg_speed WHERE speed IS NOT NULL GROUP BY location_id, recorded_hour),
 volume_metrics AS (
   SELECT location_id, recorded_hour,
@@ -158,7 +166,7 @@ def _congestion_hourly(spark, sf_dir) -> DataFrame:
     congestion-index macro."""
     speed = (_stg_speed(spark, sf_dir).filter(F.col("speed").isNotNull())
              .groupBy("location_id", "recorded_hour")
-             .agg(F.avg("speed").alias("avg_speed")))
+             .agg(dec_avg(F.col("speed")).alias("avg_speed")))
     volume = (_stg_volume(spark, sf_dir)
               .groupBy("location_id", "recorded_hour")
               .agg(F.sum("vehicle_count").alias("total_volume")))
@@ -191,7 +199,13 @@ SELECT location_id, recorded_hour, ROUND(avg_speed, 6) AS avg_speed,
 FROM congestion
 """)
 def dbt_congestion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dbt intermediate model end-to-end (J3+J4+J5+A7+A8+A9+E9+E10)."""
+    """The dbt intermediate model end-to-end (J3+J4+J5+A7+A8+A9+E9+E10).
+
+    Determinism (the CORRECTNESS_r01 red row, fixed by construction):
+    ``avg_speed`` is an exact DECIMAL sum over the 2dp speeds divided by
+    the count — order-independent, so the congestion/speed-ratio expression
+    trees yield bit-identical doubles on Spark and DuckDB and the 6dp
+    ROUNDs can no longer flip on a summation-order ulp."""
     e = _congestion_hourly(spark, sf_dir)
     return e.select("location_id", "recorded_hour",
                     F.round("avg_speed", 6).alias("avg_speed"),
@@ -201,11 +215,11 @@ def dbt_congestion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("speed_ratio_raw", 6).alias("speed_ratio"))
 
 
-@query("dbt_daily_congestion_rank", _CONGESTION_CTE + """
+@query("dbt_daily_congestion_rank", _CONGESTION_CTE + f"""
 , daily AS (
   SELECT location_id, CAST(recorded_hour AS DATE) AS day,
-         ROUND(AVG(congestion_raw), 3) AS avg_daily_congestion,
-         ROUND(AVG(avg_speed), 1) AS avg_daily_speed
+         ROUND({FOLD_AVG_SQL.format(c='congestion_raw')}, 3) AS avg_daily_congestion,
+         ROUND({FOLD_AVG_SQL.format(c='avg_speed')}, 1) AS avg_daily_speed
   FROM congestion WHERE congestion_raw IS NOT NULL
   GROUP BY location_id, CAST(recorded_hour AS DATE))
 SELECT * FROM (
@@ -219,12 +233,18 @@ def dbt_daily_congestion_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mart_daily_congestion (5_dbt/READ.md:541-590): daily rollup, ROUND
     presentation (E11), RANK + QUALIFY<=10 rewritten as window column +
     filter (W3/W6/T5 — rank ties included, unlike limit-10). Ranking on the
-    ROUNDed metric keeps tie sets identical across engines."""
+    ROUNDed metric keeps tie sets identical across engines.
+
+    The daily means are over *derived* doubles (congestion index, hourly
+    avg), so they use the sorted sequential fold (``fold_avg``) — order-
+    independent, hence run- and engine-stable. The group is schema-bounded
+    (<= 24 hourly rows per location-day), so the per-group buffer is O(1)
+    even at 100 TB."""
     daily = (_congestion_hourly(spark, sf_dir)
              .filter(F.col("congestion_raw").isNotNull())
              .groupBy("location_id", F.to_date("recorded_hour").alias("day"))
-             .agg(F.round(F.avg("congestion_raw"), 3).alias("avg_daily_congestion"),
-                  F.round(F.avg("avg_speed"), 1).alias("avg_daily_speed")))
+             .agg(F.round(fold_avg(F.col("congestion_raw")), 3).alias("avg_daily_congestion"),
+                  F.round(fold_avg(F.col("avg_speed")), 1).alias("avg_daily_speed")))
     w = Window.partitionBy("day").orderBy(F.desc("avg_daily_congestion"))
     return (daily.withColumn("congestion_rank", F.rank().over(w))
                  .filter(F.col("congestion_rank") <= 10)
@@ -236,7 +256,7 @@ def dbt_daily_congestion_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS ({EV}), {_STG_SPEED_SQL},
 hourly AS (
   SELECT location_id, hour(recorded_hour) AS hour_of_day,
-         ROUND(AVG(speed), 6) AS avg_speed
+         ROUND({_SPEED_AVG_SQL}, 6) AS avg_speed
   FROM stg_speed WHERE speed IS NOT NULL
   GROUP BY location_id, hour(recorded_hour))
 SELECT location_id, hour_of_day, avg_speed,
@@ -257,7 +277,7 @@ def dbt_speed_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-ROUNDed average so rank order is engine-stable."""
     hourly = (_stg_speed(spark, sf_dir).filter(F.col("speed").isNotNull())
               .groupBy("location_id", F.hour("recorded_hour").alias("hour_of_day"))
-              .agg(F.round(F.avg("speed"), 6).alias("avg_speed")))
+              .agg(F.round(dec_avg(F.col("speed")), 6).alias("avg_speed")))
     w = Window.partitionBy("hour_of_day").orderBy("avg_speed")
     pr = F.percent_rank().over(w)
     cat = (F.when(pr < 0.25, "slow_quartile").when(pr < 0.5, "below_median")
@@ -326,7 +346,14 @@ def dbt_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dbt_outlier_3sigma", f"""
 WITH ev AS ({EV}),
-stats AS (SELECT AVG(value) AS avg_v, STDDEV(value) AS std_v FROM ev)
+sums AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+         COUNT(value) AS n
+  FROM ev),
+stats AS (
+  SELECT s1 / n AS avg_v, SQRT((s2 - (s1 * s1) / n) / (n - 1)) AS std_v
+  FROM sums)
 SELECT e.event_id, e.value,
        ROUND((e.value - s.avg_v) / s.std_v, 6) AS zscore
 FROM ev e, stats s
@@ -335,10 +362,22 @@ WHERE e.value > s.avg_v + 3 * s.std_v OR e.value < s.avg_v - 3 * s.std_v
 def dbt_outlier_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt singular outlier test (5_dbt/READ.md:841-863): 1-row stats
     CTE cross-joined against the fact (J7/A13). The 1-row side broadcasts —
-    a nested-loop join over a single row, no shuffle. STDDEV is sample
-    stddev in Spark, DuckDB, and the warehouse alike."""
+    a nested-loop join over a single row, no shuffle.
+
+    Sample stddev is computed from *exact* DECIMAL sums (sum-of-squares
+    form) instead of the engine's Welford accumulator: the moment sums are
+    order-independent, so the 3-sigma row membership and zscores are
+    identical across runs and engines — a value within ulps of the cut
+    can't flip in or out (functions/determinism.py)."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.agg(F.avg("value").alias("avg_v"), F.stddev("value").alias("std_v"))
+    dec = F.col("value").cast("decimal(18,6)")
+    sums = ev.agg(F.sum(dec).cast("double").alias("s1"),
+                  F.sum(dec * dec).cast("double").alias("s2"),
+                  F.count("value").alias("n"))
+    stats = sums.select(
+        (F.col("s1") / F.col("n")).alias("avg_v"),
+        F.sqrt((F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n"))
+               / (F.col("n") - 1)).alias("std_v"))
     j = ev.crossJoin(F.broadcast(stats))
     out = j.filter((F.col("value") > F.col("avg_v") + 3 * F.col("std_v"))
                    | (F.col("value") < F.col("avg_v") - 3 * F.col("std_v")))
