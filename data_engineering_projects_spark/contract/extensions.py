@@ -28,6 +28,7 @@ from ..functions.text import (
 )
 from ..functions.determinism import DEC_AVG_SQL, dec_avg
 from ..functions.vectors import cosine_similarity, cosine_sql
+from ..operators.clustering import min_label_sql, propagate_min_labels, DEFAULT_CC_ITERS
 from ..sources import load_table, widen
 from . import query
 
@@ -368,6 +369,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("jaccard") >= 0.1)
                 .select("doc_a", "doc_b", "n_shared_bands",
                         F.round("jaccard", 6).alias("jaccard")))
+
+
+#: MinHash candidate pairs as a reusable CTE (same generation + exact-Jaccard
+#: verification as ``dedup_minhash_lsh``) for the clustering step.
+_MH_PAIRS_CTE = (_DOCS_CTE.rstrip() + ", " + _minhash_sql() + """,
+pairs AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN docs da ON c.doc_a = da.doc_id
+              JOIN docs db ON c.doc_b = db.doc_id
+  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.1)""")
+
+
+@query("dedup_clusters", min_label_sql(_MH_PAIRS_CTE) + f"""
+SELECT id AS doc_id, label AS cluster_id,
+       CAST(id = label AS INT) AS is_canonical,
+       COUNT(*) OVER (PARTITION BY label) AS n_members
+FROM l{DEFAULT_CC_ITERS}
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs -> transitive duplicate groups -> canonical id (the
+    step after ``dedup_minhash_lsh`` that answers "which doc do I keep"):
+    bounded minimum-label propagation over the pair graph assigns every
+    involved doc its component's smallest doc_id as ``cluster_id``;
+    ``is_canonical`` marks the keeper (operators/clustering.py — iteration
+    count shared with the oracle for exact replay). Only docs appearing in
+    at least one near-dup pair are emitted; everything else is trivially
+    its own keeper."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = propagate_min_labels(pairs)
+    w = Window.partitionBy("label")
+    return (labels.withColumn("n_members", F.count(F.lit(1)).over(w))
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                    (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
+                    "n_members"))
 
 
 _SIMHASH_BITS = 16

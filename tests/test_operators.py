@@ -68,3 +68,32 @@ def test_union_by_name_aligns_columns(spark):
     b = spark.createDataFrame([("y", 2)], "s string, id long")
     u = union_by_name(a, b).collect()
     assert {(r["id"], r["s"]) for r in u} == {(1, "x"), (2, "y")}
+
+
+def test_propagate_min_labels_transitive(spark):
+    """A~B, B~C must land in one cluster under A's id even though (A,C) was
+    never a candidate pair; disconnected components stay separate."""
+    from data_engineering_projects_spark.operators.clustering import (
+        propagate_min_labels)
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 21)], "doc_a bigint, doc_b bigint")
+    got = {(r.id, r.label) for r in propagate_min_labels(pairs).collect()}
+    assert got == {(2, 2), (5, 2), (9, 2), (20, 20), (21, 20)}
+
+
+def test_propagate_min_labels_chain_within_bound(spark):
+    """A chain of length <= iters fully converges to the global minimum."""
+    from data_engineering_projects_spark.operators.clustering import (
+        propagate_min_labels)
+    chain = [(i, i + 1) for i in range(1, 8)]  # 1-2-...-8, diameter 7 < 8
+    pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    labels = propagate_min_labels(pairs).collect()
+    assert {r.label for r in labels} == {1}
+    assert len(labels) == 8
+
+
+def test_propagate_min_labels_empty(spark):
+    from data_engineering_projects_spark.operators.clustering import (
+        propagate_min_labels)
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert propagate_min_labels(pairs).count() == 0
