@@ -235,8 +235,24 @@ def _doc_shingle_sets(spark, sf_dir) -> DataFrame:
     return toks.select("doc_id", F.array_distinct(hashed).alias("shs"))
 
 
-_JAC_CTE = _DOCS_CTE + """,
-sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM docs),
+#: Stop-shingle document-frequency cap (VERDICT.md round-1 "What's wrong"
+#: #2): a shingle appearing in k docs contributes k^2 rows to the posting-
+#: list self-join, so web-scale stop-shingles ("terms of service", chrome
+#: text) dominate cost without the cap. Shingles above the cap are removed
+#: from the *universe* — the metric stays a true Jaccard, over rare-shingle
+#: sets. Recall trade-off: two docs similar ONLY through stop-shingles no
+#: longer pair — at df > 64 such shingles carry ~no signal (they connect
+#: everything), and MinHash-LSH remains the primary scale route. At sf0.01
+#: max df is 7, so the contract result is unchanged by the prune.
+_DF_CAP = 64
+
+_JAC_CTE = _DOCS_CTE + f""",
+sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+stop AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > {_DF_CAP}),
+kept AS (SELECT doc_id, sh FROM sh0 ANTI JOIN stop USING (sh)),
+sh AS (SELECT doc_id, sh,
+              COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+       FROM kept),
 jac AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common,
          CAST(COUNT(*) AS DOUBLE)
@@ -251,22 +267,28 @@ SELECT doc_a, doc_b, n_common, ROUND(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= 0.2
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with 3-word-shingle Jaccard >= 0.2.
+    """Near-dup pairs with 3-word-shingle Jaccard >= 0.2 over the
+    df-capped shingle universe (see ``_DF_CAP``).
 
-    Inverted-index shape: explode distinct hashed shingles, self-equi-join
-    on the 8-byte shingle hash (never a cross join), count intersections.
-    |A∪B| comes from per-doc set sizes carried *through* the explode as a
-    grouping column — no separate sizes aggregation or join-back. At
-    100 TB the join shuffles only (hash, doc_id, n_sh) triples and AQE
-    splits hot-shingle skew."""
-    # persist: both self-join sides read this relation; one in-memory
-    # materialization replaces two full recomputes of the tokenize/shingle
-    # pipeline (CacheManager keys on the plan, so repeated invocations of
-    # the query share the entry). Columnar cache of 8-byte hash arrays —
-    # bounded bytes/doc at any corpus size.
+    Inverted-index shape: explode distinct hashed shingles, drop
+    stop-shingles via a broadcast anti-join against the (tiny) df > cap
+    list, self-equi-join on the 8-byte shingle hash (never a cross join),
+    count intersections. |A∪B| uses post-prune set sizes so the ratio is a
+    true Jaccard of the filtered sets. At 100 TB the join shuffles only
+    (hash, doc_id, n_sh) triples, the df-cap bounds every posting list at
+    cap^2 candidate rows, and AQE splits residual sub-cap skew."""
+    # persist the exploded+pruned relation: both self-join sides read it,
+    # and it feeds the per-doc size window. 8-byte hashes — bounded
+    # bytes/doc at any corpus size. (_doc_shingle_sets itself stays
+    # persisted for sharing with the MinHash queries.)
     sets = _doc_shingle_sets(spark, sf_dir).persist()
-    sh = sets.select("doc_id", F.size("shs").alias("n_sh"),
-                     F.explode("shs").alias("sh"))
+    sh0 = sets.select("doc_id", F.explode("shs").alias("sh"))
+    stop = (sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > _DF_CAP).select("sh"))
+    kept = sh0.join(F.broadcast(stop), "sh", "left_anti")
+    sh = (kept.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+          .persist())
     a, b = sh.alias("a"), sh.alias("b")
     jac = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                   & (F.col("a.doc_id") < F.col("b.doc_id")))
