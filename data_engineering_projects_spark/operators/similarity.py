@@ -101,20 +101,35 @@ def cosine_topk_blas(queries: DataFrame, corpus: DataFrame, k: int,
                 col = sims[:, j]
                 mask = ids != qid
                 cand_ids, cand = ids[mask], col[mask]
-                rounded = np.round(cand, 9)
-                if len(cand) > k:
+                # zero-norm query/corpus rows produce NaN here but NULL in
+                # the HOF path (where NULL sorts last in the descending
+                # rank, NaN would sort first): carry them through as NULLs
+                # so both physical strategies agree.
+                isnan = np.isnan(cand)
+                nan_ids = cand_ids[isnan]
+                fin_ids, fin = cand_ids[~isnan], cand[~isnan]
+                rounded = np.round(fin, 9)
+                if len(fin) > k:
                     # keep rank-with-ties <= k: everything >= the k-th
                     # largest rounded sim (duplicates counted) can still
                     # place in the global top-k; nothing below it can.
+                    # epsilon margin: numpy rounds half-even while the
+                    # final Spark rank rounds HALF_UP — keep anything
+                    # within an ulp of the cut and let the exact rank
+                    # decide.
                     t = np.partition(rounded, -k)[-k]
-                    keep = rounded >= t
-                    cand_ids, cand = cand_ids[keep], cand[keep]
-                out_q.append(np.full(len(cand), qid, dtype=np.int64))
-                out_n.append(cand_ids)
-                out_s.append(cand)
+                    keep = rounded >= t - 1e-9
+                    fin_ids, fin = fin_ids[keep], fin[keep]
+                n_out = len(fin) + len(nan_ids)
+                out_q.append(np.full(n_out, qid, dtype=np.int64))
+                out_n.append(np.concatenate([fin_ids, nan_ids]))
+                out_s.append(np.concatenate(
+                    [fin, np.full(len(nan_ids), np.nan)]))
+            # nullable Float64: NaN -> <NA> -> Arrow null -> Spark NULL
+            sim_col = pd.array(np.concatenate(out_s), dtype="Float64")
             yield pd.DataFrame({"query_id": np.concatenate(out_q),
                                 "neighbor_id": np.concatenate(out_n),
-                                "sim": np.concatenate(out_s)})
+                                "sim": sim_col})
 
     c = widen(corpus).select(F.col(id_col).alias("neighbor_id"),
                              F.col(vec_col).alias("emb"))

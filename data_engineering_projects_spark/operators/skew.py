@@ -23,9 +23,19 @@ def salted_join(skewed: DataFrame, dim: DataFrame, on: str,
     The hot key's rows scatter over ``n_salts`` shuffle partitions instead
     of one; the dim side grows ``n_salts``× (it must be the small side —
     if it were broadcastable you wouldn't salt at all). Join output is
-    identical to ``skewed.join(dim, on, how)`` for equi-join semantics;
-    the salt column never escapes.
+    identical to ``skewed.join(dim, on, how)`` — but only for join types
+    that never emit *unmatched dim-side* rows: the dim side is replicated
+    per salt, so right/full outer would return each unmatched dim row
+    ``n_salts`` times. Those types are rejected; salt the other input (or
+    dedupe afterwards) instead. The salt column never escapes.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins; {how!r} would "
+            f"replicate unmatched dim rows {n_salts}x (dim side is exploded)")
     salted = skewed.withColumn(SALT, (F.rand(42) * n_salts).cast("int"))
     replicated = dim.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))

@@ -23,6 +23,7 @@ supplies naming, ordering, materialization, and gates.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from enum import Enum
@@ -39,6 +40,24 @@ class Materialization(str, Enum):
     INCREMENTAL = "incremental"
 
 
+#: dbt's three incremental strategies (5_dbt/READ.md:123-133 materializes
+#: daily tables; the reference re-runs full-refresh, but an INCREMENTAL
+#: advertisement must honor all three):
+#: - append: insert rows whose unique_key is unseen; never touch old rows
+#: - merge: upsert — replace rows whose unique_key exists, insert the rest
+#: - insert_overwrite: replace exactly the partitions present in this run
+INCREMENTAL_STRATEGIES = ("append", "merge", "insert_overwrite")
+
+
+def interpolate_vars(sql: str, v: dict) -> str:
+    """Replace only known ``{var}`` placeholders, leaving every other brace
+    untouched — ``str.format`` would raise on literal braces in model SQL
+    (struct/map literals, regex quantifiers like ``{2,3}``)."""
+    for k, val in v.items():
+        sql = sql.replace("{" + k + "}", str(val))
+    return sql
+
+
 @dataclass
 class Model:
     name: str
@@ -48,6 +67,7 @@ class Model:
     checks: list[Check] = field(default_factory=list)
     partition_by: tuple[str, ...] = ()
     unique_key: tuple[str, ...] = ()
+    incremental_strategy: str = "append"
 
 
 class ModelGraph:
@@ -73,13 +93,18 @@ class ModelGraph:
               materialization: str | Materialization = Materialization.VIEW,
               checks: list[Check] | None = None,
               partition_by: list[str] | None = None,
-              unique_key: list[str] | None = None):
+              unique_key: list[str] | None = None,
+              incremental_strategy: str = "append"):
+        if incremental_strategy not in INCREMENTAL_STRATEGIES:
+            raise ValueError(f"incremental_strategy must be one of "
+                             f"{INCREMENTAL_STRATEGIES}, got {incremental_strategy!r}")
+
         def deco(fn):
             n = name or fn.__name__
             self._models[n] = Model(
                 n, fn, tuple(deps or ()), Materialization(materialization),
                 list(checks or ()), tuple(partition_by or ()),
-                tuple(unique_key or ()))
+                tuple(unique_key or ()), incremental_strategy)
             return fn
         return deco
 
@@ -94,9 +119,11 @@ class ModelGraph:
         SQL-file analog, 5_dbt/READ.md:47-51, :63-67). Dependencies are
         referenced by name — they are registered as temp views when they
         materialize — and ``{var}`` placeholders interpolate from the
-        graph's vars (the ``{{ var() }}`` analog, 5_dbt/READ.md:118-121)."""
+        graph's vars (the ``{{ var() }}`` analog, 5_dbt/READ.md:118-121).
+        Interpolation replaces only *known* var keys, so literal braces in
+        the SQL (struct literals, regex quantifiers) pass through."""
         def fn(spark: SparkSession, v: dict, **_deps) -> DataFrame:
-            return spark.sql(sql.format(**v))
+            return spark.sql(interpolate_vars(sql, v))
         self._models[name] = Model(name, fn, tuple(deps),
                                    Materialization(materialization),
                                    list(checks or ()))
@@ -147,10 +174,28 @@ class ModelGraph:
             return df
         path = os.path.join(self.warehouse_dir, m.name)
         if m.materialization is Materialization.INCREMENTAL and os.path.exists(path):
-            # dbt 'incremental' analog: keep existing rows, append only
-            # rows whose unique key is new (anti-join against the current
-            # table — the key relation, not full rows, flows through the
-            # join). Without a unique_key, it's a blind append.
+            self._incremental(spark, m, df, path)
+        else:
+            writer = df.write.mode("overwrite")
+            if m.partition_by:
+                writer = writer.partitionBy(*m.partition_by)
+            writer.parquet(path)
+        out = spark.read.parquet(path)
+        out.createOrReplaceTempView(m.name)
+        return out
+
+    def _incremental(self, spark: SparkSession, m: Model, df: DataFrame,
+                     path: str) -> None:
+        """The three dbt incremental strategies over a parquet warehouse.
+        On a Delta/Iceberg lake, ``merge`` is MERGE INTO and
+        ``insert_overwrite`` is the native dynamic-partition overwrite;
+        these are the plain-parquet renderings of the same semantics."""
+        strategy = m.incremental_strategy
+        if strategy == "append":
+            # keep existing rows, append only rows whose unique key is new
+            # (anti-join against the current table — the key relation, not
+            # full rows, flows through the join). Without a unique_key,
+            # it's a blind append.
             existing = spark.read.parquet(path)
             if m.unique_key:
                 new_rows = df.join(
@@ -162,11 +207,43 @@ class ModelGraph:
             if m.partition_by:
                 writer = writer.partitionBy(*m.partition_by)
             writer.parquet(path)
-        else:
-            writer = df.write.mode("overwrite")
+        elif strategy == "merge":
+            # upsert (dbt merge / delete+insert): drop existing rows whose
+            # unique_key reappears in this batch, union the batch, swap in
+            # a new snapshot atomically-enough for a local warehouse. Only
+            # the (small) batch key set flows through the anti-join; at
+            # lake scale this is a Delta/Iceberg MERGE INTO with file
+            # pruning on the key range instead of a full rewrite.
+            if not m.unique_key:
+                raise ValueError(
+                    f"model {m.name}: merge strategy requires unique_key")
+            existing = spark.read.parquet(path)
+            keys = df.select(*m.unique_key).distinct()
+            merged = (existing.join(keys, list(m.unique_key), "left_anti")
+                      .unionByName(df))
+            tmp = path + "__merge_tmp"
+            writer = merged.write.mode("overwrite")
             if m.partition_by:
                 writer = writer.partitionBy(*m.partition_by)
-            writer.parquet(path)
-        out = spark.read.parquet(path)
-        out.createOrReplaceTempView(m.name)
-        return out
+            writer.parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        elif strategy == "insert_overwrite":
+            # replace exactly the partitions present in this batch, leave
+            # all others untouched (dynamic partition overwrite — the
+            # dbt insert_overwrite strategy).
+            if not m.partition_by:
+                raise ValueError(
+                    f"model {m.name}: insert_overwrite requires partition_by")
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                  "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            try:
+                (df.write.mode("overwrite")
+                   .partitionBy(*m.partition_by).parquet(path))
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                               prev)
+        else:  # pragma: no cover - constructor validates
+            raise ValueError(f"unknown incremental strategy {strategy!r}")

@@ -85,3 +85,69 @@ def test_incremental_materialization(spark, tmp_path):
     # id=3 is new -> appended
     assert sorted((r["id"], r["v"]) for r in out2.collect()) == \
         [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_incremental_merge_upserts(spark, tmp_path):
+    """merge strategy: a changed row is UPDATED (not duplicated, not
+    ignored); new keys insert; untouched keys survive."""
+    batches = [[(1, "a"), (2, "b")], [(2, "b2"), (3, "c")]]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["id"],
+             incremental_strategy="merge")
+    def merged_events(spark, vars):
+        return spark.createDataFrame(batches[state["i"]], "id long, v string")
+
+    g.run(spark)
+    state["i"] = 1
+    out = g.run(spark)["merged_events"]
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == \
+        [(1, "a"), (2, "b2"), (3, "c")]
+
+
+def test_incremental_insert_overwrite_by_partition(spark, tmp_path):
+    """insert_overwrite: partitions present in the batch are replaced
+    wholesale; absent partitions are untouched."""
+    batches = [
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")],
+        [("d2", 9, "z")],  # rewrites d2 only; d1 must survive
+    ]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", partition_by=["day"],
+             incremental_strategy="insert_overwrite")
+    def part_events(spark, vars):
+        return spark.createDataFrame(
+            batches[state["i"]], "day string, id long, v string")
+
+    g.run(spark)
+    state["i"] = 1
+    out = g.run(spark)["part_events"]
+    assert sorted((r["day"], r["id"], r["v"]) for r in out.collect()) == \
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 9, "z")]
+
+
+def test_incremental_strategy_validation(spark, tmp_path):
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+    with pytest.raises(ValueError):
+        @g.model(materialization="incremental", incremental_strategy="bogus")
+        def nope(spark, vars):
+            pass
+
+
+def test_sql_model_literal_braces(spark):
+    """Model SQL containing literal braces (regex quantifiers, struct
+    syntax) must survive var interpolation."""
+    g = ModelGraph(vars={"min_v": 2})
+    g.add_source("src", lambda s, v: s.range(10).withColumnRenamed("id", "v"))
+    g.sql_model(
+        "braced",
+        r"""SELECT v, named_struct('a', v) AS st,
+                   regexp_extract(CAST(v AS STRING), '([0-9]{1,2})', 1) AS d
+            FROM src WHERE v >= {min_v}""",
+        deps=["src"])
+    out = g.run(spark)["braced"]
+    rows = out.collect()
+    assert len(rows) == 8 and rows[0]["st"] is not None

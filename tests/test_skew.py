@@ -44,3 +44,14 @@ def test_salted_agg_matches_plain(spark):
         "mx": (F.max("v"), "max"),
     })
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would emit each unmatched dim row n_salts times."""
+    import pytest
+    from data_engineering_projects_spark.operators.skew import salted_join
+    big = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, dim, "k", how=how)
