@@ -119,3 +119,34 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_jdbc_roundtrip_append_and_overwrite(spark, tmp_path):
+    """S6/S7 executed-path coverage: write_jdbc against the embedded Derby
+    engine that ships with the JVM (no external service), read back via
+    spark.read.jdbc, exercise both append (if_exists='append') and
+    overwrite (if_exists='replace') semantics."""
+    from data_engineering_projects_spark.sinks import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    drv = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+
+    write_jdbc(df, url, "t_rt", mode="append", num_partitions=2, **drv)
+    got = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", "t_rt").options(**drv).load()
+    assert sorted((r.id, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+    # append accumulates
+    write_jdbc(df, url, "t_rt", mode="append", num_partitions=2, **drv)
+    got2 = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", "t_rt").options(**drv).load()
+    assert got2.count() == 4
+
+    # overwrite replaces
+    df3 = spark.createDataFrame([(9, "z")], "id int, v string")
+    write_jdbc(df3, url, "t_rt", mode="overwrite", num_partitions=1,
+               truncate="false", **drv)
+    got3 = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", "t_rt").options(**drv).load()
+    assert sorted((r.id, r.v) for r in got3.collect()) == [(9, "z")]
