@@ -90,13 +90,34 @@ def star_nation_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("revenue_rank") <= 5))
 
 
-@query("multimodal_image_features")  # rows-only: mapInPandas kernel, not SQL
+@query("multimodal_image_features", """
+WITH h AS (
+  SELECT doc_id,
+         md5('0' || text) || md5('1' || text) || md5('2' || text)
+           || md5('3' || text) AS hx
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, 65),
+           i -> (strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) AS bytes
+  FROM h)
+SELECT doc_id AS media_id,
+       CAST(1 + bytes[1] % 64 AS INT) AS width,
+       CAST(1 + bytes[2] % 64 AS INT) AS height,
+       CAST(list_sum(bytes) AS DOUBLE) / 64 AS mean_intensity
+FROM b
+""")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents → binary media column →
     Arrow-batched mapInPandas decode (deterministic fake kernel; the real
     codec slot is gated behind NotImplementedError — see ``multimodal``).
-    Registered without an oracle: the kernel is procedural Python by
-    design, so the driver applies its rows-only check."""
+
+    Oracle-checked (VERDICT.md round-1 item #6): the fake kernel is
+    md5-derived arithmetic, so DuckDB re-derives the same 64 bytes from
+    the concatenated md5 hex digests and recomputes width/height/mean
+    exactly — the mapInPandas path is hash-verified end-to-end, not just
+    row-counted. A production codec kernel would revert to rows-only."""
     from ..multimodal import attach_fake_media, decode_images, fake_image_decoder
     docs = widen(load_table(spark, sf_dir, "documents"))
     media = attach_fake_media(docs, "doc_id", "text")
