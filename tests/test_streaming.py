@@ -207,3 +207,51 @@ def test_stream_stream_join_attributes_within_delay(spark, tmp_path):
     got = [(r["user_id"], r["purchase_id"], r["click_id"])
            for r in spark.read.parquet(str(out)).collect()]
     assert got == [(1, 200, 100)]
+
+
+def test_streaming_pipeline_matches_dbt_hourly_metrics(spark, tmp_path):
+    """End-to-end: staged speed stream -> hourly_rollup_stream ->
+    quality_gated_sink as ONE job over a file source; every finalized
+    window must equal the batch dbt_hourly_speed_metrics row computed on
+    the same data (the streaming/batch consistency check,
+    5_dbt/READ.md:398-412)."""
+    from data_engineering_projects_spark.functions.cleaning import clean_range
+    from data_engineering_projects_spark.streaming import quality_gated_sink
+    from data_engineering_projects_spark import quality as Q
+    from data_engineering_projects_spark.contract.traffic import (
+        dbt_hourly_speed_metrics)
+
+    # the dbt staging semantics, materialized as the stream source
+    src = tmp_path / "staged"
+    ev = load_table(spark, SF, "events")
+    staged = (ev.filter(F.col("event_type") == "view")
+                .select("ts", F.col("user_id").alias("location_id"),
+                        clean_range(F.col("value"), 0, 120).alias("speed"))
+                .filter(F.col("speed").isNotNull()))
+    staged.write.mode("overwrite").parquet(str(src))
+
+    stream = (spark.readStream.schema(staged.schema).parquet(str(src))
+              .select("ts", F.col("location_id").alias("user_id"),
+                      F.col("speed").alias("value")))
+    rollup = hourly_rollup_stream(stream)
+    out, cp, quar = (str(tmp_path / d) for d in ("out", "cp", "quar"))
+    checks = [Q.not_null("avg_value", severity=Q.Severity.WARN),
+              Q.accepted_range("avg_value", 0, 120,
+                               severity=Q.Severity.WARN)]
+    q = quality_gated_sink(rollup, checks, out, cp, quarantine_path=quar)
+    q.processAllAvailable()
+    q.stop()
+
+    got = (spark.read.parquet(out)
+           .select(F.col("window_start").alias("recorded_hour"),
+                   F.col("user_id").alias("location_id"),
+                   "avg_value", "min_value", "max_value", "n_events"))
+    want = dbt_hourly_speed_metrics(spark, SF)
+    j = got.alias("g").join(want.alias("w"), ["location_id", "recorded_hour"])
+    assert j.count() == got.count() > 0  # every emitted window has a batch row
+    mismatch = j.filter(
+        (F.abs(F.round(F.col("g.avg_value"), 6) - F.col("w.avg_speed")) > 1e-9)
+        | (F.col("g.min_value") != F.col("w.min_speed"))
+        | (F.col("g.max_value") != F.col("w.max_speed"))
+        | (F.col("g.n_events") != F.col("w.reading_count"))).count()
+    assert mismatch == 0
