@@ -432,20 +432,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """CTE chain ending in ``sims(doc_id, simhash)`` — shared between the
+    signature query and the banded candidate-pair query."""
     tok_h = md5_hash64_sql("tok", seed=9)
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(_SIMHASH_BITS))
     word = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tok FROM documents),
 th AS (SELECT doc_id, {tok_h} AS h FROM tok),
-bits AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
-SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM bits
-"""
+bits AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sims AS MATERIALIZED (SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM bits)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_cte()}\nSELECT doc_id, simhash FROM sims"
 
 
 @query("dedup_simhash", _simhash_sql())
@@ -464,6 +468,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         word = term if word is None else word + term
     return bits.select("doc_id", word.cast("bigint").alias("simhash"))
+
+
+_SIMHASH_HAMMING_MAX = 3
+
+
+@query("dedup_simhash_pairs", f"""
+WITH {_simhash_cte()},
+bands AS (
+  SELECT doc_id, simhash, 0 AS band, simhash // 256 AS band_key FROM sims
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, simhash % 256 AS band_key FROM sims),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_HAMMING_MAX}
+""")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash from signature to *candidate pairs*: band the 16-bit
+    signature into two 8-bit keys (any pair within Hamming distance 1 is
+    guaranteed to collide on at least one band; near misses up to the
+    verify threshold usually do), equi-join per band, then verify
+    ``popcount(xor)`` <= {_SIMHASH_HAMMING_MAX} on the candidates only.
+
+    Same inverted-index scale shape as MinHash-LSH: no all-pairs compare,
+    shuffle keyed on the band value, verification cost proportional to
+    candidate count. Completes the SimHash path to the same pair-level
+    output the Jaccard/MinHash routes produce."""
+    sims = dedup_simhash(spark, sf_dir).persist()
+    bands = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.shiftright("simhash", 8).alias("band_key")),
+            F.struct(F.lit(1).alias("band"),
+                     F.col("simhash").bitwiseAND(255).alias("band_key")),
+        )).alias("bk")).select("doc_id", "simhash", "bk.band", "bk.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sim_a"),
+                     F.col("b.simhash").alias("sim_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.filter(hamming <= _SIMHASH_HAMMING_MAX)
+                .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
 
 
 # ---------------------------------------------------------------------------
@@ -635,3 +690,116 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     return (ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
               .agg(F.round(dec_avg(F.col("val").cast("double")), 6).alias("centroid")))
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus preparation: vocabulary, n-gram counts, splits, sampling
+# ---------------------------------------------------------------------------
+
+@query("text_vocab_top", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tok
+             FROM documents)
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok WHERE tok <> ''
+GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 100
+""")
+def text_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (the tokenizer-training precursor): explode
+    normalized tokens, count occurrences and document frequency, top-100
+    by count with the token as the deterministic tie-break. One shuffle
+    keyed by token with map-side partial aggregation; the top-k compiles
+    to TakeOrderedAndProject — no global sort of the vocabulary."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (tok.filter(F.col("tok") != "")
+            .groupBy(F.col("tok").alias("token"))
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), "token").limit(100))
+
+
+@query("text_bigram_top", f"""
+WITH bg AS (SELECT unnest({shingles_sql('text', k=2)}) AS bigram
+            FROM documents)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram ORDER BY COUNT(*) DESC, bigram LIMIT 100
+""")
+def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (language-model data prep): 2-token shingles
+    with multiplicity, counted globally, deterministic top-100. The
+    shingle explode emits (n_tokens - 1) rows per doc; partial
+    aggregation collapses repeats before the shuffle."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select(tokens(F.col("text")).alias("toks"))
+    bg = toks.select(F.explode(shingles_from_tokens("toks", 2)).alias("bigram"))
+    return (bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.desc("n"), "bigram").limit(100))
+
+
+@query("docs_split_assign", f"""
+SELECT doc_id,
+       CASE WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=7)} % 100 < 80
+              THEN 'train'
+            WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=7)} % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing the
+    document id — reproducible across runs, engines, and corpus
+    re-partitions, unlike randomSplit (which is seed- AND
+    partitioning-dependent). Pure Catalyst expression: no shuffle at all;
+    the assignment can be computed at scan time of any 100 TB corpus."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    bucket = md5_hash64(F.col("doc_id").cast("string"), seed=7) % 100
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val").otherwise("test"))
+    return d.select("doc_id", split.alias("split"))
+
+
+@query("docs_sample_stratified", f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=11)}
+                          % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM documents GROUP BY source
+""")
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling audit: a 10% hash-gate per
+    document (md5 % 1000 < 100), counted per source stratum. The gate is
+    a pure row-local expression — at 100 TB the sample IS the filtered
+    scan, no shuffle, and re-runs select the identical rows (unlike
+    df.sample, which depends on partitioning)."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    gate = (md5_hash64(F.col("doc_id").cast("string"), seed=11) % 1000 < 100)
+    return (d.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum(gate.cast("int")).cast("bigint").alias("n_sampled")))
+
+
+@query("docs_length_band", """
+WITH q AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+                  quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+           FROM documents)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN d.n_chars >= q.lo AND d.n_chars <= q.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d, q GROUP BY d.source
+""")
+def docs_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quantile quality filter (drop the shortest/longest 5% of
+    the corpus): exact P5/P95 of n_chars as a 1-row relation, broadcast
+    cross join against the corpus (the 3-sigma outlier shape — a
+    single-row nested loop, no shuffle of the fact side), keep-rate
+    audited per source."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    q = d.agg(F.percentile(F.col("n_chars").cast("double"), 0.05).alias("lo"),
+              F.percentile(F.col("n_chars").cast("double"), 0.95).alias("hi"))
+    j = d.crossJoin(F.broadcast(q))
+    kept = ((F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi"))).cast("int")
+    return (j.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum(kept).cast("bigint").alias("n_kept")))

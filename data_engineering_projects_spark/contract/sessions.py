@@ -212,3 +212,43 @@ def orders_asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_orders"),
                   F.round(dec_sum(F.col("o_totalprice")), 2).alias("total_price")))
+
+
+@query("events_asof_latest_order", f"""
+WITH ev AS ({EV}),
+e AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'error'),
+r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders),
+rd AS (SELECT * FROM r WHERE rn = 1)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_order_key,
+       ROUND(o.o_totalprice, 2) AS last_order_price
+FROM e ASOF LEFT JOIN rd o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""")
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each error event picks up the user's
+    latest order at-or-before the event timestamp — the as-of join
+    (operators/asof.py, union + last-ignorenulls window: one shuffle on
+    the key, no inequality-join row explosion). The right side is deduped
+    to one row per (customer, order date) first (max orderkey wins) so
+    the match is deterministic; DuckDB verifies with its native ASOF
+    LEFT JOIN over the identically-deduped relation."""
+    from ..operators.asof import asof_join_backward
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "error")
+          .select("event_id", "ts", F.col("user_id")))
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey"))
+    rd = (load_table(spark, sf_dir, "orders")
+          .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+          .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                  "o_orderkey", "o_totalprice"))
+    j = asof_join_backward(ev, rd, "user_id", "ts", "o_orderdate",
+                           ["o_orderkey", "o_totalprice"])
+    return j.select("event_id", "user_id", "ts",
+                    F.col("o_orderkey").alias("last_order_key"),
+                    F.round("o_totalprice", 2).alias("last_order_price"))

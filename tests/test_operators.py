@@ -97,3 +97,23 @@ def test_propagate_min_labels_empty(spark):
         propagate_min_labels)
     pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert propagate_min_labels(pairs).count() == 0
+
+
+def test_asof_join_backward_semantics(spark):
+    """Inclusive at-or-before match, NULLs when no earlier right row,
+    latest-wins among multiple candidates."""
+    from data_engineering_projects_spark.operators.asof import (
+        asof_join_backward)
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3")],
+        "k long, t long, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0)],
+        "k long, t long, px double")
+    got = {r.ev: r.px for r in asof_join_backward(
+        left, right.withColumnRenamed("t", "rt"), "k", "t", "rt",
+        ["px"]).collect()}
+    assert got == {"e0": None,     # no right row at or before t=5
+                   "e1": 100.0,    # inclusive: rt=10 matches t=10
+                   "e2": 150.0,    # latest of {10, 15}
+                   "e3": None}     # rt=60 is after t=50
