@@ -252,3 +252,40 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("event_id", "user_id", "ts",
                     F.col("o_orderkey").alias("last_order_key"),
                     F.round("o_totalprice", 2).alias("last_order_price"))
+
+
+@query("events_range_join_clicks", f"""
+WITH ev AS ({EV}),
+err AS (SELECT event_id, user_id, ts AS start_ts,
+               ts + INTERVAL 2 HOUR AS end_ts
+        FROM ev WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id AND c.ts >= e.start_ts AND c.ts <= e.end_ts
+GROUP BY e.event_id, e.user_id
+""")
+def events_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks landing inside each error's 2-hour follow-up
+    interval, counted per error. The Spark side uses the bucketed
+    equi-join rendering (operators/rangejoin.py — shuffle on
+    (user, time-bucket), never a nested loop); errors with no clicks in
+    range are restored by a left join against the match counts. The
+    oracle is the plain inequality LEFT JOIN DuckDB optimizes natively
+    (IEJoin)."""
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = (ev.filter(F.col("event_type") == "error")
+           .select("event_id", "user_id", F.col("ts").alias("start_ts"),
+                   (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts")))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", F.col("ts").alias("click_ts")))
+    matches = interval_join(clk, err, "click_ts", "start_ts", "end_ts",
+                            keys=["user_id"], bucket_seconds=7200)
+    counts = (matches.groupBy("event_id")
+              .agg(F.count(F.lit(1)).alias("n_matched")))
+    return (err.join(counts, "event_id", "left")
+               .select("event_id", "user_id",
+                       F.coalesce("n_matched", F.lit(0)).cast("bigint")
+                        .alias("n_clicks")))

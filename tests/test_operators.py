@@ -117,3 +117,24 @@ def test_asof_join_backward_semantics(spark):
                    "e1": 100.0,    # inclusive: rt=10 matches t=10
                    "e2": 150.0,    # latest of {10, 15}
                    "e3": None}     # rt=60 is after t=50
+
+
+def test_interval_join_bucket_boundaries(spark):
+    """Points exactly on interval endpoints match (inclusive); intervals
+    spanning multiple buckets still match each point exactly once."""
+    import datetime as dt
+    from data_engineering_projects_spark.operators.rangejoin import (
+        interval_join)
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    pts = spark.createDataFrame(
+        [(1, t(0)), (1, t(7200)), (1, t(7201)), (2, t(100))],
+        "k long, pt timestamp")
+    ivs = spark.createDataFrame(
+        [(1, t(0), t(7200), "iv1")],  # spans two 3600s buckets
+        "k long, lo timestamp, hi timestamp, iv string")
+    got = interval_join(pts, ivs, "pt", "lo", "hi", keys=["k"],
+                        bucket_seconds=3600).collect()
+    matched = sorted((r.pt - dt.datetime(2024, 1, 1)).total_seconds()
+                     for r in got)
+    assert matched == [0.0, 7200.0]   # inclusive ends; 7201 out; k=2 out
+    assert len(got) == len(set((r.k, r.pt) for r in got))  # no duplicates
