@@ -750,9 +750,11 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10) by hashing the
     document id — reproducible across runs, engines, and corpus
     re-partitions, unlike randomSplit (which is seed- AND
-    partitioning-dependent). Pure Catalyst expression: no shuffle at all;
-    the assignment can be computed at scan time of any 100 TB corpus."""
-    d = widen(load_table(spark, sf_dir, "documents"))
+    partitioning-dependent). Pure Catalyst expression: no shuffle at all
+    (no widen() either — the md5 projection rides the scan; pinned
+    Exchange-free in tests/test_plans_shape.py), computable at scan time
+    of any 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents")
     bucket = md5_hash64(F.col("doc_id").cast("string"), seed=7) % 100
     split = (F.when(bucket < 80, "train")
               .when(bucket < 90, "val").otherwise("test"))

@@ -111,3 +111,31 @@ def test_sessionize_single_shuffle_key(spark, sf_dir):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n_exchanges == 1, p
     assert "hashpartitioning(user_id" in p, p
+
+
+def test_asof_join_is_window_not_nested_loop(spark, sf_dir):
+    """The as-of join must compile to a single keyed window scan — never
+    the BroadcastNestedLoopJoin an inequality join would produce."""
+    p = plan(contract.QUERIES["events_asof_latest_order"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" in p, p
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join must be a hash/sort-merge equi-join on
+    (key, bucket) — never a nested loop over the inequality predicate."""
+    p = plan(contract.QUERIES["events_range_join_clicks"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    p = plan(contract.QUERIES["text_vocab_top"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_split_assign_no_shuffle(spark, sf_dir):
+    """Hash-bucket split assignment is a pure scan-time projection."""
+    p = plan(contract.QUERIES["docs_split_assign"](spark, sf_dir))
+    assert "Exchange" not in p, p
