@@ -805,3 +805,46 @@ def docs_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("source")
              .agg(F.count(F.lit(1)).alias("n_total"),
                   F.sum(kept).cast("bigint").alias("n_kept")))
+
+
+@query("text_tfidf_top_terms", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tok
+             FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok <> ''
+       GROUP BY doc_id, tok),
+idf AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok WHERE tok <> ''
+        GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS token,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(idf.df AS BIGINT) AS df,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df), 6) AS tfidf
+  FROM tf JOIN idf ON tf.tok = idf.tok, n)
+SELECT doc_id, token, tf, df, tfidf FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token) AS rn
+  FROM scored)
+WHERE rn <= 3
+""")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance scoring: top-3 terms per document. Term
+    frequencies and document frequencies are two shuffles keyed by
+    (doc, token) and token; the corpus size joins in as a broadcast
+    1-row relation; the per-doc top-3 is a row_number window ordered by
+    the ROUNDed score (then token) so ordering can't flip on a libm-ulp
+    difference in ln() between engines."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    tok = (d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+           .filter(F.col("tok") != ""))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df, "tok").crossJoin(F.broadcast(n))
+              .select("doc_id", F.col("tok").alias("token"), "tf", "df",
+                      F.round(F.col("tf") * F.log(
+                          F.col("n_docs").cast("double") / F.col("df")), 6)
+                       .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "token", "tf", "df", "tfidf"))

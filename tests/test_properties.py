@@ -124,3 +124,66 @@ def test_time_bucket_total_cover(spark):
         [(dt.datetime(2024, 1, 1, h),) for h in range(24)], "ts timestamp")
     out = df.select(time_bucket(F.col("ts")).alias("b")).collect()
     assert all(r["b"] is not None for r in out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.decimals(min_value=0, max_value=1000, places=2),
+                min_size=1, max_size=40))
+def test_dec_avg_is_exact_for_2dp(spark, vals):
+    """dec_avg must equal the exact rational mean of 2dp values (computed
+    in python Fractions) to the double's correct rounding — independent of
+    anything Spark does with partitioning."""
+    from fractions import Fraction
+    from data_engineering_projects_spark.functions.determinism import dec_avg
+    fvals = [float(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in fvals], "v double").repartition(7)
+    got = df.agg(dec_avg(F.col("v")).alias("m")).collect()[0]["m"]
+    exact = sum(Fraction(str(v)) for v in fvals) / len(fvals)
+    assert abs(got - float(exact)) <= abs(float(exact)) * 1e-15 + 1e-15
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=0.1, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40))
+def test_fold_avg_matches_python_sorted_fold(spark, vals):
+    """fold_avg must be bit-identical to a python left fold over the
+    ascending-sorted values — the engine-neutral definition the DuckDB
+    oracle shares."""
+    from data_engineering_projects_spark.functions.determinism import fold_avg
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(5)
+    got = df.agg(fold_avg(F.col("v")).alias("m")).collect()[0]["m"]
+    acc = 0.0
+    for v in sorted(vals):
+        acc += v
+    assert got == acc / len(vals)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=25))
+def test_min_label_propagation_matches_union_find(spark, edges):
+    """Bounded propagation must agree with an exact union-find on graphs
+    whose diameter fits the iteration budget (25 edges -> diameter <= 25,
+    so iters=26 always converges)."""
+    from data_engineering_projects_spark.operators.clustering import (
+        propagate_min_labels)
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r.id: r.label
+           for r in propagate_min_labels(pairs, iters=26).collect()}
+    assert got == want
