@@ -106,3 +106,24 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(conf).exists(p)
+
+
+def read_jsonl(spark: SparkSession, paths: list[str] | str, schema=None,
+               corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """JSONL corpus reader — the interchange format of LLM training-data
+    pipelines (one JSON document per line).
+
+    With a declared ``schema`` the scan is single-pass and malformed lines
+    land in ``corrupt_col`` (PERMISSIVE mode) instead of failing the job —
+    at 100 TB a bad line must never kill the read, and the corrupt column
+    makes the bad rows auditable/quarantinable. Without a schema Spark
+    infers (an extra full pass — acceptable for exploration, never for
+    production scans; declare the schema at scale)."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        from pyspark.sql.types import StringType, StructField
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = schema.add(StructField(corrupt_col, StringType()))
+        reader = (reader.schema(schema)
+                  .option("columnNameOfCorruptRecord", corrupt_col))
+    return reader.json(paths)

@@ -150,3 +150,24 @@ def test_jdbc_roundtrip_append_and_overwrite(spark, tmp_path):
     got3 = spark.read.format("jdbc").option("url", url) \
         .option("dbtable", "t_rt").options(**drv).load()
     assert sorted((r.id, r.v) for r in got3.collect()) == [(9, "z")]
+
+
+def test_read_jsonl_with_corrupt_quarantine(spark, tmp_path):
+    """JSONL reader: declared schema, malformed lines quarantined into the
+    corrupt column instead of failing the scan."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    from data_engineering_projects_spark.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "hello world"}\n'
+                 'NOT VALID JSON\n'
+                 '{"doc_id": 2, "text": "second doc"}\n')
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    df = read_jsonl(spark, str(p), schema=schema)
+    rows = df.collect()
+    good = [(r.doc_id, r.text) for r in rows if r._corrupt_record is None]
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert sorted(good) == [(1, "hello world"), (2, "second doc")]
+    assert bad == ["NOT VALID JSON"]
