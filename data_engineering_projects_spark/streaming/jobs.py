@@ -205,3 +205,34 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .groupBy("user_id")
             .applyInPandasWithState(fn, _SESSION_SCHEMA, _STATE_SCHEMA,
                                     "Update", GroupStateTimeout.EventTimeTimeout))
+
+
+def hourly_congestion_stream(speed_events: DataFrame, dim_loc: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """The dbt ``int_hourly_congestion`` model as an incremental streaming
+    job (5_dbt/READ.md:398-485): watermarked hourly speed rollup per
+    location, enriched by a stream-static broadcast join to the location
+    dimension, congestion index computed per finalized window.
+
+    ``speed_events`` is a streaming DataFrame (ts, location_id, speed);
+    ``dim_loc`` is a *static* DataFrame (location_id, speed_limit, lanes).
+    The static side broadcasts — the stream never shuffles for the join,
+    only for the windowed aggregate; this is the standard dimension-
+    enrichment shape for unbounded pipelines."""
+    from ..functions import metrics as M
+
+    rollup = (speed_events
+              .withWatermark("ts", watermark)
+              .groupBy(F.window("ts", "1 hour").alias("w"),
+                       F.col("location_id"))
+              .agg(F.avg("speed").alias("avg_speed"),
+                   F.count(F.lit(1)).alias("reading_count")))
+    enriched = rollup.join(F.broadcast(dim_loc), "location_id", "left")
+    return enriched.select(
+        F.col("w.start").alias("recorded_hour"), "location_id",
+        "avg_speed", "reading_count", "speed_limit", "lanes",
+        M.speed_ratio(F.col("avg_speed"), F.col("speed_limit"))
+         .alias("speed_ratio"),
+        M.congestion_index(F.col("avg_speed"), F.lit(0),
+                           F.col("speed_limit"), F.col("lanes"))
+         .alias("congestion_index_novolume"))

@@ -255,3 +255,44 @@ def test_streaming_pipeline_matches_dbt_hourly_metrics(spark, tmp_path):
         | (F.col("g.max_value") != F.col("w.max_speed"))
         | (F.col("g.n_events") != F.col("w.reading_count"))).count()
     assert mismatch == 0
+
+
+def test_hourly_congestion_stream_matches_batch_model(spark, tmp_path):
+    """Stream-static enrichment: the streaming congestion rollup must
+    agree with the batch dbt intermediate model on every finalized
+    window (speed metrics + dim attributes + ratio arithmetic)."""
+    from data_engineering_projects_spark.functions.cleaning import clean_range
+    from data_engineering_projects_spark.streaming.jobs import (
+        hourly_congestion_stream)
+    from data_engineering_projects_spark.contract.traffic import (
+        _congestion_hourly, _dim_loc)
+
+    src = tmp_path / "speed_src"
+    ev = load_table(spark, SF, "events")
+    staged = (ev.filter(F.col("event_type") == "view")
+                .select("ts", F.col("user_id").alias("location_id"),
+                        clean_range(F.col("value"), 0, 120).alias("speed"))
+                .filter(F.col("speed").isNotNull()))
+    staged.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(staged.schema).parquet(str(src))
+    q = (hourly_congestion_stream(stream, _dim_loc(spark, SF))
+         .writeStream.format("memory").queryName("cong")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.table("cong")
+    want = (_congestion_hourly(spark, SF)
+            .filter(F.col("avg_speed").isNotNull())
+            .select("location_id", "recorded_hour", "avg_speed",
+                    "speed_limit", "lanes",
+                    F.col("speed_ratio_raw").alias("speed_ratio")))
+    j = got.alias("g").join(want.alias("w"), ["location_id", "recorded_hour"])
+    assert j.count() == got.count() > 0
+    mismatch = j.filter(
+        (F.abs(F.col("g.avg_speed") - F.col("w.avg_speed")) > 1e-9)
+        | (F.col("g.speed_limit") != F.col("w.speed_limit"))
+        | (F.col("g.lanes") != F.col("w.lanes"))
+        | (F.abs(F.col("g.speed_ratio") - F.col("w.speed_ratio")) > 1e-9)
+    ).count()
+    assert mismatch == 0
