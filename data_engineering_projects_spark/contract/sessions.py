@@ -289,3 +289,25 @@ def events_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("event_id", "user_id",
                        F.coalesce("n_matched", F.lit(0)).cast("bigint")
                         .alias("n_clicks")))
+
+
+@query("events_cube_type_day", f"""
+WITH ev AS ({EV})
+SELECT event_type, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n, ROUND({DEC_SUM_SQL.format(c='value', s=2)}, 3) AS total_value
+FROM ev
+WHERE CAST(ts AS DATE) <= DATE '2024-01-07'
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+""")
+def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (the full lattice, complementing
+    ``events_rollup_daily``'s hierarchy): (type, day), (type), (day), and
+    grand total in ONE pass — Spark expands the grouping sets and still
+    applies partial aggregation per set before the single shuffle,
+    replacing four separate scans at 100 TB. Sums route through the exact
+    DECIMAL path so every grouping level hashes deterministically."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.to_date("ts") <= F.lit("2024-01-07").cast("date")))
+    return (ev.cube("event_type", F.to_date("ts").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(dec_sum(F.col("value")), 3).alias("total_value")))
