@@ -524,3 +524,81 @@ def star_priority_bigorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.round(F.avg((F.col("o_totalprice") > 100000).cast("int")), 6)
                    .alias("big_rate"),
                   F.count(F.lit(1)).alias("n")))
+
+
+@query("customers_cohort_setops", """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                   AND TIMESTAMP '1996-12-31'),
+y97 AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+                              AND TIMESTAMP '1997-12-31'),
+retained AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97),
+churned AS (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97),
+acquired AS (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+SELECT 'retained' AS cohort, CAST(COUNT(*) AS BIGINT) AS n FROM retained
+UNION ALL
+SELECT 'churned' AS cohort, CAST(COUNT(*) AS BIGINT) AS n FROM churned
+UNION ALL
+SELECT 'acquired' AS cohort, CAST(COUNT(*) AS BIGINT) AS n FROM acquired
+""")
+def customers_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year retention cohorts via INTERSECT / EXCEPT — the two
+    set operations UNION-only coverage (U1) left out. Spark plans both as
+    key-partitioned joins (semi for intersect, anti for except) on the
+    deduplicated customer keys: shuffle only the key column, never the
+    order rows."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: str):
+        return (o.filter(F.col("o_orderdate").between(
+                    F.lit(f"{y}-01-01").cast("timestamp"),
+                    F.lit(f"{y}-12-31").cast("timestamp")))
+                 .select("o_custkey").distinct())
+
+    y96, y97 = year_keys("1996"), year_keys("1997")
+    def count_as(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n")) \
+                 .select(F.lit(name).alias("cohort"), "n")
+    return (count_as(y96.intersect(y97), "retained")
+            .unionByName(count_as(y96.exceptAll(y97), "churned"))
+            .unionByName(count_as(y97.exceptAll(y96), "acquired")))
+
+
+@query("events_value_hour_corr", f"""
+WITH ev AS ({EV}),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(hour(ts)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * hour(ts)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(hour(ts) * hour(ts)) AS DOUBLE) AS syy
+  FROM ev GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_value_hour
+FROM m
+""")
+def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (value vs hour-of-day) per event type, computed
+    from *exact* DECIMAL/integer moment sums instead of the engine's
+    Welford accumulator — the same determinism treatment as the 3-sigma
+    stddev: order-independent sums, identical double expression tree on
+    both engines (functions/determinism.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    h = F.hour("ts")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(h).cast("double").alias("sy"),
+        F.sum(dec * h).cast("double").alias("sxy"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+        F.sum(h * h).cast("double").alias("syy"))
+    corr = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                     * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return m.select("event_type", F.col("n").cast("bigint").alias("n"),
+                    F.round(corr, 6).alias("corr_value_hour"))
