@@ -122,3 +122,53 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(load_table(spark, sf_dir, "documents"))
     media = attach_fake_media(docs, "doc_id", "text")
     return decode_images(media, decoder=fake_image_decoder)
+
+
+@query("events_latest_per_user", f"""
+WITH ev AS ({EV})
+SELECT user_id, event_id, ts, event_type, ROUND(value, 2) AS value FROM (
+  SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+WHERE rn = 1
+""")
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (the CDC compaction / upsert-log
+    resolution op): one row_number window per key, ordered by event time
+    with the id as a deterministic tie-break. Single shuffle on the key;
+    at 100 TB this is the standard change-log → current-state collapse."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("user_id", "event_id", "ts", "event_type",
+                      F.round("value", 2).alias("value")))
+
+
+@query("events_scd2_intervals", f"""
+WITH ev AS ({EV}),
+chg AS (SELECT user_id, ts, event_id,
+               CAST(floor(value) AS INT) % 5 + 1 AS status
+        FROM ev WHERE event_type = 'error')
+SELECT user_id, status, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS INT) AS is_current
+FROM chg
+""")
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log (the dbt
+    *snapshot* analog, 5_dbt family): each status change opens a validity
+    interval closed by the next change's timestamp (LEAD window; NULL
+    valid_to marks the current version). Deterministic ordering via
+    (ts, event_id). One shuffle on the entity key — the scalable SCD2
+    build for any 100 TB history."""
+    ev = load_table(spark, sf_dir, "events")
+    chg = (ev.filter(F.col("event_type") == "error")
+           .select("user_id", "ts", "event_id",
+                   (F.floor("value").cast("int") % 5 + 1).alias("status")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return chg.select("user_id", "status", F.col("ts").alias("valid_from"),
+                      nxt.alias("valid_to"),
+                      nxt.isNull().cast("int").alias("is_current"))

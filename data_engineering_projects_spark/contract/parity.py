@@ -602,3 +602,41 @@ def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
     return m.select("event_type", F.col("n").cast("bigint").alias("n"),
                     F.round(corr, 6).alias("corr_value_hour"))
+
+
+@query("star_nation_revenue_share", f"""
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         ROUND(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name)
+SELECT region, nation, revenue,
+       ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                            OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS region_share
+FROM nat
+""")
+def star_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each nation's share of its
+    region's revenue via a window SUM over the grouped result. The window
+    total re-enters the exact DECIMAL domain (the 2dp rounded revenue
+    casts back exactly), so the 5-row window sum is order-independent —
+    a raw double window SUM would depend on partition row order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    nat = (j.groupBy(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 2)
+                  .alias("revenue")))
+    w = Window.partitionBy("region")
+    total = F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+    return nat.select("region", "nation", "revenue",
+                      F.round(F.col("revenue") / total, 6).alias("region_share"))
