@@ -139,3 +139,30 @@ def test_split_assign_no_shuffle(spark, sf_dir):
     """Hash-bucket split assignment is a pure scan-time projection."""
     p = plan(contract.QUERIES["docs_split_assign"](spark, sf_dir))
     assert "Exchange" not in p, p
+
+
+#: Queries whose plan legitimately contains a nested-loop join: a 1-row
+#: aggregate relation broadcast against the fact table (the 3-sigma /
+#: quantile-band shape) — a single-row NLJ, not an O(n*m) cartesian.
+_ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
+                         "text_tfidf_top_terms",
+                         # documented exactness baseline: the bounded
+                         # query set broadcast against the corpus IS the
+                         # brute-force definition; blas/ivf are the scale
+                         # paths
+                         "embed_knn_brute"}
+
+
+@pytest.mark.parametrize("name", sorted(contract.QUERIES))
+def test_no_accidental_cartesian_or_python_row_udf(spark, sf_dir, name):
+    """Global plan lint: no contract query may contain a cartesian
+    product, an unexpected nested-loop join, or a row-at-a-time Python
+    UDF (BatchEvalPython) — the three plan shapes that do not survive a
+    100x scale-up. Arrow-batched mapInPandas/ArrowEvalPython stages are
+    allowed (that's the sanctioned Python boundary)."""
+    p = plan(contract.QUERIES[name](spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in p, f"{name}: cartesian product\n{p}"
+    assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF\n{p}"
+    if name not in _ONE_ROW_BROADCAST_OK:
+        assert "BroadcastNestedLoopJoin" not in p, \
+            f"{name}: unexpected nested-loop join\n{p}"
