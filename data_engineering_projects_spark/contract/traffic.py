@@ -194,24 +194,32 @@ def _congestion_hourly(spark, sf_dir) -> DataFrame:
 @query("dbt_congestion_hourly", _CONGESTION_CTE + """
 SELECT location_id, recorded_hour, ROUND(avg_speed, 6) AS avg_speed,
        total_volume, incident_count, max_severity, speed_limit, lanes,
-       ROUND(congestion_raw, 6) AS congestion_index,
+       ROUND(congestion_raw, 6) + 0.0 AS congestion_index,
        ROUND(speed_ratio_raw, 6) AS speed_ratio
 FROM congestion
 """)
 def dbt_congestion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt intermediate model end-to-end (J3+J4+J5+A7+A8+A9+E9+E10).
 
-    Determinism (the CORRECTNESS_r01 red row, fixed by construction):
-    ``avg_speed`` is an exact DECIMAL sum over the 2dp speeds divided by
-    the count — order-independent, so the congestion/speed-ratio expression
-    trees yield bit-identical doubles on Spark and DuckDB and the 6dp
-    ROUNDs can no longer flip on a summation-order ulp."""
+    Determinism: ``avg_speed`` is an exact DECIMAL sum over the 2dp speeds
+    divided by the count — order-independent, so the congestion/speed-ratio
+    expression trees yield bit-identical doubles on Spark and DuckDB and the
+    6dp ROUNDs can no longer flip on a summation-order ulp.
+
+    Signed zero (the r1/r2 red row's actual root cause, per round-2
+    verdict): where coalesced volume = 0 and avg_speed > speed_limit,
+    ``congestion_raw = (negative ratio) * 0.0 = -0.0``; DuckDB's
+    ``ROUND(-0.0, 6)`` preserves ``-0.0`` while Spark's BigDecimal ROUND
+    normalizes to ``+0.0``. Both sides therefore add ``+ 0.0`` after the
+    ROUND (IEEE 754: ``-0.0 + 0.0 = +0.0``; every other value unchanged)
+    so a negative zero can never reach either engine's output."""
     e = _congestion_hourly(spark, sf_dir)
     return e.select("location_id", "recorded_hour",
                     F.round("avg_speed", 6).alias("avg_speed"),
                     "total_volume", "incident_count", "max_severity",
                     "speed_limit", "lanes",
-                    F.round("congestion_raw", 6).alias("congestion_index"),
+                    (F.round("congestion_raw", 6) + F.lit(0.0))
+                    .alias("congestion_index"),
                     F.round("speed_ratio_raw", 6).alias("speed_ratio"))
 
 

@@ -31,9 +31,11 @@ def _canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == 0:
-            v = 0.0  # normalize -0.0
-        return f"{v:.10g}"
+        # repr-level (shortest round-trip) strictness: distinguishes -0.0
+        # from 0.0 and every ulp — matches the driver's hash, which caught a
+        # signed-zero divergence the old %.10g + zero-normalizing canon
+        # masked for two rounds (see round-2 VERDICT.md).
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):

@@ -159,6 +159,39 @@ def test_fold_avg_matches_python_sorted_fold(spark, vals):
     assert got == acc / len(vals)
 
 
+def test_canon_is_signed_zero_and_ulp_strict():
+    """The local oracle canon must be at least as strict as the driver's
+    hash: it distinguishes -0.0 from 0.0 (the masked r1/r2 red-row class)
+    and single-ulp float differences; NaN still canonicalizes to NULL."""
+    from tests.oracle import _canon_cell
+    assert _canon_cell(-0.0) != _canon_cell(0.0)
+    assert _canon_cell(1.0 + 2.220446049250313e-16) != _canon_cell(1.0)
+    assert _canon_cell(float("nan")) == "NULL"
+    assert _canon_cell(0.1 + 0.2) != _canon_cell(0.3)
+
+
+def test_plus_zero_kills_signed_zero_on_both_engines(spark):
+    """The dbt_congestion_hourly guard: ROUND(negative*0.0, 6) diverges
+    between engines (DuckDB keeps -0.0, Spark's BigDecimal ROUND yields
+    +0.0); appending `+ 0.0` makes both emit +0.0 with every other value
+    untouched (IEEE 754: -0.0 + 0.0 = +0.0)."""
+    import duckdb
+    s_raw = spark.sql(
+        "SELECT ROUND(CAST(-1.5 AS DOUBLE) * CAST(0.0 AS DOUBLE), 6) AS v"
+    ).collect()[0]["v"]
+    d_raw = duckdb.sql(
+        "SELECT ROUND(CAST(-1.5 AS DOUBLE) * CAST(0.0 AS DOUBLE), 6) AS v"
+    ).fetchone()[0]
+    assert repr(s_raw) == "0.0" and repr(d_raw) == "-0.0"  # the divergence
+    s = spark.sql(
+        "SELECT ROUND(CAST(-1.5 AS DOUBLE) * CAST(0.0 AS DOUBLE), 6) + 0.0 AS v"
+    ).collect()[0]["v"]
+    d = duckdb.sql(
+        "SELECT ROUND(CAST(-1.5 AS DOUBLE) * CAST(0.0 AS DOUBLE), 6) + 0.0 AS v"
+    ).fetchone()[0]
+    assert repr(s) == repr(d) == "0.0"
+
+
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
                 min_size=1, max_size=25))
