@@ -26,9 +26,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["aws_tti_top10"](spark, "/root/testdata/sf0.001")
 
 
+# Enumerated first: the 15 queries CORRECTNESS_r02.json had no row for
+# (the driver appeared to cap/sample at 50 of 65) — front-loading them
+# guarantees every registry entry gets a driver-side hash row even if the
+# cap recurs. Remaining queries follow in registration order.
+_NEVER_CHECKED_R2 = [
+    "events_asof_latest_order", "events_cube_type_day",
+    "events_latest_per_user", "events_range_join_clicks",
+    "events_scd2_intervals", "multimodal_image_features",
+    "dbt_time_bucket_rollup", "star_nation_rank_global",
+    "events_sessionize", "orders_with_bigticket_items",
+    "orders_above_customer_avg", "events_props_json",
+    "events_type_normalize", "events_rollup_daily", "orders_asof_window",
+]
+
+
+def _ordered(d: dict) -> dict:
+    front = {k: d[k] for k in _NEVER_CHECKED_R2 if k in d}
+    return front | {k: v for k, v in d.items() if k not in front}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

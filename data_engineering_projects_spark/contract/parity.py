@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from ..functions.temporal import period_bucket, PERIOD_BUCKET_SQL
 from ..functions import metrics as M
 from ..functions.determinism import (
-    DEC_AVG_SQL, DEC_SUM_SQL, FOLD_AVG_SQL, dec_avg, dec_sum, fold_avg)
+    DEC_AVG_SQL, DEC_SUM_SQL, FOLD_AVG_SQL, FOLD_SUM_SQL,
+    dec_avg, dec_sum, fold_avg, fold_sum)
 from ..operators.topk import topk_limit, topk_keys_semijoin
 from ..operators.windows import lag_diff, pct_change
 from ..operators.pivot import pivot_agg
@@ -263,11 +264,14 @@ def snowflake_lottr_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("snowflake_lottr_trend", f"""
 WITH ev AS ({EV}),
 d AS (SELECT user_id, CAST(ts AS DATE) AS day, value, {PERIOD} AS period FROM ev),
-q AS (SELECT day, user_id, period,
+q AS (SELECT day, user_id, user_id % 64 AS bucket,
              quantile_cont(value, 0.80) / quantile_cont(value, 0.50) AS lottr
-      FROM d WHERE period IS NOT NULL GROUP BY day, user_id, period),
-daily AS (SELECT day, {FOLD_AVG_SQL.format(c='lottr')} AS avg_lottr
-          FROM q GROUP BY day)
+      FROM d WHERE period IS NOT NULL GROUP BY day, user_id, user_id % 64, period),
+b AS (SELECT day, bucket, {FOLD_SUM_SQL.format(c='lottr')} AS bsum,
+             COUNT(lottr) AS bn
+      FROM q WHERE lottr IS NOT NULL GROUP BY day, bucket),
+daily AS (SELECT day, {FOLD_SUM_SQL.format(c='bsum')} / SUM(bn) AS avg_lottr
+          FROM b GROUP BY day)
 SELECT day, ROUND(avg_lottr, 6) AS avg_lottr,
        ROUND(COALESCE((avg_lottr - LAG(avg_lottr) OVER (ORDER BY day))
                       / LAG(avg_lottr) OVER (ORDER BY day), 0), 6) AS lottr_pct_change
@@ -279,19 +283,29 @@ def snowflake_lottr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct here because the series is one row per day (§7.4 trap #3);
     the heavy lifting (the groupBys) stays fully parallel.
 
-    The per-day mean sums the derived ratios in sorted order (``fold_avg``)
-    — quantizing them through a DECIMAL cast is NOT safe here: percentile
-    ratios of 2dp data land exactly on 7-decimal rationals (e.g.
-    1.2521875), where Spark's shortest-repr HALF_UP cast and DuckDB's
-    float-multiply cast disagree. The fold needs no cast at all; the
-    per-day group is bounded by segment count x 5 periods (~8 MB per
-    group at 1M segments — acceptable buffer, functions/determinism.py)."""
+    The per-day mean sums the derived ratios in sorted order — quantizing
+    them through a DECIMAL cast is NOT safe: percentile ratios of 2dp
+    data land exactly on 7-decimal rationals (e.g. 1.2521875), where
+    Spark's shortest-repr HALF_UP cast and DuckDB's float-multiply cast
+    disagree. A single fold's buffer would be data-bounded (users x
+    periods per day), so this is the *two-level fold*: fold per (day,
+    user_id % 64 bucket) — per-bucket fan-in is 1/64th of the day —
+    then fold the <= 64 bucket sums and divide by the summed counts.
+    Both levels are pure functions of their input multisets, so Spark
+    and DuckDB agree bit-for-bit, and the bucket count is the memory
+    knob at 100 TB (functions/determinism.py::fold_sum)."""
     lottr = (_tt(spark, sf_dir)
              .filter(F.col("period").isNotNull())
              .withColumn("day", F.to_date("ts"))
-             .groupBy("day", "user_id", "period")
+             .withColumn("bucket", F.col("user_id") % 64)
+             .groupBy("day", "user_id", "bucket", "period")
              .agg((F.percentile("value", 0.8) / F.percentile("value", 0.5)).alias("lottr")))
-    daily = lottr.groupBy("day").agg(fold_avg(F.col("lottr")).alias("avg_lottr"))
+    buckets = (lottr.filter(F.col("lottr").isNotNull())
+               .groupBy("day", "bucket")
+               .agg(fold_sum(F.col("lottr")).alias("bsum"),
+                    F.count("lottr").alias("bn")))
+    daily = (buckets.groupBy("day")
+             .agg((fold_sum(F.col("bsum")) / F.sum("bn")).alias("avg_lottr")))
     out = pct_change(daily, "avg_lottr", "day", out_col="lottr_pct_change")
     return out.select("day", F.round("avg_lottr", 6).alias("avg_lottr"),
                       F.round("lottr_pct_change", 6).alias("lottr_pct_change"))
@@ -578,7 +592,8 @@ m AS (
   FROM ev GROUP BY event_type)
 SELECT event_type, CAST(n AS BIGINT) AS n,
        ROUND((n * sxy - sx * sy)
-             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_value_hour
+             / NULLIF(SQRT(GREATEST((n * sxx - sx * sx) * (n * syy - sy * sy),
+                                    0.0)), 0.0), 6) AS corr_value_hour
 FROM m
 """)
 def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,7 +601,13 @@ def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from *exact* DECIMAL/integer moment sums instead of the engine's
     Welford accumulator — the same determinism treatment as the 3-sigma
     stddev: order-independent sums, identical double expression tree on
-    both engines (functions/determinism.py)."""
+    both engines (functions/determinism.py).
+
+    The variance product is cancellation-prone: for a (near-)constant
+    group it can land a few ulps below zero, where DuckDB's SQRT raises
+    ``Out of Range Error`` while Spark returns NaN. Both engines clamp
+    with GREATEST(expr, 0) and NULLIF the zero denominator (undefined
+    correlation -> NULL on both) so the oracle can never hard-error."""
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     h = F.hour("ts")
@@ -597,9 +618,10 @@ def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec * h).cast("double").alias("sxy"),
         F.sum(dec * dec).cast("double").alias("sxx"),
         F.sum(h * h).cast("double").alias("syy"))
-    corr = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                     * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
+    var_prod = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    denom = F.nullif(F.sqrt(F.greatest(var_prod, F.lit(0.0))), F.lit(0.0))
+    corr = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
     return m.select("event_type", F.col("n").cast("bigint").alias("n"),
                     F.round(corr, 6).alias("corr_value_hour"))
 

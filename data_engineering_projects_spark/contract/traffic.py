@@ -360,10 +360,11 @@ sums AS (
          COUNT(value) AS n
   FROM ev),
 stats AS (
-  SELECT s1 / n AS avg_v, SQRT((s2 - (s1 * s1) / n) / (n - 1)) AS std_v
+  SELECT s1 / n AS avg_v,
+         SQRT(GREATEST((s2 - (s1 * s1) / n) / (n - 1), 0.0)) AS std_v
   FROM sums)
 SELECT e.event_id, e.value,
-       ROUND((e.value - s.avg_v) / s.std_v, 6) AS zscore
+       ROUND((e.value - s.avg_v) / NULLIF(s.std_v, 0.0), 6) AS zscore
 FROM ev e, stats s
 WHERE e.value > s.avg_v + 3 * s.std_v OR e.value < s.avg_v - 3 * s.std_v
 """)
@@ -376,7 +377,13 @@ def dbt_outlier_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     form) instead of the engine's Welford accumulator: the moment sums are
     order-independent, so the 3-sigma row membership and zscores are
     identical across runs and engines — a value within ulps of the cut
-    can't flip in or out (functions/determinism.py)."""
+    can't flip in or out (functions/determinism.py).
+
+    The variance expression is cancellation-prone: on a (near-)constant
+    table it can land a few ulps below zero, where DuckDB's SQRT raises
+    ``Out of Range Error`` while Spark returns NaN. Both engines clamp
+    with GREATEST(expr, 0) and NULLIF the zero stddev in the zscore
+    division so the oracle can never hard-error."""
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     sums = ev.agg(F.sum(dec).cast("double").alias("s1"),
@@ -384,11 +391,13 @@ def dbt_outlier_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("value").alias("n"))
     stats = sums.select(
         (F.col("s1") / F.col("n")).alias("avg_v"),
-        F.sqrt((F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n"))
-               / (F.col("n") - 1)).alias("std_v"))
+        F.sqrt(F.greatest(
+            (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n"))
+            / (F.col("n") - 1), F.lit(0.0))).alias("std_v"))
     j = ev.crossJoin(F.broadcast(stats))
     out = j.filter((F.col("value") > F.col("avg_v") + 3 * F.col("std_v"))
                    | (F.col("value") < F.col("avg_v") - 3 * F.col("std_v")))
+    zden = F.nullif(F.col("std_v"), F.lit(0.0))
     return out.select("event_id", "value",
-                      F.round((F.col("value") - F.col("avg_v")) / F.col("std_v"), 6)
+                      F.round((F.col("value") - F.col("avg_v")) / zden, 6)
                        .alias("zscore"))

@@ -78,3 +78,24 @@ def fold_avg(col: Column) -> Column:
 #: DuckDB rendering of :func:`fold_avg` — the ordered aggregate feeds SUM's
 #: accumulator in ascending order, i.e. the same sequential fold.
 FOLD_AVG_SQL = "(SUM({c} ORDER BY {c}) / COUNT({c}))"
+
+
+def fold_sum(col: Column) -> Column:
+    """Order-independent sum of derived doubles: sequential left fold over
+    the ascending-sorted values. NULLs dropped (collect_list skips them).
+    Empty/all-NULL groups yield 0.0 where DuckDB's ordered SUM yields NULL
+    — callers must pre-filter NULLs or guarantee non-empty groups.
+
+    Building block for the *two-level fold*: when a group's fan-in is
+    data-bounded (not schema-bounded), fold per (group, hash-bucket)
+    first — the per-bucket buffer is fan-in/B — then fold the <= B bucket
+    sums and divide by the summed counts. Each level is a pure function
+    of its input multiset, so determinism is preserved, and B is a knob
+    sized so per-bucket collect_list fits executor memory at target
+    scale."""
+    arr = F.array_sort(F.collect_list(col))
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+#: DuckDB rendering of :func:`fold_sum`.
+FOLD_SUM_SQL = "SUM({c} ORDER BY {c})"

@@ -29,7 +29,25 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
                        value_cols: list[str]) -> DataFrame:
     """Left as-of join: every left row + ``value_cols`` from the latest
     right row with ``right_ts <= left_ts`` for the same ``key`` (NULLs
-    when no such row exists). ``right`` must be unique per (key, ts)."""
+    when no such row exists). ``right`` must be unique per (key, ts).
+
+    ``value_cols`` must be disjoint from ``left``'s columns: unionByName
+    would otherwise merge them, letting left-side values participate in
+    the carry-forward window and surface as the "matched" right value —
+    a silent corruption. Enforced here (mirroring interval_join's
+    disjoint-columns contract) along with the ``__t``/``__side``
+    scratch-name reservation."""
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join_backward: value_cols {sorted(clash)} already exist "
+            "on the left side; rename them on one side first")
+    reserved = {"__t", "__side"}
+    used = (set(left.columns) | set(right.columns)) & reserved
+    if used:
+        raise ValueError(
+            f"asof_join_backward: column names {sorted(used)} are reserved "
+            "scratch names for this operator")
     r = (right.select(F.col(key), F.col(right_ts).alias("__t"),
                       *[F.col(c) for c in value_cols])
          .withColumn("__side", F.lit(0)))

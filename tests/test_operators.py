@@ -119,6 +119,23 @@ def test_asof_join_backward_semantics(spark):
                    "e3": None}     # rt=60 is after t=50
 
 
+def test_asof_join_backward_rejects_column_clash(spark):
+    """value_cols colliding with left columns would silently corrupt the
+    carry-forward window (left values surface as 'matched' right values);
+    the operator must refuse, as must reserved scratch names."""
+    import pytest
+    from data_engineering_projects_spark.operators.asof import (
+        asof_join_backward)
+    left = spark.createDataFrame([(1, 10, 1.0)], "k long, t long, px double")
+    right = spark.createDataFrame([(1, 5, 2.0)], "k long, rt long, px double")
+    with pytest.raises(ValueError, match="value_cols.*px"):
+        asof_join_backward(left, right, "k", "t", "rt", ["px"])
+    l2 = left.withColumnRenamed("px", "__side")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join_backward(l2, right.withColumnRenamed("px", "v"),
+                           "k", "t", "rt", ["v"])
+
+
 def test_interval_join_bucket_boundaries(spark):
     """Points exactly on interval endpoints match (inclusive); intervals
     spanning multiple buckets still match each point exactly once."""
