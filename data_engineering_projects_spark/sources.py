@@ -78,6 +78,23 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         df.createOrReplaceTempView(n)
 
 
+def typed_props_view(spark: SparkSession, sf_dir: str,
+                     schema: str = "k BIGINT",
+                     props_col: str = "props") -> DataFrame:
+    """Events with the loose JSON ``props`` payload parsed ONCE into a
+    typed struct column (``from_json`` with a declared schema) — the
+    100 TB pattern for semi-structured event streams: every downstream
+    reference reads a struct field (columnar, codegen'd) instead of
+    re-running a Jackson parse per ``get_json_object`` call.
+
+    Lazy like every source here, so Catalyst prunes the parse away
+    entirely for queries that never touch ``props_struct``; materialize
+    it (write to parquet with the struct column) when many jobs share
+    the same hot paths."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("props_struct", F.from_json(props_col, schema))
+
+
 def read_csv_glob(spark: SparkSession, paths: list[str], schema=None,
                   header: bool = True) -> DataFrame:
     """S1/S2: multi-path CSV scan with skip-on-missing semantics.

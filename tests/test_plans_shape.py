@@ -150,7 +150,11 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          # query set broadcast against the corpus IS the
                          # brute-force definition; blas/ivf are the scale
                          # paths
-                         "embed_knn_brute"}
+                         "embed_knn_brute",
+                         # IVF probe selection: queries x the (tiny by
+                         # construction) coarse-quantizer centroid table —
+                         # the search itself stays a cell-keyed equi-join
+                         "embed_knn_ivf_nprobe"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))

@@ -220,3 +220,44 @@ def test_min_label_propagation_matches_union_find(spark, edges):
     got = {r.id: r.label
            for r in propagate_min_labels(pairs, iters=26).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=25))
+def test_star_contraction_matches_union_find(spark, edges):
+    """connected_components_star must agree with exact union-find on ANY
+    graph (it is exact CC, no diameter bound) — including duplicate and
+    self-loop edges."""
+    from data_engineering_projects_spark.operators.clustering import (
+        connected_components_star)
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r.id: r.label
+           for r in connected_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_star_contraction_long_chain(spark):
+    """A 60-node path (diameter 59) — far beyond propagate_min_labels'
+    default budget — must fully label in O(log d) star rounds."""
+    from data_engineering_projects_spark.operators.clustering import (
+        connected_components_star)
+    chain = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    got = {r.id: r.label for r in connected_components_star(pairs).collect()}
+    assert got == {i: 0 for i in range(61)}

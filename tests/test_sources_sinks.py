@@ -48,6 +48,27 @@ def test_register_views(spark, sf_dir):
     assert got.count() == 5
 
 
+def test_typed_props_view_parses_once_and_prunes(spark, sf_dir):
+    """The typed event-props source: struct field equals the per-call JSON
+    path extraction, and a query that never touches the struct carries no
+    from_json in its optimized plan (Catalyst prunes the parse)."""
+    import contextlib
+    import io
+    from data_engineering_projects_spark.sources import typed_props_view
+    tv = typed_props_view(spark, sf_dir)
+    both = tv.select(
+        F.col("props_struct").getField("k").alias("typed"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("pathed"))
+    assert both.filter(
+        ~F.col("typed").eqNullSafe(F.col("pathed"))).isEmpty()
+    pruned = tv.select("event_id", "event_type")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("extended")
+    optimized = buf.getvalue().split("== Optimized Logical Plan ==")[1]
+    assert "from_json" not in optimized
+
+
 def test_partitioned_clustered_write(spark, tmp_path, sf_dir):
     """S11 (5_dbt/READ.md:389-394): day-partition + sort-within-partition
     clustering; the partition column prunes on re-read."""
