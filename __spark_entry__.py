@@ -31,7 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # guarantees every registry entry gets a driver-side hash row even if the
 # cap recurs. Remaining queries follow in registration order.
 _NEVER_CHECKED_R2 = [
-    "embed_knn_ivf_nprobe",  # new in round 3
+    # new in round 3
+    "embed_knn_ivf_nprobe", "dedup_clusters_star",
+    "docs_eval_contamination", "docs_repetition_score",
     "events_asof_latest_order", "events_cube_type_day",
     "events_latest_per_user", "events_range_join_clicks",
     "events_scd2_intervals", "multimodal_image_features",

@@ -28,7 +28,9 @@ from ..functions.text import (
 )
 from ..functions.determinism import DEC_AVG_SQL, dec_avg
 from ..functions.vectors import cosine_similarity, cosine_sql
-from ..operators.clustering import min_label_sql, propagate_min_labels, DEFAULT_CC_ITERS
+from ..operators.clustering import (
+    connected_components_star, min_label_sql, propagate_min_labels,
+    DEFAULT_CC_ITERS)
 from ..sources import load_table, widen
 from . import query
 
@@ -427,6 +429,121 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label").alias("cluster_id"),
                     (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
                     "n_members"))
+
+
+@query("dedup_clusters_star", min_label_sql(_MH_PAIRS_CTE) + f"""
+SELECT id AS doc_id, label AS cluster_id,
+       CAST(id = label AS INT) AS is_canonical,
+       COUNT(*) OVER (PARTITION BY label) AS n_members
+FROM l{DEFAULT_CC_ITERS}
+""")
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` computed by the OTHER algorithm: exact connected
+    components via alternating large-star/small-star contraction
+    (operators/clustering.py::connected_components_star) instead of
+    bounded min-label propagation. Two independent implementations must
+    agree to the hash — and the oracle is the same fixed-k min-label CTE
+    chain, valid because exact CC equals converged min-labels whenever
+    component diameters fit the oracle's k (near-dup components are
+    near-cliques; the propagation converges in 2 rounds on this graph,
+    far under k=8). This is the operator to swap in at 100 TB when the
+    pair graph's diameter is unknown: O(log d) rounds instead of O(d)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    w = Window.partitionBy("label")
+    return (labels.withColumn("n_members", F.count(F.lit(1)).over(w))
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                    (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
+                    "n_members"))
+
+
+_CONTAM_K = 5  #: n-gram order for eval-set contamination (verbatim overlap)
+_CONTAM_EVAL_MOD = 50  #: doc_id % MOD == 0 plays the held-out eval set
+
+
+@query("docs_eval_contamination", f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({shingles_sql('text', k=_CONTAM_K)},
+                                      s -> {md5_hash64_sql('s', seed=0)})) AS g
+  FROM documents),
+ev AS (SELECT doc_id AS eval_id, unnest(g) AS h, len(g) AS n_eval
+       FROM sh WHERE doc_id % {_CONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_id, unnest(g) AS h
+       FROM sh WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0)
+SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_eval, 6) AS contamination
+FROM tr JOIN ev USING (h)
+GROUP BY train_id, eval_id, n_eval
+""")
+def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the pre-training hygiene step:
+    find training documents sharing verbatim 5-gram spans with a held-out
+    eval set (here the ``doc_id % 50 == 0`` slice; in production, the
+    benchmark suites). ``contamination`` is the fraction of the eval
+    doc's distinct n-grams present in the train doc.
+
+    Scale shape: same inverted-index discipline as the dedup family —
+    explode hashed n-grams, equi-join on the 8-byte hash, never
+    all-pairs. The eval side is tiny by construction (it's an eval set),
+    so the join broadcasts it at any corpus scale; a df-cap on stop
+    n-grams (see ``_DF_CAP``) is the lever if eval docs contain
+    boilerplate."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    g = F.array_distinct(
+        F.transform(shingles_from_tokens("toks", _CONTAM_K),
+                    lambda s: md5_hash64(s, seed=0)))
+    sh = toks.select("doc_id", g.alias("g"))
+    ev = (sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0)
+          .select(F.col("doc_id").alias("eval_id"),
+                  F.size("g").alias("n_eval"),
+                  F.explode("g").alias("h")))
+    tr = (sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0)
+          .select(F.col("doc_id").alias("train_id"), F.explode("g").alias("h")))
+    return (tr.join(F.broadcast(ev), "h")
+            .groupBy("train_id", "eval_id", "n_eval")
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+            .select("train_id", "eval_id",
+                    F.col("n_shared_ngrams").cast("bigint")
+                    .alias("n_shared_ngrams"),
+                    F.round(F.col("n_shared_ngrams").cast("double")
+                            / F.col("n_eval"), 6).alias("contamination")))
+
+
+@query("docs_repetition_score", f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_transform({shingles_sql('text', k=3)},
+                        s -> {md5_hash64_sql('s', seed=0)}) AS g
+  FROM documents)
+SELECT doc_id, source,
+       CAST(len(g) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / NULLIF(len(g), 0), 6)
+         AS repetition
+FROM sh
+""")
+def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the Gopher-style quality signal that
+    catches template/boilerplate spam: 1 − distinct/total 3-gram ratio
+    per document (0 = no repeated span, →1 = the document is one span
+    repeated). Pure per-row array arithmetic over the already-hashed
+    shingle list — a linear scan with zero shuffles, trivially parallel
+    at any corpus size; filter ``repetition > τ`` upstream of training."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    g = F.transform(shingles_from_tokens("toks", 3),
+                    lambda s: md5_hash64(s, seed=0))
+    sh = toks.select("doc_id", "source", g.alias("g"))
+    nd = F.size(F.array_distinct("g")).cast("bigint")
+    n = F.size("g").cast("bigint")
+    return sh.select(
+        "doc_id", "source",
+        n.alias("n_ngrams"), nd.alias("n_distinct"),
+        F.round(F.lit(1.0) - nd.cast("double")
+                / F.nullif(n, F.lit(0).cast("bigint")), 6).alias("repetition"))
 
 
 _SIMHASH_BITS = 16
