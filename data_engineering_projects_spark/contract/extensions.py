@@ -495,7 +495,9 @@ def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = F.array_distinct(
         F.transform(shingles_from_tokens("toks", _CONTAM_K),
                     lambda s: md5_hash64(s, seed=0)))
-    sh = toks.select("doc_id", g.alias("g"))
+    # persist: both join sides (eval + train) derive from this relation —
+    # without it the tokenize+shingle+md5 scan runs twice.
+    sh = toks.select("doc_id", g.alias("g")).persist()
     ev = (sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0)
           .select(F.col("doc_id").alias("eval_id"),
                   F.size("g").alias("n_eval"),
