@@ -421,7 +421,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shared with the oracle for exact replay). Only docs appearing in
     at least one near-dup pair are emitted; everything else is trivially
     its own keeper."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _mh_pairs(spark, sf_dir)
     labels = propagate_min_labels(pairs)
     w = Window.partitionBy("label")
     return (labels.withColumn("n_members", F.count(F.lit(1)).over(w))
@@ -429,6 +429,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label").alias("cluster_id"),
                     (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
                     "n_members"))
+
+
+def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH pair list, persisted: both clustering queries
+    (`dedup_clusters`, `dedup_clusters_star`) consume the identical
+    relation, and Spark's cache manager dedupes by logical plan — the
+    second query (and the label-propagation loop's edge checkpoint) reads
+    the cached pairs instead of re-running candidate generation."""
+    return dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
 
 
 @query("dedup_clusters_star", min_label_sql(_MH_PAIRS_CTE) + f"""
@@ -448,7 +457,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-cliques; the propagation converges in 2 rounds on this graph,
     far under k=8). This is the operator to swap in at 100 TB when the
     pair graph's diameter is unknown: O(log d) rounds instead of O(d)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _mh_pairs(spark, sf_dir)
     labels = connected_components_star(pairs)
     w = Window.partitionBy("label")
     return (labels.withColumn("n_members", F.count(F.lit(1)).over(w))
