@@ -877,6 +877,39 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
 
 
+_NORM_SQL = ("sqrt(list_sum(list_transform(embedding, "
+             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+@query("embed_normalize_quantize", f"""
+SELECT vec_id,
+       ROUND({_NORM_SQL}, 6) AS l2_norm,
+       list_transform(embedding,
+                      x -> CAST(ROUND(CAST(x AS DOUBLE)
+                                      / NULLIF({_NORM_SQL}, 0) * 127)
+                                AS INT)) AS q_int8
+FROM embeddings
+""")
+def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store ingestion prep: L2-normalize each embedding and
+    symmetric-int8-quantize it (unit components scaled by 127) — the
+    storage transform that shrinks an ANN corpus 4x and makes dot
+    products integer ops. Pure per-row JVM array HOFs (same double
+    expression tree as the DuckDB oracle, NULLIF zero-norm guard): a
+    zero-shuffle linear scan at any corpus size. Dequantization error is
+    bounded by 1/254 per component — the standard recall trade."""
+    e = widen(load_table(spark, sf_dir, "embeddings"))
+    from ..functions.vectors import l2_norm
+    norm = l2_norm(F.col("embedding"))
+    safe = F.nullif(norm, F.lit(0.0))
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / safe * 127, 0).cast("int"))
+    return e.select("vec_id",
+                    F.round(norm, 6).alias("l2_norm"),
+                    q.alias("q_int8"))
+
+
 @query("embed_label_centroids", f"""
 SELECT label, dim,
        ROUND({DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)}, 6) AS centroid

@@ -314,3 +314,60 @@ def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.cube("event_type", F.to_date("ts").alias("day"))
               .agg(F.count(F.lit(1)).alias("n"),
                    F.round(dec_sum(F.col("value")), 3).alias("total_value")))
+
+
+@query("events_salted_rollup", f"""
+WITH ev AS ({EV})
+SELECT event_type, COUNT(*) AS n,
+       ROUND({DEC_SUM_SQL.format(c='value', s=2)}, 3) AS total_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM ev GROUP BY event_type
+""")
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting operator, hash-checked: a two-stage salted
+    aggregation (``operators.skew.salted_agg``) whose oracle is the PLAIN
+    single-stage GROUP BY — salting only changes the physical shuffle
+    distribution, so for decomposable exact aggregates (count, DECIMAL
+    sum, min, max) the result is identical by algebra no matter how the
+    salt scatters rows. This is the fallback when one group's reduce-side
+    fan-in exceeds an executor even after AQE skew splitting; the salt
+    spreads the hot group over n_salts partitions at the cost of a
+    second (tiny: groups x n_salts rows) aggregation."""
+    from ..operators.skew import salted_agg
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        {"n": (F.count(F.lit(1)), "sum"),
+         "dec_total": (F.sum(F.col("value").cast("decimal(18,2)")), "sum"),
+         "min_value": (F.min("value"), "min"),
+         "max_value": (F.max("value"), "max")})
+    return out.select("event_type", F.col("n").cast("bigint").alias("n"),
+                      F.round(F.col("dec_total").cast("double"), 3)
+                       .alias("total_value"),
+                      "min_value", "max_value")
+
+
+@query("events_next_type_transitions", f"""
+WITH ev AS ({EV}),
+seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM ev)
+SELECT event_type, next_type, COUNT(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""")
+def events_next_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-dataset builder: per-user next-event transition counts
+    (the Markov/next-token training-pair shape for behavioral data). One
+    (user_id)-keyed window with the (ts, event_id) deterministic order,
+    then a transition-matrix groupBy — the same single-shuffle-then-agg
+    shape as sessionization, linear at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    return (seq.filter(F.col("next_type").isNotNull())
+               .groupBy("event_type", "next_type")
+               .agg(F.count(F.lit(1)).alias("n_transitions")))
