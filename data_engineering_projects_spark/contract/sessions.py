@@ -371,3 +371,57 @@ def events_next_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (seq.filter(F.col("next_type").isNotNull())
                .groupBy("event_type", "next_type")
                .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+_STREAM_SEQ = [0]  #: memory-sink names must be unique per invocation
+
+
+@query("streaming_hourly_rollup", f"""
+WITH ev AS ({EV}),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS cutoff FROM ev)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       ROUND({DEC_SUM_SQL.format(c='value', s=2)}, 3) AS total_value
+FROM ev, wm
+GROUP BY date_trunc('hour', ts), event_type, cutoff
+HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= cutoff
+""")
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, oracle-checked at full value strictness: the
+    watermarked hourly rollup (streaming/jobs.py::hourly_rollup_stream
+    shape) run with ``trigger(availableNow=True)`` over the events table
+    staged as a file stream, append mode into a memory sink.
+
+    The oracle replays the append-mode emission rule exactly: with one
+    input batch, the final watermark is ``max(ts) - 2 hours`` and the
+    flush batch emits precisely the windows whose end is at or before it
+    — so the batch GROUP BY restricted to ``window_end <= cutoff``
+    hash-matches the streamed result (verified; window ends are
+    hour-aligned while the watermark lands on an arbitrary microsecond,
+    so the boundary comparison is never ambiguous on this data). Sums
+    route through the exact DECIMAL path; counts are exact — the same
+    determinism discipline as the batch contract.
+
+    Scale: this is the unbounded-ingest path — state is keyed by
+    (window, type) across executors and the watermark bounds it; the
+    memory sink is the test double for a real table/Kafka sink."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    staged = tempfile.mkdtemp(prefix="depa_stream_ev_")
+    ev.write.mode("overwrite").parquet(staged)
+    _STREAM_SEQ[0] += 1
+    name = f"depa_stream_rollup_{_STREAM_SEQ[0]}"
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_total"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   F.col("n").cast("bigint").alias("n"),
+                   F.round(F.col("dec_total").cast("double"), 3)
+                    .alias("total_value")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
