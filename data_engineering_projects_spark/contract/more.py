@@ -172,3 +172,52 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chg.select("user_id", "status", F.col("ts").alias("valid_from"),
                       nxt.alias("valid_to"),
                       nxt.isNull().cast("int").alias("is_current"))
+
+
+@query("dbt_quality_report", f"""
+WITH ev AS ({EV})
+SELECT 'not_null(value)' AS check_name, 'error' AS severity,
+       CAST((SELECT COUNT(*) FROM ev WHERE value IS NULL) AS BIGINT)
+         AS violations
+UNION ALL
+SELECT 'unique(event_id)', 'error',
+       CAST((SELECT COUNT(*) FROM (
+          SELECT event_id FROM ev GROUP BY event_id HAVING COUNT(*) > 1))
+         AS BIGINT)
+UNION ALL
+SELECT 'relationships(user_id->c_custkey)', 'error',
+       CAST((SELECT COUNT(*) FROM ev
+             WHERE user_id IS NOT NULL
+               AND user_id NOT IN (SELECT c_custkey FROM customer))
+         AS BIGINT)
+UNION ALL
+SELECT 'accepted_range(value in [0,500])', 'warn',
+       CAST((SELECT COUNT(*) FROM ev
+             WHERE value IS NOT NULL AND (value < 0 OR value > 500))
+         AS BIGINT)
+""")
+def dbt_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality.py expectations layer (dbt-test analog, SURVEY §5.1)
+    as a driver-visible report: four checks from the reference's test
+    suite shapes — not_null, unique, relationships (FK), accepted_range —
+    each a single distributed aggregate; only the per-check violation
+    COUNT reaches the driver, which then assembles the (tiny) report
+    relation. The oracle recomputes every count in plain SQL, so the
+    check implementations themselves are differential-tested, not just
+    exercised. (The raising gate variant is ``quality.run_checks`` —
+    same Check objects, used by the model runner.)"""
+    from ..quality import (accepted_range, not_null, relationships, unique)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    checks = [not_null("value"), unique("event_id"),
+              relationships("user_id", cust, "c_custkey"),
+              accepted_range("value", 0, 500)]
+    names = ["not_null(value)", "unique(event_id)",
+             "relationships(user_id->c_custkey)",
+             "accepted_range(value in [0,500])"]
+    rows = []
+    for name, c in zip(names, checks):
+        r = c.run(ev, sample_rows=0)
+        rows.append((name, r.severity.value, r.violations))
+    return spark.createDataFrame(
+        rows, "check_name string, severity string, violations long")
