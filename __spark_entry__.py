@@ -36,7 +36,7 @@ _NEVER_CHECKED_R2 = [
     "docs_eval_contamination", "docs_repetition_score",
     "events_salted_rollup", "events_next_type_transitions",
     "embed_normalize_quantize", "streaming_hourly_rollup",
-    "dbt_quality_report",
+    "dbt_quality_report", "dbt_model_dag_mart",
     "events_asof_latest_order", "events_cube_type_day",
     "events_latest_per_user", "events_range_join_clicks",
     "events_scd2_intervals", "multimodal_image_features",

@@ -221,3 +221,72 @@ def dbt_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((name, r.severity.value, r.violations))
     return spark.createDataFrame(
         rows, "check_name string, severity string, violations long")
+
+
+@query("dbt_model_dag_mart", f"""
+WITH ev AS ({EV}),
+stg_events AS (
+  SELECT event_id, ts, user_id, event_type, value
+  FROM ev WHERE value IS NOT NULL),
+int_hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS dec_total
+  FROM stg_events GROUP BY date_trunc('hour', ts), event_type),
+mart_daily AS (
+  SELECT CAST(hour AS DATE) AS day, event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         ROUND(CAST(SUM(dec_total) AS DOUBLE), 3) AS total_value
+  FROM int_hourly GROUP BY CAST(hour AS DATE), event_type)
+SELECT day, event_type, n, total_value,
+       RANK() OVER (PARTITION BY day ORDER BY total_value DESC, event_type)
+         AS day_rank
+FROM mart_daily
+""")
+def dbt_model_dag_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-analog model DAG (plans/models.py) end-to-end through the
+    driver contract: source -> staging view -> hourly intermediate ->
+    daily mart, composed with ``ref()``-style dependency edges and run by
+    the topological runner with a not_null quality gate on staging.
+
+    All three models materialize as VIEWs, so the returned mart is ONE
+    fused Catalyst plan — the staging filter pushes into the scan and the
+    hourly/daily aggregations chain without intermediate writes, exactly
+    how dbt staging views compile into consumers (5_dbt/READ.md:127-128).
+    The oracle recomputes the identical CTE chain, so the DAG runner's
+    composition semantics (not just each model alone) are hash-checked.
+    Sums stay in the exact DECIMAL domain until the final ROUND."""
+    from ..plans.models import ModelGraph
+    from ..quality import not_null
+    g = ModelGraph()
+    g.add_source("src_events",
+                 lambda s, v: load_table(s, sf_dir, "events"))
+
+    @g.model(name="stg_events", deps=["src_events"],
+             checks=[not_null("event_id")])
+    def stg_events(s, v, src_events):
+        return (src_events.filter(F.col("value").isNotNull())
+                .select("event_id", "ts", "user_id", "event_type", "value"))
+
+    @g.model(name="int_hourly", deps=["stg_events"])
+    def int_hourly(s, v, stg_events):
+        return (stg_events
+                .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .cast("decimal(28,2)").alias("dec_total")))
+
+    @g.model(name="mart_daily", deps=["int_hourly"])
+    def mart_daily(s, v, int_hourly):
+        daily = (int_hourly
+                 .groupBy(F.col("hour").cast("date").alias("day"),
+                          "event_type")
+                 .agg(F.sum("n").cast("bigint").alias("n"),
+                      F.round(F.sum("dec_total").cast("double"), 3)
+                       .alias("total_value")))
+        w = Window.partitionBy("day").orderBy(
+            F.desc("total_value"), "event_type")
+        return daily.withColumn("day_rank", F.rank().over(w))
+
+    return g.run(spark, select=["mart_daily"])["mart_daily"]
