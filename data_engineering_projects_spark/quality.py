@@ -62,7 +62,8 @@ class Check:
     def run(self, df: DataFrame, sample_rows: int = 5) -> CheckResult:
         v = self._violations(df)
         n = v.count()
-        sample = v.limit(sample_rows).collect() if n else []
+        sample = (v.limit(sample_rows).collect()
+                  if n and sample_rows > 0 else [])
         return CheckResult(self.name, self.severity, n, self.threshold, sample)
 
 
