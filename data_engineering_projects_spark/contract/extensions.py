@@ -758,7 +758,7 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embed_knn_ivf_nprobe", f"""
 WITH cent0 AS (
   SELECT label, dim,
-         ROUND({DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)}, 6) AS m
+         {DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)} AS m
   FROM embeddings, range(1, 65) t(dim)
   GROUP BY label, dim),
 cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
@@ -789,19 +789,22 @@ def embed_knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes its TWO nearest cells by centroid cosine instead of only its
     own (``embed_knn_ivf``), trading 2× candidate cost for recall exactly
     like FAISS nprobe. Oracle-pinned end-to-end: centroids are the exact
-    dec_avg per-(label, dim) means quantized to 6dp (bit-identical on
-    both engines), probe selection orders by ROUND(csim, 9) with the
-    label tiebreak, and the cell-restricted search is the same
-    rank-with-ties shape as the other ANN queries.
+    dec_avg per-(label, dim) means (bit-identical doubles on both
+    engines), probe selection orders by ROUND(csim, 9) with the label
+    tiebreak, and the cell-restricted search is the same rank-with-ties
+    shape as the other ANN queries.
 
     Scale shape: the centroid table is tiny by construction (the coarse
     quantizer), so probe selection is a broadcast NLJ over n_cells rows
     per query — deliberate, see the plan-lint allowlist; the search
-    itself stays a cell-keyed equi-join (never all-pairs)."""
+    itself stays a cell-keyed equi-join (never all-pairs). Centroid
+    components stay UNROUNDED (exact decimal sum / count — identical
+    doubles on both engines); quantizing the quotient is the derived-
+    ratio ROUND trap (see embed_label_centroids)."""
     e = widen(load_table(spark, sf_dir, "embeddings"))
     cent = (e.select("label", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("label", "pos")
-            .agg(F.round(dec_avg(F.col("val").cast("double")), 6).alias("m"))
+            .agg(dec_avg(F.col("val").cast("double")).alias("m"))
             .groupBy("label")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dm"))
             .select("label", F.transform("dm", lambda s: s["m"]).alias("centroid")))
@@ -912,7 +915,7 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embed_label_centroids", f"""
 SELECT label, dim,
-       ROUND({DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)}, 6) AS centroid
+       {DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)} AS centroid
 FROM embeddings, range(1, 65) t(dim)
 GROUP BY label, dim
 """)
@@ -921,13 +924,19 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim) mean. One shuffle keyed by (label, dim) — fully parallel across
     dimensions, no driver-side vectors.
 
-    The mean is the 6dp-quantized exact-DECIMAL form (``dec_avg``): the
-    per-label group is unbounded at scale, and a float sum's merge order
-    would wiggle the 6th decimal between runs (functions/determinism.py)."""
+    The mean is the exact-DECIMAL form (``dec_avg``): the per-label group
+    is unbounded at scale, and a float sum's merge order would wiggle the
+    last ulps between runs (functions/determinism.py). Emitted UNROUNDED:
+    both engines divide the identical exact decimal sum by the identical
+    count, so the raw double matches bit-for-bit — whereas ROUND(·, 6) of
+    the quotient is the "never quantize derived ratios" trap: at sf0.1
+    one group's mean lands exactly on a 7-decimal half-boundary
+    (0.616992/192 = 0.0032135), where Spark's shortest-repr HALF_UP and
+    DuckDB's float-multiply ROUND disagree by one 6dp ulp."""
     e = widen(load_table(spark, sf_dir, "embeddings"))
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     return (ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
-              .agg(F.round(dec_avg(F.col("val").cast("double")), 6).alias("centroid")))
+              .agg(dec_avg(F.col("val").cast("double")).alias("centroid")))
 
 
 # ---------------------------------------------------------------------------

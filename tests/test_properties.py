@@ -222,6 +222,25 @@ def test_min_label_propagation_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_round_of_derived_ratio_diverges_but_raw_quotient_matches(spark):
+    """The derived-ratio ROUND trap caught by the sf0.1 sweep
+    (embed_label_centroids): 0.616992/192 = 0.0032135 exactly — a
+    7-decimal rational whose double sits just below the 6dp half-boundary.
+    Spark ROUNDs the shortest repr HALF_UP (down -> 0.003213); DuckDB's
+    float-multiply ROUND lands on the boundary (up -> 0.003214). The raw
+    quotient, by contrast, is the identical double on both engines — so
+    dec_avg outputs must be emitted UNROUNDED."""
+    import duckdb
+    s = spark.sql(
+        "SELECT ROUND(CAST(0.616992 AS DOUBLE) / 192, 6) AS r,"
+        "       CAST(0.616992 AS DOUBLE) / 192 AS q").collect()[0]
+    d = duckdb.sql(
+        "SELECT ROUND(CAST(0.616992 AS DOUBLE) / 192, 6) AS r,"
+        "       CAST(0.616992 AS DOUBLE) / 192 AS q").fetchone()
+    assert repr(s["q"]) == repr(d[1])        # raw quotient: bit-identical
+    assert s["r"] != d[0]                    # ROUND of it: engines disagree
+
+
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
                 min_size=1, max_size=25))
