@@ -15,6 +15,15 @@ Conventions that make the order-insensitive value-hash comparison stable
   parquet nanoseconds to the same microseconds Spark sees;
 - DuckDB SUM(int) returns HUGEINT -> always CAST(... AS BIGINT) to match
   Spark's long.
+- contract queries NEVER return array/map/struct columns: the driver's
+  pandas canonicalizer sorts cells and dies on unhashable numpy arrays
+  (round-3 red row ``embed_normalize_quantize``). Join vectors into a
+  delimited string (``array_join`` / ``array_to_string``) or explode to
+  rows; ``tests/oracle.py::assert_driver_hashable`` enforces this locally.
+- never ROUND a derived quotient (dec_avg, count ratios) for output — at
+  an exact 7-dp rational Spark's shortest-repr HALF_UP and DuckDB's
+  float-multiply ROUND disagree by one 6dp ulp (round-3 sf0.1 sweep).
+  Emit the raw double: identical division on both engines is bit-exact.
 """
 
 from __future__ import annotations

@@ -431,13 +431,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_members"))
 
 
+#: Memoized persisted relations shared across contract-query calls, keyed
+#: (session, sf_dir, tag). Re-persisting a freshly built identical plan per
+#: call would rely on CacheManager plan-identity dedup and pin a new
+#: DataFrame handle per invocation for the whole session (round-3 ADVICE);
+#: the memo hands every consumer the SAME persisted handle instead.
+_SHARED_PERSISTED: dict[tuple, DataFrame] = {}
+
+
+def _shared_persist(spark: SparkSession, sf_dir: str, tag: str,
+                    build) -> DataFrame:
+    key = (spark, sf_dir, tag)
+    df = _SHARED_PERSISTED.get(key)
+    if df is None:
+        df = build().persist()
+        _SHARED_PERSISTED[key] = df
+    return df
+
+
+def clear_shared_persisted() -> None:
+    """Unpersist and drop every memoized shared relation (sweep teardown)."""
+    for df in _SHARED_PERSISTED.values():
+        df.unpersist()
+    _SHARED_PERSISTED.clear()
+
+
 def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified MinHash-LSH pair list, persisted: both clustering queries
-    (`dedup_clusters`, `dedup_clusters_star`) consume the identical
-    relation, and Spark's cache manager dedupes by logical plan — the
-    second query (and the label-propagation loop's edge checkpoint) reads
-    the cached pairs instead of re-running candidate generation."""
-    return dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    """Verified MinHash-LSH pair list, persisted once per (session,
+    sf_dir): both clustering queries (`dedup_clusters`,
+    `dedup_clusters_star`) and the label-propagation loop's edge
+    checkpoint consume the identical relation; the memo returns the same
+    persisted handle so candidate generation runs once."""
+    return _shared_persist(
+        spark, sf_dir, "mh_pairs",
+        lambda: dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
 
 
 @query("dedup_clusters_star", min_label_sql(_MH_PAIRS_CTE) + f"""
@@ -482,7 +509,7 @@ ev AS (SELECT doc_id AS eval_id, unnest(g) AS h, len(g) AS n_eval
 tr AS (SELECT doc_id AS train_id, unnest(g) AS h
        FROM sh WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0)
 SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / n_eval, 6) AS contamination
+       CAST(COUNT(*) AS DOUBLE) / n_eval AS contamination
 FROM tr JOIN ev USING (h)
 GROUP BY train_id, eval_id, n_eval
 """)
@@ -504,9 +531,11 @@ def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = F.array_distinct(
         F.transform(shingles_from_tokens("toks", _CONTAM_K),
                     lambda s: md5_hash64(s, seed=0)))
-    # persist: both join sides (eval + train) derive from this relation —
-    # without it the tokenize+shingle+md5 scan runs twice.
-    sh = toks.select("doc_id", g.alias("g")).persist()
+    # persist (memoized per session/sf_dir): both join sides (eval + train)
+    # derive from this relation — without it the tokenize+shingle+md5 scan
+    # runs twice.
+    sh = _shared_persist(spark, sf_dir, "contam_shingles",
+                         lambda: toks.select("doc_id", g.alias("g")))
     ev = (sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0)
           .select(F.col("doc_id").alias("eval_id"),
                   F.size("g").alias("n_eval"),
@@ -519,8 +548,11 @@ def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("train_id", "eval_id",
                     F.col("n_shared_ngrams").cast("bigint")
                     .alias("n_shared_ngrams"),
-                    F.round(F.col("n_shared_ngrams").cast("double")
-                            / F.col("n_eval"), 6).alias("contamination")))
+                    # raw quotient, never ROUNDed: int/int division of
+                    # identical operands is bit-exact cross-engine; ROUND
+                    # at 6dp is the half-boundary trap (contract/__init__).
+                    (F.col("n_shared_ngrams").cast("double")
+                     / F.col("n_eval")).alias("contamination")))
 
 
 @query("docs_repetition_score", f"""
@@ -532,7 +564,7 @@ WITH sh AS (
 SELECT doc_id, source,
        CAST(len(g) AS BIGINT) AS n_ngrams,
        CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
-       ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / NULLIF(len(g), 0), 6)
+       1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / NULLIF(len(g), 0)
          AS repetition
 FROM sh
 """)
@@ -553,8 +585,10 @@ def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select(
         "doc_id", "source",
         n.alias("n_ngrams"), nd.alias("n_distinct"),
-        F.round(F.lit(1.0) - nd.cast("double")
-                / F.nullif(n, F.lit(0).cast("bigint")), 6).alias("repetition"))
+        # raw 1 − distinct/total, never ROUNDed: identical int/int division
+        # then subtraction is bit-exact cross-engine (contract/__init__).
+        (F.lit(1.0) - nd.cast("double")
+         / F.nullif(n, F.lit(0).cast("bigint"))).alias("repetition"))
 
 
 _SIMHASH_BITS = 16
@@ -887,10 +921,10 @@ _NORM_SQL = ("sqrt(list_sum(list_transform(embedding, "
 @query("embed_normalize_quantize", f"""
 SELECT vec_id,
        ROUND({_NORM_SQL}, 6) AS l2_norm,
-       list_transform(embedding,
-                      x -> CAST(ROUND(CAST(x AS DOUBLE)
-                                      / NULLIF({_NORM_SQL}, 0) * 127)
-                                AS INT)) AS q_int8
+       array_to_string(list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE)
+                                       / NULLIF({_NORM_SQL}, 0) * 127)
+                                 AS INT)), ',') AS q_int8
 FROM embeddings
 """)
 def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,7 +934,13 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     products integer ops. Pure per-row JVM array HOFs (same double
     expression tree as the DuckDB oracle, NULLIF zero-norm guard): a
     zero-shuffle linear scan at any corpus size. Dequantization error is
-    bounded by 1/254 per component — the standard recall trade."""
+    bounded by 1/254 per component — the standard recall trade.
+
+    The quantized vector is emitted as a comma-joined STRING, not an
+    ARRAY: contract queries must never return array columns (the driver's
+    pandas canonicalizer cannot sort them — round-3 VERDICT.md red row;
+    the round-trip ``split(q_int8, ',')`` recovers the vector losslessly
+    since int8 components have exact decimal text)."""
     e = widen(load_table(spark, sf_dir, "embeddings"))
     from ..functions.vectors import l2_norm
     norm = l2_norm(F.col("embedding"))
@@ -910,7 +950,7 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x.cast("double") / safe * 127, 0).cast("int"))
     return e.select("vec_id",
                     F.round(norm, 6).alias("l2_norm"),
-                    q.alias("q_int8"))
+                    F.array_join(q, ",").alias("q_int8"))
 
 
 @query("embed_label_centroids", f"""
@@ -1084,7 +1124,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
            .filter(F.col("tok") != ""))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf, not from tok: tf is already distinct per
+    # (doc_id, tok), so COUNT(*) per tok == COUNT(DISTINCT doc_id) — and it
+    # skips a second full tokenize+explode pass over the corpus (the r3
+    # bench regression: the most expensive stage ran twice).
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(df, "tok").crossJoin(F.broadcast(n))
               .select("doc_id", F.col("tok").alias("token"), "tf", "df",

@@ -25,11 +25,18 @@ input *set*, so Spark and the DuckDB oracle agree bit-for-bit:
   ``SUM(x ORDER BY x)`` both reduce left-to-right over the sorted values
   (verified empirically), so the two engines produce the same double.
 
-Cross-engine ROUND is safe *given identical inputs*: both Spark
-(``BigDecimal.valueOf`` -> HALF_UP) and DuckDB round the shortest decimal
-representation half-up — verified on 15k adversarial cases including exact
-half-boundary representations.  The hazard was never ROUND itself but the
-order-dependent float sum feeding it.
+Cross-engine ROUND is *usually* consistent given identical inputs (15k
+adversarial cases in round 2), **but ROUND of a derived double CAN diverge
+when the true value is an exact 7-decimal rational on a 6dp half-boundary**
+(round-3 sf0.1 sweep, commit 096a60b: ``0.616992/192 = 0.0032135`` — Spark's
+shortest-repr HALF_UP rounds down, DuckDB's float-multiply rounds up;
+pinned by ``tests/test_properties.py::
+test_round_of_derived_ratio_diverges_but_raw_quotient_matches``).  The rule:
+never ROUND a derived quotient (``dec_avg`` result, count ratios, score
+divisions) for contract output — emit the raw double; identical division of
+identical operands is bit-exact on both engines.  ROUND directly on 2dp
+*source* data (or sums of it) remains safe: those values can't land on a
+deeper half-boundary than the cast scale.
 
 Scale note (100 TB): ``dec_avg``/``dec_sum`` keep the map-side partial-agg
 shape — a decimal accumulator instead of a double, same shuffle volume.

@@ -52,7 +52,25 @@ def canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
 
 
+def assert_driver_hashable(spark_df) -> None:
+    """The driver canonicalizes results via pandas ``sort_values``, which
+    dies on unhashable cells (``TypeError: unhashable type:
+    'numpy.ndarray'`` — round-3 VERDICT.md red row). Reject complex-typed
+    output columns here so the LOCAL harness fails before the driver can:
+    contract queries must only return scalar columns (join arrays into
+    strings or explode to rows)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [f.name for f in spark_df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"driver-unhashable complex-typed columns {bad}: the driver's pandas "
+        f"canon cannot sort array/map/struct cells — emit a joined string or "
+        f"explode to rows instead")
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> None:
+    assert_driver_hashable(spark_df)
     got_cols = spark_df.columns
     got_rows = [tuple(r) for r in spark_df.collect()]
     con = duck_connection(sf_dir)
