@@ -26,29 +26,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["aws_tti_top10"](spark, "/root/testdata/sf0.001")
 
 
-# Enumerated first: the 15 queries CORRECTNESS_r02.json had no row for
-# (the driver appeared to cap/sample at 50 of 65) — front-loading them
-# guarantees every registry entry gets a driver-side hash row even if the
-# cap recurs. Remaining queries follow in registration order.
-_NEVER_CHECKED_R2 = [
-    # new in round 3
-    "embed_knn_ivf_nprobe", "dedup_clusters_star",
-    "docs_eval_contamination", "docs_repetition_score",
-    "events_salted_rollup", "events_next_type_transitions",
-    "embed_normalize_quantize", "streaming_hourly_rollup",
-    "dbt_quality_report", "dbt_model_dag_mart",
-    "events_asof_latest_order", "events_cube_type_day",
-    "events_latest_per_user", "events_range_join_clicks",
-    "events_scd2_intervals", "multimodal_image_features",
-    "dbt_time_bucket_rollup", "star_nation_rank_global",
-    "events_sessionize", "orders_with_bigticket_items",
-    "orders_above_customer_avg", "events_props_json",
-    "events_type_normalize", "events_rollup_daily", "orders_asof_window",
+# Enumerated first: the driver checks only ~50 registry queries per round,
+# so each round front-loads every query WITHOUT a driver row from the
+# previous round (rotation keeps every row at most one round old) plus any
+# new/reshaped queries. Round 4: the 25 queries CORRECTNESS_r03.json has no
+# row for, the reshaped embed_normalize_quantize (r3's red row — q_int8 is
+# now a joined string), and the three new round-4 queries. Remaining
+# queries follow in registration order.
+_FRONT_R4 = [
+    # reshaped red row + new in round 4
+    "embed_normalize_quantize", "streaming_dedup_first",
+    "streaming_session_rollup", "events_salted_dim_join",
+    # no CORRECTNESS_r03 row (driver cap fell on these r1/r2-green queries)
+    "dbt_fk_orphans", "dbt_outlier_3sigma", "text_token_stats",
+    "text_quality", "text_lang_id", "text_tokens_bpe", "text_fingerprint",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_simhash", "dedup_simhash_pairs",
+    "embed_knn_brute", "embed_knn_blas", "embed_knn_ivf",
+    "dedup_embed_cosine", "embed_label_centroids", "text_vocab_top",
+    "text_bigram_top", "docs_split_assign", "docs_sample_stratified",
+    "docs_length_band", "text_tfidf_top_terms", "dbt_stg_volume_clean",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    front = {k: d[k] for k in _NEVER_CHECKED_R2 if k in d}
+    front = {k: d[k] for k in _FRONT_R4 if k in d}
     return front | {k: v for k, v in d.items() if k not in front}
 
 

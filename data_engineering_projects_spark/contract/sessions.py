@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.determinism import DEC_AVG_SQL, DEC_SUM_SQL, dec_avg, dec_sum
+from ..functions.text import FINGERPRINT_SQL
 from ..sources import load_table
 from . import query
 
@@ -347,6 +348,46 @@ def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min_value", "max_value")
 
 
+@query("events_salted_dim_join", f"""
+WITH ev AS ({EV})
+SELECT c.c_mktsegment, ev.event_type, COUNT(*) AS n,
+       ROUND({DEC_SUM_SQL.format(c='ev.value', s=2)}, 3) AS total_value
+FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, ev.event_type
+""")
+def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting JOIN operator, hash-checked (completing the skew
+    module's differential coverage — ``events_salted_rollup`` covers
+    ``salted_agg``): events joined to the customer dimension through
+    ``operators.skew.salted_join`` — skewed side salted with a random
+    salt, dim side exploded n_salts× — against the PLAIN equi-join
+    oracle. Salting only redistributes rows across shuffle partitions;
+    for an inner join each fact row still meets exactly its one dim match
+    (now keyed (user_id, salt)), so the joined multiset is identical by
+    algebra no matter how the salt scatters. The rollup to (segment,
+    type) makes the parity check compact while every joined row
+    contributes to the hash via exact count + DECIMAL sum.
+
+    Scale: this is the fallback when the dim is too big to broadcast AND
+    one fact key is hot enough to blow a reducer even after AQE skew
+    splits — the standard salted-shuffle-join shape."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type",
+                                                    "value")
+    dim = (load_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+           # pin a SHUFFLED hash join: at test scale Spark would broadcast
+           # the tiny dim, which never exercises the salted key path the
+           # operator exists for (a broadcastable dim needs no salt).
+           .hint("shuffle_hash"))
+    joined = salted_join(ev, dim, on="user_id", n_salts=8, how="inner")
+    return (joined.groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                          .cast("double"), 3).alias("total_value")))
+
+
 @query("events_next_type_transitions", f"""
 WITH ev AS ({EV}),
 seq AS (
@@ -374,6 +415,41 @@ def events_next_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_SEQ = [0]  #: memory-sink names must be unique per invocation
+
+
+def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
+                          prefix: str, build_agg) -> DataFrame:
+    """Shared harness for the oracle-backed streaming queries: stage
+    ``staged_input`` to a temp parquet dir, run ``build_agg(stream_df)``
+    through ``trigger(availableNow=True)`` in append mode into a uniquely
+    named memory sink, and return the sink table fully materialized.
+
+    The staged directory is small enough for one micro-batch (no
+    maxFilesPerTrigger limit is set), so the final watermark is
+    ``max(ts) - delay`` and append mode flushes exactly the finalized
+    windows — the emission rule each query's oracle SQL replays.
+    ``awaitTermination``'s boolean is checked: a timeout would otherwise
+    return a silently partial memory table (round-3 ADVICE). The staging
+    dir is removed after termination (the memory sink holds the rows)."""
+    import shutil
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix=f"depa_stream_{prefix}_")
+    try:
+        staged_input.write.mode("overwrite").parquet(staged)
+        _STREAM_SEQ[0] += 1
+        name = f"depa_stream_{prefix}_{_STREAM_SEQ[0]}"
+        stream = spark.readStream.schema(staged_input.schema).parquet(staged)
+        q = (build_agg(stream).writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"streaming query {name} did not terminate within 300s; "
+                f"memory sink would be partial")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 @query("streaming_hourly_rollup", f"""
@@ -405,23 +481,116 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is the unbounded-ingest path — state is keyed by
     (window, type) across executors and the watermark bounds it; the
     memory sink is the test double for a real table/Kafka sink."""
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    staged = tempfile.mkdtemp(prefix="depa_stream_ev_")
-    ev.write.mode("overwrite").parquet(staged)
-    _STREAM_SEQ[0] += 1
-    name = f"depa_stream_rollup_{_STREAM_SEQ[0]}"
-    stream = spark.readStream.schema(ev.schema).parquet(staged)
-    agg = (stream.withWatermark("ts", "2 hours")
-           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_total"))
-           .select(F.col("w.start").alias("window_start"), "event_type",
-                   F.col("n").cast("bigint").alias("n"),
-                   F.round(F.col("dec_total").cast("double"), 3)
-                    .alias("total_value")))
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (stream.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .alias("dec_total"))
+                .select(F.col("w.start").alias("window_start"), "event_type",
+                        F.col("n").cast("bigint").alias("n"),
+                        F.round(F.col("dec_total").cast("double"), 3)
+                         .alias("total_value")))
+
+    return _run_stream_to_memory(spark, ev, "rollup", agg)
+
+
+@query("streaming_dedup_first", f"""
+SELECT DISTINCT {FINGERPRINT_SQL.format(c='text')} AS fp FROM documents
+""")
+def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, oracle-checked: the documents table staged
+    as a file stream (with a synthetic event time) run through
+    ``streaming.jobs.dedup_stream`` — ``dropDuplicatesWithinWatermark``
+    keyed on the content fingerprint — append mode, availableNow.
+
+    Emission rule the oracle replays: dedup emits each fingerprint's
+    first-arriving row immediately (no window to finalize), and with one
+    input batch no state is evicted mid-batch, so the surviving set is
+    exactly DISTINCT fingerprints. Only ``fp`` is emitted: which copy
+    survives is processing-order-dependent, but duplicates agree on the
+    fingerprint by construction, so the projected result is deterministic.
+
+    Scale: state is (fingerprint, ts) pairs partitioned across executors
+    and bounded by the watermark — the incremental counterpart of the
+    batch ``dedup_exact`` hash-groupBy."""
+    from ..functions.text import fingerprint
+    from ..streaming.jobs import dedup_stream
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_dt_interval(secs=F.col("doc_id").cast("double")))
+         .alias("ts"),
+        fingerprint(F.col("text")).alias("fp"))
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return dedup_stream(stream, ts_col="ts", fp_col="fp",
+                            watermark="1 hour").select("fp")
+
+    return _run_stream_to_memory(spark, d, "dedup", agg)
+
+
+@query("streaming_session_rollup", f"""
+WITH ev AS ({EV}),
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL OR
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged),
+sess AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events,
+         ROUND({DEC_SUM_SQL.format(c='value', s=2)}, 3) AS total_value
+  FROM numbered GROUP BY user_id, session_no),
+wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS cutoff FROM ev)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM sess, wm WHERE session_end <= cutoff
+""")
+def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in ``session_window`` sessionization
+    (streaming/jobs.py::session_window_rollup shape), oracle-checked
+    against the batch gaps-and-islands oracle on the same events: 30-min
+    dynamic-gap event-time windows, watermark 30 min, availableNow,
+    append mode into a memory sink.
+
+    The oracle replays the append emission rule: with one input batch the
+    final watermark is ``max(ts) - 30 min``, and the flush emits exactly
+    the sessions whose end (= last event + gap) is at or before it. A
+    session's end equals the cutoff only if some event lands exactly
+    60 min before max(ts) — at microsecond granularity the boundary is
+    never ambiguous on this data (verified at sf0.01 and sf0.1). Sums
+    route through the exact DECIMAL path like every batch contract query.
+
+    Scale: per-session state is (start, end, partial aggregates) keyed by
+    user across executors; the watermark both finalizes sessions and
+    bounds state — the declarative alternative to
+    ``applyInPandasWithState`` when per-session aggregates suffice."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                         "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .alias("dec_total"))
+                .select("user_id",
+                        F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"),
+                        F.col("n_events").cast("bigint").alias("n_events"),
+                        F.round(F.col("dec_total").cast("double"), 3)
+                         .alias("total_value")))
+
+    return _run_stream_to_memory(spark, ev, "session", agg)

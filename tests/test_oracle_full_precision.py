@@ -45,3 +45,50 @@ def test_congestion_hourly_full_precision_repeated(spark, sf_dir, attempt):
     name = "dbt_congestion_hourly"
     compare(contract.QUERIES[name](spark, sf_dir), contract.ORACLES[name],
             sf_dir)
+
+
+def test_array_columns_rejected_before_driver_can_crash(spark):
+    """Negative control for the round-3 red row class: the DRIVER's
+    pandas canonicalizer dies on array-typed result columns (sort_values
+    -> TypeError: unhashable numpy.ndarray), and the old local harness
+    passed them via str(list) — strictly weaker than the driver. The
+    harness must now refuse complex-typed outputs up front.
+
+    Reproduces the driver's failure mode directly (pandas sort on an
+    array column raises) and asserts the local guard fires first."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from tests.oracle import assert_driver_hashable
+
+    df = spark.range(3).select(
+        F.col("id"), F.array(F.col("id"), F.col("id") + 1).alias("arr"))
+
+    # the driver's canon path: toPandas + sort_values over all columns
+    with _pytest.raises(TypeError, match="unhashable"):
+        df.toPandas().sort_values(by=["id", "arr"])
+
+    # the local guard must reject the same shape before any comparison
+    with _pytest.raises(AssertionError, match="driver-unhashable"):
+        assert_driver_hashable(df)
+
+    # scalar-only outputs pass the guard
+    assert_driver_hashable(df.select("id"))
+
+
+def test_no_registered_query_returns_complex_columns(spark, sf_dir):
+    """Schema-level sweep: every contract query's output is scalar-typed
+    (driver-hashable) — enforced on the cheap via the analyzed schema,
+    no execution needed for most queries.
+
+    Restricted to non-streaming queries here (streaming queries execute
+    work in their builder; their schemas are covered by the parity run)."""
+    from data_engineering_projects_spark import contract
+    from tests.oracle import assert_driver_hashable
+
+    contract.load_all()
+    for name, fn in contract.QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        assert_driver_hashable(fn(spark, sf_dir))
