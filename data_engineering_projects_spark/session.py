@@ -19,6 +19,12 @@ from pyspark.sql import SparkSession
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver testdata stores ts as parquet TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false); with NTZ inference on, Spark reads it as
+    # TIMESTAMP_NTZ, which unix_micros()/watermarks reject. Read it as a
+    # UTC instant instead — with the session pinned to UTC the wall-clock
+    # values are identical, matching DuckDB's naive-timestamp view.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
