@@ -26,7 +26,8 @@ from ..functions.text import (
     shingles_from_tokens, shingles_sql, md5_hash64, md5_hash64_sql,
     fingerprint, FINGERPRINT_SQL, LANG_MARKERS,
 )
-from ..functions.determinism import DEC_AVG_SQL, dec_avg
+from ..functions.determinism import (DEC_AVG_SQL, FOLD_SUM_SQL, dec_avg,
+                                     fold_sum)
 from ..functions.vectors import cosine_similarity, cosine_sql
 from ..operators.clustering import (
     connected_components_star, min_label_sql, propagate_min_labels,
@@ -1139,3 +1140,213 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("doc_id", "token", "tf", "df", "tfidf"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: sequence packing, unigram LM scoring, blocked
+# edit-distance near-dup, IVF nprobe parameter sweep
+# ---------------------------------------------------------------------------
+
+@query("docs_pack_chunks", f"""
+WITH nt AS (SELECT doc_id, source, len({{toks}}) AS nt FROM documents),
+packed AS (
+  SELECT doc_id, source, nt,
+         SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - nt AS off
+  FROM nt)
+SELECT source, CAST(off // 2048 AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY source, off // 2048
+""".format(toks=TOKENS_SQL.format(c='text')))
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (the concat-then-chunk shape every
+    LLM pretraining loader uses): documents are laid end-to-end in
+    deterministic (source, doc_id) order, each doc's token offset is a
+    cumulative sum, and chunk_id = offset DIV 2048 assigns every doc to
+    its 2048-token context window. Per-chunk stats audit fill quality.
+
+    Packing is PER SOURCE (the shard key): one keyed shuffle for the
+    window, parallel across sources, never a global single-partition
+    sort — at 100 TB the shard key would be (source, file-split) so the
+    cumsum stays distributed. All-integer arithmetic: bit-exact."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    nt = d.select("doc_id", "source",
+                  F.size(tokens(F.col("text"))).alias("nt"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = nt.withColumn("off", F.sum("nt").over(w) - F.col("nt"))
+    return (packed.withColumn("chunk_id", F.expr("off DIV 2048"))
+            .groupBy("source", "chunk_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").cast("bigint").alias("total_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+@query("docs_unigram_score", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tok
+             FROM documents),
+dtf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok WHERE tok <> ''
+        GROUP BY doc_id, tok),
+uni AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM dtf GROUP BY tok),
+tot AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS total FROM uni),
+terms AS (
+  SELECT d.doc_id, d.cnt,
+         CAST(d.cnt AS DOUBLE) * (CAST(u.n_tok AS DOUBLE) / t.total) AS term
+  FROM dtf d JOIN uni u ON d.tok = u.tok CROSS JOIN tot t)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       {FOLD_SUM_SQL.format(c='term')} / SUM(cnt) AS mean_token_p
+FROM terms GROUP BY doc_id
+""")
+def docs_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document: the corpus
+    unigram distribution p(tok) = count(tok)/total, and each doc scores
+    the mean probability of its tokens (high = templatey/common text,
+    low = rare-token noise) — the bit-exact stand-in for the usual
+    mean-logprob perplexity filter: ln() is libm-private at the last ulp
+    cross-engine, while count ratios, IEEE multiplies, and the sorted
+    sequential fold are exactly specified, so the contract hash holds at
+    full float strictness.
+
+    One tokenize pass: per-doc term frequencies (doc_id, tok, cnt) feed
+    BOTH the unigram table (second-level agg) and the scoring join — the
+    TF-IDF double-tokenization lesson applied. The corpus total joins as
+    a broadcast 1-row relation; the per-doc fold buffers distinct tokens
+    per doc (schema-bounded by doc length)."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    tok = (d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+           .filter(F.col("tok") != ""))
+    dtf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    uni = dtf.groupBy("tok").agg(F.sum("cnt").cast("bigint").alias("n_tok"))
+    tot = uni.agg(F.sum("n_tok").cast("double").alias("total"))
+    terms = (dtf.join(uni, "tok").crossJoin(F.broadcast(tot))
+             .select("doc_id", "cnt",
+                     (F.col("cnt").cast("double")
+                      * (F.col("n_tok").cast("double") / F.col("total")))
+                     .alias("term")))
+    return (terms.groupBy("doc_id")
+            .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+                 (fold_sum(F.col("term")) / F.sum("cnt"))
+                 .alias("mean_token_p")))
+
+
+@query("docs_levenshtein_near", f"""
+WITH d AS (SELECT doc_id, text, n_chars // 16 AS band,
+                  split_part(text, ' ', 1) AS w1
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM d a JOIN d b
+  ON a.band = b.band AND a.w1 = b.w1 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 20
+""")
+def docs_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-duplicate detection: candidate pairs
+    come from an EQUI-join on a blocking key (length band DIV 16 + first
+    token) and only candidates pay the O(len^2) Levenshtein verify —
+    the canonical blocking shape for metric dedup when shingle overlap
+    is too coarse (near-identical docs differing by a few chars).
+
+    Never all-pairs: at 100 TB the block key bounds each join bucket
+    (AQE splits a hot band) and the quadratic verify touches only
+    same-block pairs. Edit distance is integer dynamic programming —
+    identical on any engine; both join columns derive from the stored
+    text, no floats anywhere."""
+    d = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", F.expr("n_chars DIV 16").alias("band"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("t_a"),
+                 "band", "w1")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("t_b"),
+                 F.col("band").alias("band_b"), F.col("w1").alias("w1_b"))
+    return (a.join(b, (F.col("band") == F.col("band_b"))
+                   & (F.col("w1") == F.col("w1_b"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .withColumn("edit_dist",
+                        F.levenshtein(F.col("t_a"), F.col("t_b"))
+                        .cast("bigint"))
+            .filter(F.col("edit_dist") <= 20)
+            .select("doc_a", "doc_b", "edit_dist"))
+
+
+@query("embed_knn_ivf_sweep", f"""
+WITH cent0 AS (
+  SELECT label, dim,
+         {DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)} AS m
+  FROM embeddings, range(1, 65) t(dim)
+  GROUP BY label, dim),
+cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+qc AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.label,
+              {cosine_sql('q.embedding', 'c.centroid')} AS csim
+       FROM q CROSS JOIN cent c),
+ranked AS (
+  SELECT query_id, q_emb, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(csim, 9) DESC, label) AS r
+  FROM qc),
+probes AS (
+  SELECT n.nprobe, ranked.query_id, ranked.q_emb, ranked.label
+  FROM ranked JOIN (VALUES (1), (2), (4)) n(nprobe) ON ranked.r <= n.nprobe),
+sims AS (
+  SELECT p.nprobe, p.query_id, c.vec_id AS neighbor_id,
+         {cosine_sql('p.q_emb', 'c.embedding')} AS sim
+  FROM probes p JOIN embeddings c
+    ON c.label = p.label AND c.vec_id <> p.query_id)
+SELECT nprobe, query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+  SELECT nprobe, query_id, neighbor_id, sim,
+         RANK() OVER (PARTITION BY nprobe, query_id
+                      ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
+  FROM sims)
+WHERE knn_rank <= 3
+""")
+def embed_knn_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost knob as a parameter sweep: nprobe in {1, 2, 4}
+    under ONE oracle, so the monotone candidate-set growth (each larger
+    nprobe's result is computed from a superset of cells) is pinned
+    end-to-end rather than asserted. Shares the exact-decimal centroid
+    build and ROUND(csim, 9) probe ordering with ``embed_knn_ivf_nprobe``;
+    the sweep axis rides the same plan as an exploded literal array, so
+    the corpus-side search join runs ONCE over the union of probed cells
+    (<= 7 cells/query), not once per sweep point.
+
+    Scale: identical to the single-nprobe query — probe selection is a
+    broadcast NLJ against the tiny coarse-quantizer table (allowlisted),
+    search stays a cell-keyed equi-join."""
+    e = widen(load_table(spark, sf_dir, "embeddings"))
+    cent = (e.select("label", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(dec_avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dm"))
+            .select("label", F.transform("dm", lambda s: s["m"]).alias("centroid")))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("csim", 9)), "label")
+    probes = (q.crossJoin(F.broadcast(cent))
+              .withColumn("csim",
+                          cosine_similarity(F.col("q_emb"), F.col("centroid")))
+              .withColumn("r", F.row_number().over(wq))
+              .select("query_id", "q_emb", "label", "r")
+              .withColumn("nprobe",
+                          F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))))
+              .filter(F.col("r") <= F.col("nprobe"))
+              .select("nprobe", "query_id", "q_emb", "label"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("label").alias("c_label"),
+                 F.col("embedding").alias("c_emb"))
+    sims = (c.join(F.broadcast(probes),
+                   (F.col("c_label") == F.col("label"))
+                   & (F.col("neighbor_id") != F.col("query_id")))
+            .select("nprobe", "query_id", "neighbor_id",
+                    cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+                    .alias("sim")))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc(F.round("sim", 9)), "neighbor_id")
+    return (sims.withColumn("knn_rank", F.rank().over(w))
+            .filter(F.col("knn_rank") <= 3)
+            .select("nprobe", "query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "knn_rank"))
