@@ -290,3 +290,108 @@ def dbt_model_dag_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         return daily.withColumn("day_rank", F.rank().over(w))
 
     return g.run(spark, select=["mart_daily"])["mart_daily"]
+
+
+@query("dbt_model_dag_incremental", f"""
+WITH ev AS ({EV}),
+stg_events AS (
+  SELECT event_id, ts, user_id, event_type, value
+  FROM ev WHERE value IS NOT NULL),
+int_hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS dec_total
+  FROM stg_events GROUP BY date_trunc('hour', ts), event_type),
+mart_daily AS (
+  SELECT CAST(hour AS DATE) AS day, event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         ROUND(CAST(SUM(dec_total) AS DOUBLE), 3) AS total_value
+  FROM int_hourly GROUP BY CAST(hour AS DATE), event_type)
+SELECT day, event_type, n, total_value,
+       RANK() OVER (PARTITION BY day ORDER BY total_value DESC, event_type)
+         AS day_rank
+FROM mart_daily
+""")
+def dbt_model_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt incremental-materialization path through the topo runner,
+    hash-checked against the FULL-refresh oracle: the same
+    source->staging->hourly->mart DAG as ``dbt_model_dag_mart``, but run
+    as TWO incremental batches over a real parquet warehouse —
+
+    - batch 1 processes events strictly before a mid-range cutoff instant
+      (so the cutoff day is PARTIAL), with ``int_hourly`` materialized as
+      TABLE and ``mart_daily`` as INCREMENTAL (merge on unique_key =
+      (day, event_type));
+    - batch 2 reprocesses every complete day from the cutoff day forward
+      — the standard late-data pattern (recompute whole days, upsert by
+      key), whose merge REPLACES batch 1's partial cutoff-day rows.
+
+    Merge-by-key over complete-day batches is algebraically a full
+    refresh, so the final warehouse must hash-match the one-shot CTE
+    chain — verifying plans/models.py's merge strategy (anti-join +
+    union + atomic swap), TABLE materialization, and two-run warehouse
+    reuse end-to-end, not just in unit tests. The tiny mart is collected
+    off the temp warehouse so the returned plan outlives cleanup (daily
+    grain: rows = days x event types, bounded by the calendar at any
+    scale)."""
+    import shutil
+    import tempfile
+
+    from ..plans.models import ModelGraph
+    from ..quality import not_null
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut_ts = lo + (hi - lo) / 2
+    cut_day = cut_ts.replace(hour=0, minute=0, second=0, microsecond=0)
+
+    def build_graph(src_filter):
+        g = ModelGraph(warehouse_dir=wh)
+        g.add_source("src_events",
+                     lambda s, v: load_table(s, sf_dir, "events")
+                     .filter(src_filter))
+
+        @g.model(name="stg_events", deps=["src_events"],
+                 checks=[not_null("event_id")])
+        def stg_events(s, v, src_events):
+            return (src_events.filter(F.col("value").isNotNull())
+                    .select("event_id", "ts", "user_id", "event_type",
+                            "value"))
+
+        @g.model(name="int_hourly", deps=["stg_events"],
+                 materialization="table")
+        def int_hourly(s, v, stg_events):
+            return (stg_events
+                    .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                             "event_type")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum(F.col("value").cast("decimal(18,2)"))
+                          .cast("decimal(28,2)").alias("dec_total")))
+
+        @g.model(name="mart_daily", deps=["int_hourly"],
+                 materialization="incremental",
+                 incremental_strategy="merge",
+                 unique_key=["day", "event_type"])
+        def mart_daily(s, v, int_hourly):
+            daily = (int_hourly
+                     .groupBy(F.col("hour").cast("date").alias("day"),
+                              "event_type")
+                     .agg(F.sum("n").cast("bigint").alias("n"),
+                          F.round(F.sum("dec_total").cast("double"), 3)
+                           .alias("total_value")))
+            w = Window.partitionBy("day").orderBy(
+                F.desc("total_value"), "event_type")
+            return daily.withColumn("day_rank", F.rank().over(w))
+
+        return g
+
+    wh = tempfile.mkdtemp(prefix="dag_incr_wh_")
+    try:
+        build_graph(F.col("ts") < F.lit(cut_ts)).run(
+            spark, select=["mart_daily"])
+        final = build_graph(F.col("ts") >= F.lit(cut_day)).run(
+            spark, select=["mart_daily"])["mart_daily"]
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
