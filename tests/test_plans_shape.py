@@ -154,7 +154,10 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          # IVF probe selection: queries x the (tiny by
                          # construction) coarse-quantizer centroid table —
                          # the search itself stays a cell-keyed equi-join
-                         "embed_knn_ivf_nprobe"}
+                         "embed_knn_ivf_nprobe", "embed_knn_ivf_sweep",
+                         # corpus-total scalar broadcast into the scoring
+                         # join (1-row NLJ, the tfidf/n_docs shape)
+                         "docs_unigram_score"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
