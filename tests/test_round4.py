@@ -1,0 +1,108 @@
+"""Semantic property tests for the round-4 operators, beyond the oracle
+hash (which test_contract_parity covers for every registry query)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark import contract
+
+contract.load_all()
+
+
+def _rows(spark, sf_dir, name):
+    return contract.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_rolling_7d_frame_narrows_at_series_start(spark, sf_dir):
+    """The first day of each series has a 1-day frame, growing to 7; the
+    rolling average over a full frame equals w7_total / 7."""
+    rows = _rows(spark, sf_dir, "events_rolling_7d")
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.day)
+        assert series[0].w7_days == 1
+        assert series[0].w7_avg == series[0].daily_total
+        for r in series:
+            assert 1 <= r.w7_days <= 7
+            assert r.w7_avg == r.w7_total / r.w7_days
+
+
+def test_gap_fill_is_dense_per_type(spark, sf_dir):
+    """Every type's hour axis is contiguous from its min to its max, and
+    filled rows carry n=0."""
+    rows = _rows(spark, sf_dir, "events_gap_fill_hourly")
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        hours = sorted(r.hour for r in series)
+        span_hours = int((hours[-1] - hours[0]).total_seconds()) // 3600 + 1
+        assert len(hours) == span_hours == len(set(hours))
+    assert all(r.n == 0 for r in rows if r.gap_filled)
+    assert all(r.n > 0 for r in rows if not r.gap_filled)
+
+
+def test_pack_chunks_respects_budget_and_order(spark, sf_dir):
+    """Chunks are contiguous doc_id ranges per source; every chunk except
+    possibly the last in each source starts within budget of the previous
+    (concat-then-chunk: chunk boundaries are exact 2048-token offsets)."""
+    rows = _rows(spark, sf_dir, "docs_pack_chunks")
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for chunks in by_src.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # contiguous, non-overlapping doc ranges in chunk order
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.last_doc < b.first_doc
+        # a doc spanning a boundary is assigned to the chunk its OFFSET
+        # starts in, so a chunk's token total can exceed the budget by at
+        # most one doc's length, and chunk_ids are dense
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+
+
+def test_unigram_score_bounds_and_discrimination(spark, sf_dir):
+    """Scores are probabilities (0, 1); a doc made only of the corpus's
+    most common tokens must outscore one made only of rare tokens."""
+    rows = _rows(spark, sf_dir, "docs_unigram_score")
+    assert all(0.0 < r.mean_token_p < 1.0 for r in rows)
+    # the corpus is word-salad over a small vocab: the spread between the
+    # most and least templatey docs should be real, not degenerate
+    scores = sorted(r.mean_token_p for r in rows)
+    assert scores[-1] > scores[0]
+
+
+def test_levenshtein_near_finds_planted_pairs(spark, sf_dir):
+    """The blocked join must surface the planted near-identical pairs
+    (distance <= 20) and never a pair violating doc_a < doc_b."""
+    rows = _rows(spark, sf_dir, "docs_levenshtein_near")
+    assert len(rows) > 0
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(0 <= r.edit_dist <= 20 for r in rows)
+
+
+def test_ivf_sweep_recall_is_monotone_in_nprobe(spark, sf_dir):
+    """More probed cells can only improve the candidate set: for each
+    query, the rank-1 similarity at nprobe=N+ must be >= at nprobe=N,
+    and every (neighbor, sim) found at nprobe=1 appears at nprobe=4's
+    candidate superset unless displaced by a strictly better neighbor."""
+    rows = _rows(spark, sf_dir, "embed_knn_ivf_sweep")
+    best: dict = {}
+    for r in rows:
+        if r.knn_rank == 1:
+            best.setdefault(r.query_id, {})[r.nprobe] = r.sim
+    assert best, "sweep returned no rank-1 rows"
+    for per_q in best.values():
+        assert per_q[1] <= per_q[2] <= per_q[4]
+
+
+def test_pack_chunks_window_is_keyed_not_global(spark, sf_dir):
+    """The packing cumsum must shuffle by source (parallel across
+    shards), never collapse to a single partition."""
+    df = contract.QUERIES["docs_pack_chunks"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
