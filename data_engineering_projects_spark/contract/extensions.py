@@ -319,13 +319,17 @@ _MH_AB = [(1103515245, 12345), (69069, 362437), (1664525, 1013904223),
           (214013, 2531011), (16807, 0)]
 
 
-def _minhash_sql() -> str:
+def _mh_cte_sql() -> str:
     mins = ", ".join(
         f"list_min(list_transform(shs, h -> "
         f"({a} * (h % {_MH_P}) + {b}) % {_MH_P})) AS h{i}"
         for i, (a, b) in enumerate(_MH_AB))
+    return f"mh AS (SELECT doc_id, {mins} FROM docs WHERE len(shs) > 0)"
+
+
+def _minhash_sql() -> str:
     return f"""
-mh AS (SELECT doc_id, {mins} FROM docs WHERE len(shs) > 0),
+{_mh_cte_sql()},
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, h{i} AS band_key FROM mh"
                       for i in range(_N_MINHASH))}),
@@ -1350,3 +1354,105 @@ def embed_knn_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("knn_rank") <= 3)
             .select("nprobe", "query_id", "neighbor_id",
                     F.round("sim", 6).alias("sim"), "knn_rank"))
+
+
+#: LSH banding configurations for the (bands x rows) sweep: all use the
+#: same 8 minima, regrouped — (8,1) high-recall, (4,2), (2,4) high-precision.
+_MH_SWEEP = [(8, 1), (4, 2), (2, 4)]
+
+
+def _minhash_sweep_sql() -> str:
+    def key(i: int, r: int) -> str:
+        hs = [f"h{i * r + j}" for j in range(r)]
+        if r == 1:
+            return f"CONCAT({hs[0]})"
+        return "CONCAT(" + ", ':', ".join(hs) + ")"
+
+    arms = []
+    for b, r in _MH_SWEEP:
+        for i in range(b):
+            arms.append(f"SELECT doc_id, {b} AS n_bands, {r} AS rows_per_band, "
+                        f"{i} AS band, {key(i, r)} AS band_key FROM mh")
+    return f"""
+bands AS ({" UNION ALL ".join(arms)}),
+cand AS (
+  SELECT a.n_bands, a.rows_per_band, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.n_bands = b.n_bands AND a.rows_per_band = b.rows_per_band
+   AND a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY ALL),
+ver AS (
+  SELECT c.n_bands, c.rows_per_band,
+         CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+           / (len(da.shs) + len(db.shs)
+              - len(list_intersect(da.shs, db.shs))) AS j
+  FROM cand c JOIN docs da ON c.doc_a = da.doc_id
+              JOIN docs db ON c.doc_b = db.doc_id)
+"""
+
+
+@query("dedup_minhash_sweep",
+       _DOCS_CTE.rstrip() + ", " + _mh_cte_sql() + ","
+       + _minhash_sweep_sql().rstrip() + """
+SELECT n_bands, rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN j >= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified
+FROM ver GROUP BY n_bands, rows_per_band
+""")
+def dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH precision/recall knob as a parameter sweep (the MinHash
+    analog of ``embed_knn_ivf_sweep``): the SAME 8 per-doc minima
+    regrouped into (bands x rows) = (8,1) / (4,2) / (2,4) band keys —
+    collision probability per band is J^rows, so fewer, wider bands trade
+    recall for candidate volume — with candidate counts and
+    exact-Jaccard-verified counts per configuration under one oracle.
+    Pins that the tuning axis actually moves the candidate set the way
+    the S-curve says it must (monotone in the test suite).
+
+    One signature computation feeds every configuration (the band
+    explosion is 8+4+2 structs per doc); candidates stay a band-bucket
+    equi-join per config, and only aggregate counts reach the driver."""
+    def perm(a, b):
+        return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
+
+    sets = _shared_persist(spark, sf_dir, "shingle_sets",
+                           lambda: _doc_shingle_sets(spark, sf_dir))
+    mh = sets.filter(F.size("shs") > 0).select(
+        "doc_id",
+        *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_AB)])
+    structs = []
+    for nb, r in _MH_SWEEP:
+        for i in range(nb):
+            key = F.concat_ws(
+                ":", *[F.col(f"h{i * r + j}").cast("string")
+                       for j in range(r)])
+            structs.append(F.struct(
+                F.lit(nb).alias("n_bands"), F.lit(r).alias("rows_per_band"),
+                F.lit(i).alias("band"), key.alias("band_key")))
+    bands = (mh.select("doc_id", F.explode(F.array(*structs)).alias("bk"))
+             .select("doc_id", "bk.n_bands", "bk.rows_per_band",
+                     "bk.band", "bk.band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.n_bands") == F.col("b.n_bands"))
+                   & (F.col("a.rows_per_band") == F.col("b.rows_per_band"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.n_bands").alias("n_bands"),
+                    F.col("a.rows_per_band").alias("rows_per_band"),
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    da = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    db = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    j = n_common.cast("double") / (F.size("sa") + F.size("sb") - n_common)
+    return (cand.join(da, "doc_a").join(db, "doc_b")
+            .withColumn("j", j)
+            .groupBy("n_bands", "rows_per_band")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.sum((F.col("j") >= 0.1).cast("int")).cast("bigint")
+                 .alias("n_verified")))

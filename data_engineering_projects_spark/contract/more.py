@@ -395,3 +395,65 @@ def dbt_model_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@query("dbt_profile_events", f"""
+WITH ev AS ({EV}),
+s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(event_id) AS nn_event_id, COUNT(DISTINCT event_id) AS nd_event_id,
+         COUNT(user_id) AS nn_user_id, COUNT(DISTINCT user_id) AS nd_user_id,
+         COUNT(event_type) AS nn_event_type,
+         COUNT(DISTINCT event_type) AS nd_event_type,
+         COUNT(value) AS nn_value, COUNT(DISTINCT value) AS nd_value
+  FROM ev)
+SELECT 'event_id' AS column_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows - nn_event_id AS BIGINT) AS n_null,
+       CAST(nd_event_id AS BIGINT) AS n_distinct,
+       CAST(n_rows - nn_event_id AS DOUBLE) / n_rows AS null_rate
+FROM s
+UNION ALL
+SELECT 'user_id', CAST(n_rows AS BIGINT), CAST(n_rows - nn_user_id AS BIGINT),
+       CAST(nd_user_id AS BIGINT),
+       CAST(n_rows - nn_user_id AS DOUBLE) / n_rows FROM s
+UNION ALL
+SELECT 'event_type', CAST(n_rows AS BIGINT),
+       CAST(n_rows - nn_event_type AS BIGINT),
+       CAST(nd_event_type AS BIGINT),
+       CAST(n_rows - nn_event_type AS DOUBLE) / n_rows FROM s
+UNION ALL
+SELECT 'value', CAST(n_rows AS BIGINT), CAST(n_rows - nn_value AS BIGINT),
+       CAST(nd_value AS BIGINT),
+       CAST(n_rows - nn_value AS DOUBLE) / n_rows FROM s
+""")
+def dbt_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the dbt-docs / data-observability analog of the
+    quality gate): per-column row count, null count, exact distinct
+    count, and null rate, in long (one row per column) form so the
+    report schema is stable as columns are added.
+
+    ONE scan: all per-column stats fold into a single aggregate (Spark
+    plans multi-DISTINCT via a single expand + two-phase agg), then the
+    4-row long form is an unpivot of the one-row stats relation — no
+    per-column re-scan. Null rate is the raw quotient. At 100 TB swap
+    COUNT(DISTINCT) for approx_count_distinct per the documented
+    exact->approx switch (SCALING.md); the scan/unpivot shape is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.count(c).alias(f"nn_{c}"),
+                 F.count_distinct(F.col(c)).alias(f"nd_{c}")]
+    s = ev.agg(*aggs)
+    arms = [F.struct(F.lit(c).alias("column_name"),
+                     F.col("n_rows").cast("bigint").alias("n_rows"),
+                     (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint")
+                     .alias("n_null"),
+                     F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+                     ((F.col("n_rows") - F.col(f"nn_{c}")).cast("double")
+                      / F.col("n_rows")).alias("null_rate"))
+            for c in cols]
+    return (s.select(F.explode(F.array(*arms)).alias("p"))
+            .select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct",
+                    "p.null_rate"))

@@ -106,3 +106,29 @@ def test_pack_chunks_window_is_keyed_not_global(spark, sf_dir):
     df = contract.QUERIES["docs_pack_chunks"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_minhash_sweep_scurve_is_monotone(spark, sf_dir):
+    """Wider bands (more rows per band) can only shrink the candidate
+    set (collision prob per band is J^rows), and verified pairs are a
+    subset of candidates at every setting."""
+    rows = {(r.n_bands, r.rows_per_band): r
+            for r in _rows(spark, sf_dir, "dedup_minhash_sweep")}
+    assert set(rows) == {(8, 1), (4, 2), (2, 4)}
+    assert (rows[(8, 1)].n_candidates >= rows[(4, 2)].n_candidates
+            >= rows[(2, 4)].n_candidates)
+    for r in rows.values():
+        assert 0 <= r.n_verified <= r.n_candidates
+    # high-recall setting must catch at least as many true pairs
+    assert rows[(8, 1)].n_verified >= rows[(2, 4)].n_verified
+
+
+def test_profile_long_form_is_consistent(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dbt_profile_events")
+    assert {r.column_name for r in rows} == {
+        "event_id", "user_id", "event_type", "value"}
+    n = rows[0].n_rows
+    for r in rows:
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= n and 0 <= r.n_distinct <= n
+        assert r.null_rate == r.n_null / n
