@@ -280,11 +280,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     true Jaccard of the filtered sets. At 100 TB the join shuffles only
     (hash, doc_id, n_sh) triples, the df-cap bounds every posting list at
     cap^2 candidate rows, and AQE splits residual sub-cap skew."""
-    # persist the exploded+pruned relation: both self-join sides read it,
-    # and it feeds the per-doc size window. 8-byte hashes — bounded
-    # bytes/doc at any corpus size. (_doc_shingle_sets itself stays
-    # persisted for sharing with the MinHash queries.)
-    sets = _doc_shingle_sets(spark, sf_dir).persist()
+    # the exploded+pruned relation is read by both self-join sides and
+    # feeds the per-doc size window (8-byte hashes — bounded bytes/doc at
+    # any corpus size); the shingle sets come from the shared memo so
+    # every dedup query in a sweep reuses ONE persisted copy.
+    sets = _shared_shingle_sets(spark, sf_dir)
     sh0 = sets.select("doc_id", F.explode("shs").alias("sh"))
     stop = (sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > _DF_CAP).select("sh"))
@@ -368,9 +368,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the HOF's element-index argument by PySpark.
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
-    # persist: read 3x (signatures + both verify sides) — see
-    # dedup_ngram_jaccard for the materialization rationale.
-    sets = _doc_shingle_sets(spark, sf_dir).persist()
+    # read 3x (signatures + both verify sides): the shared memoized
+    # persisted copy — see dedup_ngram_jaccard.
+    sets = _shared_shingle_sets(spark, sf_dir)
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
@@ -459,6 +459,15 @@ def clear_shared_persisted() -> None:
     for df in _SHARED_PERSISTED.values():
         df.unpersist()
     _SHARED_PERSISTED.clear()
+
+
+def _shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc distinct-shingle-hash relation, persisted once per
+    (session, sf_dir): consumed by the Jaccard, MinHash, MinHash-sweep,
+    and clustering queries — without the memo each would re-persist an
+    identical plan per call (round-3 ADVICE)."""
+    return _shared_persist(spark, sf_dir, "shingle_sets",
+                           lambda: _doc_shingle_sets(spark, sf_dir))
 
 
 def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,8 +1425,7 @@ def dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     def perm(a, b):
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
-    sets = _shared_persist(spark, sf_dir, "shingle_sets",
-                           lambda: _doc_shingle_sets(spark, sf_dir))
+    sets = _shared_shingle_sets(spark, sf_dir)
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
@@ -1456,3 +1464,53 @@ def dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_candidates"),
                  F.sum((F.col("j") >= 0.1).cast("int")).cast("bigint")
                  .alias("n_verified")))
+
+
+#: Per-source sampling rates (per mille) for the mixture query: the
+#: temperature-reweighting shape — upsample scarce/high-quality sources,
+#: downsample the crawl-dominant one.
+_MIXTURE_RATES = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
+_MIXTURE_DEFAULT = 63
+
+
+def _mixture_thresh_sql() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {t}" for s, t in _MIXTURE_RATES.items())
+    return f"CASE source {whens} ELSE {_MIXTURE_DEFAULT} END"
+
+
+@query("docs_mixture_sample", f"""
+WITH g AS (
+  SELECT source, {_mixture_thresh_sql()} AS thresh,
+         CAST({md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=13)} % 1000
+              < {_mixture_thresh_sql()} AS INT) AS kept
+  FROM documents)
+SELECT source, CAST(MAX(thresh) AS BIGINT) AS rate_per_mille,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_rate
+FROM g GROUP BY source
+""")
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling with PER-SOURCE rates (the
+    data-mixture reweighting step of a pretraining pipeline — upsample
+    curated sources, downsample the crawl): a md5 hash gate per document
+    against that source's threshold, audited per source against the
+    target rate. Differs from ``docs_sample_stratified`` (uniform rate
+    per stratum) in that the rate map IS the knob.
+
+    The gate is a row-local expression: at 100 TB the sample is the
+    filtered scan itself — no shuffle beyond the audit rollup — and
+    re-runs select identical rows on any partitioning."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    thresh = F.lit(_MIXTURE_DEFAULT)
+    for s, t in reversed(_MIXTURE_RATES.items()):
+        thresh = F.when(F.col("source") == s, t).otherwise(thresh)
+    kept = (md5_hash64(F.col("doc_id").cast("string"), seed=13) % 1000
+            < thresh).cast("int")
+    return (d.select("source", thresh.alias("thresh"), kept.alias("kept"))
+            .groupBy("source")
+            .agg(F.max("thresh").cast("bigint").alias("rate_per_mille"),
+                 F.count(F.lit(1)).alias("n_total"),
+                 F.sum("kept").cast("bigint").alias("n_kept"),
+                 (F.sum("kept").cast("double") / F.count(F.lit(1)))
+                 .alias("achieved_rate")))

@@ -130,3 +130,51 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("total_value", F.lit(0.0))
                      .alias("total_value"),
                     F.col("h_type").isNull().alias("gap_filled")))
+
+
+@query("events_zscore_hourly", f"""
+WITH ev AS ({EV}),
+h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM ev GROUP BY event_type, date_trunc('hour', ts)),
+st AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS s1,
+              CAST(SUM(n * n) AS BIGINT) AS s2, COUNT(*) AS k
+       FROM h GROUP BY event_type),
+z AS (
+  SELECT h.event_type, h.hour, h.n,
+         (CAST(h.n AS DOUBLE) - CAST(st.s1 AS DOUBLE) / st.k)
+         / NULLIF(SQRT(GREATEST(
+             CAST(st.s2 AS DOUBLE) / st.k
+             - (CAST(st.s1 AS DOUBLE) / st.k) * (CAST(st.s1 AS DOUBLE) / st.k),
+             0)), 0) AS z
+  FROM h JOIN st ON h.event_type = st.event_type)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n, z
+FROM z WHERE ABS(z) >= 2
+""")
+def events_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped standardization anomaly detection: hourly counts per type,
+    standardized against THAT TYPE's own mean/std (population moments),
+    emitting hours with |z| >= 2 — the per-key generalization of the
+    global 3-sigma outlier test (`dbt_outlier_3sigma`), whose 1-row
+    cross-join becomes a broadcast equi-join on the group key here.
+
+    Every input to z is bit-exact cross-engine: counts are integers, the
+    moment sums are exact BIGINTs, and division/multiply/sqrt are all
+    correctly-rounded IEEE ops — so the raw z (and the >= 2 gate) cannot
+    flip between engines. SQRT sits on GREATEST(var, 0) for the
+    cancellation guard; a zero-variance type yields NULL z (filtered)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    st = (h.groupBy("event_type")
+          .agg(F.sum("n").cast("bigint").alias("s1"),
+               F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+               F.count(F.lit(1)).alias("k")))
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = F.col("s2").cast("double") / F.col("k") - mean * mean
+    z = ((F.col("n").cast("double") - mean)
+         / F.nullif(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0)))
+    return (h.join(F.broadcast(st), "event_type")
+            .withColumn("z", z)
+            .filter(F.abs("z") >= 2)
+            .select("event_type", "hour", F.col("n").cast("bigint").alias("n"),
+                    "z"))

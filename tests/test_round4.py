@@ -132,3 +132,42 @@ def test_profile_long_form_is_consistent(spark, sf_dir):
         assert r.n_rows == n
         assert 0 <= r.n_null <= n and 0 <= r.n_distinct <= n
         assert r.null_rate == r.n_null / n
+
+
+def test_zscore_flags_are_grouped_not_global(spark, sf_dir):
+    """z is computed against the row's own type: reconstructing the
+    per-type moments from the full hourly relation must reproduce the
+    reported z for every flagged hour."""
+    import math
+
+    ev = contract.QUERIES["events_zscore_hourly"](spark, sf_dir).collect()
+    assert ev, "no anomalies flagged at sf0.01"
+    from data_engineering_projects_spark.sources import load_table
+    h = (load_table(spark, sf_dir, "events")
+         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+         .count().collect())
+    by_type: dict = {}
+    for r in h:
+        by_type.setdefault(r.event_type, []).append(r["count"])
+    for r in ev:
+        ns = by_type[r.event_type]
+        mean = sum(ns) / len(ns)
+        var = max(sum(x * x for x in ns) / len(ns) - mean * mean, 0.0)
+        assert abs(r.z) >= 2
+        assert r.z == pytest.approx((r.n - mean) / math.sqrt(var), rel=1e-9)
+
+
+def test_mixture_sample_tracks_rate_map(spark, sf_dir):
+    """Achieved rates follow the per-source targets (hash gate is uniform
+    enough at 500+ docs/source to land within a wide tolerance), and the
+    rate map actually differentiates sources."""
+    rows = _rows(spark, sf_dir, "docs_mixture_sample")
+    by_src = {r.source: r for r in rows}
+    assert by_src["src0"].rate_per_mille == 1000
+    assert by_src["src0"].n_kept == by_src["src0"].n_total  # 100% keeps all
+    for r in rows:
+        assert r.achieved_rate == r.n_kept / r.n_total
+        if r.n_total >= 20:
+            assert abs(r.achieved_rate - r.rate_per_mille / 1000.0) < 0.35
+    rates = {r.rate_per_mille for r in rows}
+    assert len(rates) >= 3
