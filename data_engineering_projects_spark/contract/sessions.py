@@ -594,3 +594,70 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("total_value")))
 
     return _run_stream_to_memory(spark, ev, "session", agg)
+
+
+@query("streaming_click_attribution", f"""
+WITH ev AS ({EV}),
+clk AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM ev
+        WHERE event_type = 'click'),
+pur AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+               value AS amount
+        FROM ev WHERE event_type = 'purchase')
+SELECT pur.user_id, pur.purchase_id, pur.purchase_ts,
+       clk.click_id, clk.click_ts, pur.amount
+FROM pur JOIN clk
+  ON pur.user_id = clk.user_id
+ AND clk.click_ts <= pur.purchase_ts
+ AND clk.click_ts >= pur.purchase_ts - INTERVAL 1 HOUR
+""")
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-checked — the last streaming
+    surface that was tests-only: ``streaming.jobs.stream_stream_join``
+    attributes each purchase to the same user's clicks within the
+    preceding hour, both sides watermarked file streams, availableNow,
+    append into a memory sink.
+
+    Emission rule the oracle replays: an INNER stream-stream join emits a
+    pair as soon as both rows are buffered; watermarks only bound state
+    eviction BETWEEN micro-batches, and with one staged batch nothing is
+    evicted before matching — so the streamed result is exactly the
+    batch interval join, which the oracle computes directly. All join
+    keys/timestamps are exact (no floats), so the hash is trivially
+    stable.
+
+    Scale: both streams shuffle on user_id; buffered state per side is
+    bounded by watermark + the 1-hour join bound — the canonical
+    attribution-pipeline shape for unbounded click/purchase streams."""
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+
+    d_clk = tempfile.mkdtemp(prefix="depa_stream_attr_clk_")
+    d_pur = tempfile.mkdtemp(prefix="depa_stream_attr_pur_")
+    try:
+        clicks.write.mode("overwrite").parquet(d_clk)
+        purchases.write.mode("overwrite").parquet(d_pur)
+        _STREAM_SEQ[0] += 1
+        name = f"depa_stream_attr_{_STREAM_SEQ[0]}"
+        s_clk = spark.readStream.schema(clicks.schema).parquet(d_clk)
+        s_pur = spark.readStream.schema(purchases.schema).parquet(d_pur)
+        joined = stream_stream_join(s_clk, s_pur, max_delay="1 hour",
+                                    watermark="2 hours")
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"streaming query {name} did not terminate within 300s")
+        return spark.table(name).select(
+            "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts",
+            "amount")
+    finally:
+        shutil.rmtree(d_clk, ignore_errors=True)
+        shutil.rmtree(d_pur, ignore_errors=True)
