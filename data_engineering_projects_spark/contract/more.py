@@ -457,3 +457,78 @@ def dbt_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.select(F.explode(F.array(*arms)).alias("p"))
             .select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct",
                     "p.null_rate"))
+
+
+_FAKE_MEDIA_CTE = """
+WITH h AS (
+  SELECT doc_id,
+         md5('0' || text) || md5('1' || text) || md5('2' || text)
+           || md5('3' || text) AS hx
+  FROM documents),
+b AS (
+  SELECT doc_id, hx,
+         list_transform(range(1, 65),
+           i -> (strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) AS bytes
+  FROM h)
+"""
+
+
+@query("multimodal_audio_features", _FAKE_MEDIA_CTE + """
+SELECT doc_id AS media_id,
+       CAST(len(bytes) AS BIGINT) AS n_samples,
+       SQRT(list_sum(list_transform(bytes, x -> (x - 128) * (x - 128)))
+            / 64.0) AS rms,
+       CAST(list_sum(list_transform(range(1, 64),
+              i -> CASE WHEN (bytes[i] - 128 < 0) <> (bytes[i+1] - 128 < 0)
+                        THEN 1 ELSE 0 END)) AS DOUBLE) / 63.0
+         AS zero_crossing_rate
+FROM b
+""")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing end-to-end, hash-checked like the image path: the
+    deterministic fake waveform kernel (bytes as centered int8 samples →
+    n_samples / RMS / zero-crossing rate) through the REAL Arrow
+    mapInPandas pipeline (``multimodal.audio_features``); the oracle
+    re-derives the same 64 bytes from chained md5 and recomputes the
+    features in SQL. Every feature input is exact integer arithmetic and
+    the only float ops (division by 64/63, sqrt) are correctly-rounded
+    IEEE, so the Python kernel and DuckDB agree bit-for-bit. A real
+    librosa decoder drops in via the gated ``real_audio_decoder`` slot
+    and reverts this to rows-only."""
+    from ..multimodal import (attach_fake_media, audio_features,
+                              fake_audio_decoder)
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    media = attach_fake_media(docs, "doc_id", "text")
+    out = audio_features(media, decoder=fake_audio_decoder)
+    return out.select("media_id",
+                      F.col("n_samples").cast("bigint").alias("n_samples"),
+                      "rms", "zero_crossing_rate")
+
+
+@query("multimodal_frame_fingerprints", _FAKE_MEDIA_CTE + """
+SELECT media_id, frame_no,
+       CAST(u64 - CASE WHEN u64 >= 9223372036854775808
+                       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+         AS frame_fingerprint
+FROM (
+  SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+         CAST(CAST(('0x' || substr(hx, 32 * i + 1, 8)) AS BIGINT) AS HUGEINT)
+           * 4294967296
+           + CAST(('0x' || substr(hx, 32 * i + 9, 8)) AS BIGINT) AS u64
+  FROM b, range(0, 4) t(i))
+""")
+def multimodal_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing (the 1→N mapInPandas explode shape),
+    hash-checked: ``multimodal.frame_sample`` cuts each 64-byte fake
+    media blob into 4 frames of 16 bytes and fingerprints each frame's
+    first 8 bytes as a signed big-endian 64-bit int; the oracle slices
+    the identical hex digest and performs the same two's-complement
+    wrap in HUGEINT arithmetic. A real frame sampler (ffmpeg keyframes)
+    would replace the byte slicing; the explode-shaped Arrow plumbing —
+    output rows ≠ input rows — is what this pins."""
+    from ..multimodal import attach_fake_media, frame_sample
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    media = attach_fake_media(docs, "doc_id", "text")
+    return frame_sample(media, every_n_bytes=16).select(
+        "media_id", "frame_no", "frame_fingerprint")

@@ -167,8 +167,12 @@ def fake_audio_decoder(content: bytes) -> tuple[int, float, float]:
     rate) — the canonical cheap audio-quality features."""
     if not content:
         return 0, 0.0, 0.0
+    import math
+
     samples = [b - 128 for b in content]
-    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    # math.sqrt, not ** 0.5: sqrt is correctly rounded IEEE (identical to
+    # any SQL engine's SQRT); pow(x, 0.5) is not guaranteed to be.
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples))
     zc = sum(1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0))
     zcr = zc / max(len(samples) - 1, 1)
     return len(samples), rms, zcr
