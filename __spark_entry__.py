@@ -42,7 +42,8 @@ _FRONT_R4 = [
     "dbt_model_dag_incremental", "dedup_minhash_sweep", "dbt_profile_events",
     "events_zscore_hourly", "docs_mixture_sample",
     "streaming_click_attribution", "multimodal_audio_features",
-    "multimodal_frame_fingerprints",
+    "multimodal_frame_fingerprints", "events_value_ntiles",
+    "dedup_incremental_ingest",
     # no CORRECTNESS_r03 row (driver cap fell on these r1/r2-green queries)
     "dbt_fk_orphans", "dbt_outlier_3sigma", "text_token_stats",
     "text_quality", "text_lang_id", "text_tokens_bpe", "text_fingerprint",

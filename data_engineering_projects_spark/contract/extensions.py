@@ -327,12 +327,17 @@ def _mh_cte_sql() -> str:
     return f"mh AS (SELECT doc_id, {mins} FROM docs WHERE len(shs) > 0)"
 
 
+def _bands_cte_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, h{i} AS band_key FROM mh"
+        for i in range(_N_MINHASH))
+    return f"bands AS ({arms})"
+
+
 def _minhash_sql() -> str:
     return f"""
 {_mh_cte_sql()},
-bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, h{i} AS band_key FROM mh"
-                      for i in range(_N_MINHASH))}),
+{_bands_cte_sql()},
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
   FROM bands a JOIN bands b
@@ -1514,3 +1519,83 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("kept").cast("bigint").alias("n_kept"),
                  (F.sum("kept").cast("double") / F.count(F.lit(1)))
                  .alias("achieved_rate")))
+
+
+@query("dedup_incremental_ingest",
+       _DOCS_CTE.rstrip() + ", " + _mh_cte_sql() + ", " + _bands_cte_sql()
+       + """,
+inc AS (SELECT doc_id FROM docs WHERE doc_id % 10 >= 8),
+cand AS (
+  SELECT i.doc_id AS inc_doc, e.doc_id AS ex_doc
+  FROM bands i JOIN bands e
+    ON i.band = e.band AND i.band_key = e.band_key
+   AND i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
+  GROUP BY ALL),
+jac AS (
+  SELECT c.inc_doc, c.ex_doc,
+         CAST(len(list_intersect(di.shs, de.shs)) AS DOUBLE)
+           / (len(di.shs) + len(de.shs)
+              - len(list_intersect(di.shs, de.shs))) AS j
+  FROM cand c JOIN docs di ON c.inc_doc = di.doc_id
+              JOIN docs de ON c.ex_doc = de.doc_id),
+ver AS (
+  SELECT inc_doc, MIN(ex_doc) AS dup_of, MAX(j) AS best_jaccard
+  FROM jac WHERE j >= 0.1 GROUP BY inc_doc)
+SELECT inc.doc_id, CAST(ver.dup_of IS NOT NULL AS INT) AS is_dup,
+       ver.dup_of, ver.best_jaccard
+FROM inc LEFT JOIN ver ON inc.doc_id = ver.inc_doc
+""")
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-dup check — the production shape the
+    whole-corpus dedup queries miss: a new batch ("incoming", 20% of
+    docs by a deterministic id split) is checked against the
+    already-ingested corpus ("existing") via MinHash band collisions,
+    candidates verified by exact Jaccard (>= 0.1), and each incoming doc
+    emerges marked duplicate-of the smallest matching existing doc (with
+    its best Jaccard, raw quotient) or novel.
+
+    At 100 TB the existing side is the maintained (band, band_key ->
+    doc) index — appended per accepted batch, never recomputed — and the
+    check joins only the incoming batch's bands against it; verification
+    touches candidates only. Finds the planted near-identical pairs that
+    straddle the split (is_dup > 0 pinned in tests), which an
+    exact-fingerprint check misses entirely (zero exact-dup fingerprints
+    in the corpus)."""
+    sets = _shared_shingle_sets(spark, sf_dir)
+
+    def perm(a, b):
+        return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
+
+    mh = sets.filter(F.size("shs") > 0).select(
+        "doc_id",
+        *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_AB)])
+    bands = mh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
+            for i in range(_N_MINHASH)])).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+    i_b = (bands.filter(F.col("doc_id") % 10 >= 8)
+           .select(F.col("doc_id").alias("inc_doc"), "band", "band_key"))
+    e_b = (bands.filter(F.col("doc_id") % 10 < 8)
+           .select(F.col("doc_id").alias("ex_doc"),
+                   F.col("band").alias("e_band"),
+                   F.col("band_key").alias("e_key")))
+    cand = (i_b.join(e_b, (F.col("band") == F.col("e_band"))
+                     & (F.col("band_key") == F.col("e_key")))
+            .select("inc_doc", "ex_doc").distinct())
+    di = sets.select(F.col("doc_id").alias("inc_doc"), F.col("shs").alias("si"))
+    de = sets.select(F.col("doc_id").alias("ex_doc"), F.col("shs").alias("se"))
+    n_common = F.size(F.array_intersect("si", "se"))
+    j = n_common.cast("double") / (F.size("si") + F.size("se") - n_common)
+    ver = (cand.join(di, "inc_doc").join(de, "ex_doc")
+           .withColumn("j", j).filter(F.col("j") >= 0.1)
+           .groupBy("inc_doc")
+           .agg(F.min("ex_doc").alias("dup_of"),
+                F.max("j").alias("best_jaccard")))
+    inc = sets.filter(F.col("doc_id") % 10 >= 8).select("doc_id")
+    return (inc.join(ver, F.col("doc_id") == F.col("inc_doc"), "left")
+            .select("doc_id",
+                    F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+                    "dup_of", "best_jaccard"))

@@ -178,3 +178,40 @@ def events_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.abs("z") >= 2)
             .select("event_type", "hour", F.col("n").cast("bigint").alias("n"),
                     "z"))
+
+
+@query("events_value_ntiles", f"""
+WITH ev AS ({EV}),
+r AS (
+  SELECT event_type, value,
+         NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS quartile,
+         CUME_DIST() OVER (PARTITION BY event_type ORDER BY value)
+           AS cume
+  FROM ev WHERE value IS NOT NULL)
+SELECT event_type, quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo, MAX(value) AS hi,
+       MAX(cume) AS max_cume
+FROM r GROUP BY event_type, quartile
+""")
+def events_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE + CUME_DIST window coverage (the two ranking windows the
+    board lacked): per type, values split into 4 equal-count tiles
+    (deterministic (value, event_id) order so tile boundaries cannot
+    flip on duplicate values) with per-tile bounds and the cumulative
+    distribution at the tile's top.
+
+    CUME_DIST is rank/count — an integer ratio, bit-exact cross-engine;
+    aggregating MAX(cume) per tile keeps the output schema scalar. One
+    keyed shuffle shared by both windows (same partition key)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wq = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type").orderBy("value")
+    r = ev.select("event_type", "value",
+                  F.ntile(4).over(wq).alias("quartile"),
+                  F.cume_dist().over(wc).alias("cume"))
+    return (r.groupBy("event_type", "quartile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("value").alias("lo"), F.max("value").alias("hi"),
+                 F.max("cume").alias("max_cume")))

@@ -171,3 +171,32 @@ def test_mixture_sample_tracks_rate_map(spark, sf_dir):
             assert abs(r.achieved_rate - r.rate_per_mille / 1000.0) < 0.35
     rates = {r.rate_per_mille for r in rows}
     assert len(rates) >= 3
+
+
+def test_incremental_ingest_finds_cross_split_near_dups(spark, sf_dir):
+    """The planted near-identical pairs that straddle the 80/20 id split
+    must surface as duplicates; novel docs carry NULL dup_of."""
+    rows = _rows(spark, sf_dir, "dedup_incremental_ingest")
+    dups = [r for r in rows if r.is_dup]
+    assert len(dups) >= 3
+    for r in dups:
+        assert r.dup_of is not None and r.dup_of % 10 < 8
+        assert r.best_jaccard >= 0.1
+    for r in rows:
+        if not r.is_dup:
+            assert r.dup_of is None and r.best_jaccard is None
+        assert r.doc_id % 10 >= 8
+
+
+def test_ntiles_are_equal_count_and_ordered(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "events_value_ntiles")
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for tiles in by_type.values():
+        tiles.sort(key=lambda r: r.quartile)
+        assert [t.quartile for t in tiles] == [1, 2, 3, 4]
+        assert max(t.n for t in tiles) - min(t.n for t in tiles) <= 1
+        for a, b in zip(tiles, tiles[1:]):
+            assert a.hi <= b.lo
+        assert tiles[-1].max_cume == 1.0
