@@ -328,12 +328,13 @@ def dbt_model_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Merge-by-key over complete-day batches is algebraically a full
     refresh, so the final warehouse must hash-match the one-shot CTE
-    chain — verifying plans/models.py's merge strategy (anti-join +
-    union + atomic swap), TABLE materialization, and two-run warehouse
-    reuse end-to-end, not just in unit tests. The tiny mart is collected
-    off the temp warehouse so the returned plan outlives cleanup (daily
-    grain: rows = days x event types, bounded by the calendar at any
-    scale)."""
+    chain — verifying plans/models.py's merge strategy (the
+    partition-PRUNED path: day ⊆ unique_key, so run 2 rewrites only the
+    partitions its batch touches), TABLE materialization, and two-run
+    warehouse reuse end-to-end, not just in unit tests. The tiny mart is
+    localCheckpoint'd (eager, executor blocks — no driver round-trip) so
+    the returned plan outlives warehouse cleanup (daily grain: rows =
+    days x event types, bounded by the calendar at any scale)."""
     import shutil
     import tempfile
 
@@ -371,7 +372,8 @@ def dbt_model_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         @g.model(name="mart_daily", deps=["int_hourly"],
                  materialization="incremental",
                  incremental_strategy="merge",
-                 unique_key=["day", "event_type"])
+                 unique_key=["day", "event_type"],
+                 partition_by=["day"])
         def mart_daily(s, v, int_hourly):
             daily = (int_hourly
                      .groupBy(F.col("hour").cast("date").alias("day"),
@@ -391,8 +393,16 @@ def dbt_model_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, select=["mart_daily"])
         final = build_graph(F.col("ts") >= F.lit(cut_day)).run(
             spark, select=["mart_daily"])["mart_daily"]
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # day is partition-encoded on disk (the run-2 merge is the
+        # partition-PRUNED path: day ⊆ unique_key, so only batch days
+        # rewrite — pinned in tests/test_models.py); normalize column
+        # order/type, then localCheckpoint(eager) so the returned frame's
+        # blocks outlive the warehouse rmtree with NO driver round-trip
+        # (the mart is bounded: days × event_types).
+        final = final.select(
+            F.col("day").cast("date").alias("day"), "event_type", "n",
+            "total_value", "day_rank")
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 

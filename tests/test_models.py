@@ -106,6 +106,66 @@ def test_incremental_merge_upserts(spark, tmp_path):
         [(1, "a"), (2, "b2"), (3, "c")]
 
 
+def test_incremental_merge_partition_pruned(spark, tmp_path):
+    """merge with partition_by ⊆ unique_key takes the partition-pruned
+    path: upsert semantics hold AND the files of partitions absent from
+    the batch are byte-identical untouched (same names, sizes, mtimes) —
+    the O(batch partitions) write-amplification contract."""
+    import os
+
+    batches = [
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")],
+        [("d2", 3, "c2"), ("d2", 4, "d")],  # touches d2 only
+    ]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["day", "id"],
+             partition_by=["day"], incremental_strategy="merge")
+    def pm_events(spark, vars):
+        return spark.createDataFrame(
+            batches[state["i"]], "day string, id long, v string")
+
+    g.run(spark)
+    d1 = str(tmp_path / "pm_events" / "day=d1")
+    before = {f: (os.path.getsize(os.path.join(d1, f)),
+                  os.path.getmtime(os.path.join(d1, f)))
+              for f in os.listdir(d1)}
+    state["i"] = 1
+    out = g.run(spark)["pm_events"]
+    # upsert semantics: (d2,3) updated, (d2,4) inserted, d1 rows survive
+    assert sorted((r["day"], r["id"], r["v"]) for r in out.collect()) == \
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c2"), ("d2", 4, "d")]
+    after = {f: (os.path.getsize(os.path.join(d1, f)),
+                 os.path.getmtime(os.path.join(d1, f)))
+             for f in os.listdir(d1)}
+    assert before == after  # untouched partition never rewritten
+
+
+def test_incremental_merge_partition_outside_key_full_rewrite(spark, tmp_path):
+    """merge with a partition column NOT in unique_key cannot assume keys
+    are partition-stable — it must fall back to the global-snapshot merge
+    and still produce correct upserts (a key moving between partitions)."""
+    batches = [
+        [("d1", 1, "a"), ("d2", 2, "b")],
+        [("d3", 1, "a_moved")],  # key 1 moves from partition d1 to d3
+    ]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["id"],
+             partition_by=["day"], incremental_strategy="merge")
+    def mv_events(spark, vars):
+        return spark.createDataFrame(
+            batches[state["i"]], "day string, id long, v string")
+
+    g.run(spark)
+    state["i"] = 1
+    out = g.run(spark)["mv_events"]
+    assert sorted((r["day"], r["id"], r["v"]) for r in out.collect()) == \
+        [("d2", 2, "b"), ("d3", 1, "a_moved")]
+
+
 def test_incremental_insert_overwrite_by_partition(spark, tmp_path):
     """insert_overwrite: partitions present in the batch are replaced
     wholesale; absent partitions are untouched."""
