@@ -381,19 +381,54 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("count_order")))
 
 
-@query("star_pricing_p95_approx")  # rows-only: approx sketch has no exact oracle
+@query("star_pricing_p95_approx", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6)
+         AS p95_exact,
+       COUNT(*) AS n, TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""")
 def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documented 100 TB opt-in for A1-A3 (SURVEY §4.3): t-digest
+    """The documented 100 TB opt-in for A1-A3 (SURVEY §4.3): GK-sketch
     `approx_percentile` instead of exact `percentile`. Same plan shape,
     O(accuracy) memory per group instead of buffering every value — the
     switch to flip when group cardinality stops fitting executor memory.
-    Registered rows-only: the sketch is engine-specific by design, so
-    there is no exact cross-engine oracle."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-              .agg(F.approx_percentile("l_extendedprice", 0.95, 10000)
-                    .alias("p95_price_approx"),
-                   F.count(F.lit(1)).alias("n")))
+
+    Oracle-backed via an ERROR-BOUND check (the sketch value itself is
+    engine-specific, so the hashed columns are the exact p95 plus a
+    boolean the sketch must earn): with accuracy=10000 the GK guarantee
+    is RANK error — the returned element's rank interval
+    [count(< x)+1, count(<= x)] must overlap
+    [floor((p-eps)·n), ceil((p+eps)·n)], eps = 1/accuracy. The check is
+    rank-space, not value-space, because the sketch returns a discrete
+    dataset element while interpolated quantile bounds can sit between
+    two elements (observed failing for a 2,070-row group at sf0.001).
+    Spark computes ``within_bound`` by joining the (group-cardinality,
+    i.e. 3-row, broadcast) sketch output back over the scan; the oracle
+    recomputes the exact p95 and asserts the bound column all-true by
+    emitting the literal — a sketch regression beyond its guarantee
+    breaks the hash. The verification pass costs a second scan; the
+    production sketch path itself remains the one-shuffle aggregate."""
+    eps = 1.0 / 10000  # the accuracy=10000 rank-error guarantee
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.col("l_extendedprice").cast("double").alias("price")))
+    ap = (li.groupBy("l_returnflag")
+            .agg(F.approx_percentile("price", 0.95, 10000).alias("approx")))
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    agg = (j.groupBy("l_returnflag")
+             .agg(F.percentile("price", 0.95).alias("exact"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.sum((F.col("price") < F.col("approx")).cast("long"))
+                   .alias("n_below"),
+                  F.sum((F.col("price") <= F.col("approx")).cast("long"))
+                   .alias("n_at_or_below")))
+    lo_rank = F.floor((0.95 - eps) * F.col("n"))
+    hi_rank = F.ceil((0.95 + eps) * F.col("n"))
+    return agg.select(
+        "l_returnflag", F.round("exact", 6).alias("p95_exact"), "n",
+        ((F.col("n_below") + 1 <= hi_rank)
+         & (F.col("n_at_or_below") >= lo_rank)).alias("within_bound"))
 
 
 @query("star_top_orders_by_revenue", f"""
