@@ -1253,7 +1253,8 @@ def docs_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("docs_levenshtein_near", f"""
 WITH d AS (SELECT doc_id, text, n_chars // 16 AS band,
                   split_part(text, ' ', 1) AS w1
-           FROM documents)
+           FROM documents
+           WHERE regexp_matches(text, '^[\\t\\n\\r -~]*$'))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
 FROM d a JOIN d b
@@ -1269,12 +1270,19 @@ def docs_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Never all-pairs: at 100 TB the block key bounds each join bucket
     (AQE splits a hot band) and the quadratic verify touches only
-    same-block pairs. Edit distance is integer dynamic programming —
-    identical on any engine; both join columns derive from the stored
-    text, no floats anywhere."""
-    d = widen(load_table(spark, sf_dir, "documents")).select(
+    same-block pairs. Edit distance is integer dynamic programming, BUT
+    the unit differs cross-engine on non-ASCII text: Spark counts
+    codepoint edits while DuckDB counts UTF-8 byte edits, so both sides
+    restrict to ASCII-only documents (identical regex gate) where the
+    units coincide — the contract is explicitly ASCII-scoped, not
+    accidentally so (round-4 ADVICE). A production corpus would either
+    accept the engine's own unit or pre-fold to a byte-stable
+    projection; the blocking shape is unchanged either way."""
+    d = (widen(load_table(spark, sf_dir, "documents"))
+         .filter(F.col("text").rlike("^[\\t\\n\\r -~]*$"))
+         .select(
         "doc_id", "text", F.expr("n_chars DIV 16").alias("band"),
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1"))
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1")))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("t_a"),
                  "band", "w1")
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("t_b"),
@@ -1539,8 +1547,12 @@ jac AS (
   FROM cand c JOIN docs di ON c.inc_doc = di.doc_id
               JOIN docs de ON c.ex_doc = de.doc_id),
 ver AS (
-  SELECT inc_doc, MIN(ex_doc) AS dup_of, MAX(j) AS best_jaccard
-  FROM jac WHERE j >= 0.1 GROUP BY inc_doc)
+  SELECT inc_doc, ex_doc AS dup_of, j AS best_jaccard
+  FROM (SELECT inc_doc, ex_doc, j,
+               ROW_NUMBER() OVER (PARTITION BY inc_doc
+                                  ORDER BY j DESC, ex_doc ASC) AS rn
+        FROM jac WHERE j >= 0.1)
+  WHERE rn = 1)
 SELECT inc.doc_id, CAST(ver.dup_of IS NOT NULL AS INT) AS is_dup,
        ver.dup_of, ver.best_jaccard
 FROM inc LEFT JOIN ver ON inc.doc_id = ver.inc_doc
@@ -1551,8 +1563,9 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs by a deterministic id split) is checked against the
     already-ingested corpus ("existing") via MinHash band collisions,
     candidates verified by exact Jaccard (>= 0.1), and each incoming doc
-    emerges marked duplicate-of the smallest matching existing doc (with
-    its best Jaccard, raw quotient) or novel.
+    emerges marked duplicate-of the existing doc that ACHIEVES its best
+    Jaccard (raw quotient; smallest id on exact ties — a coherent
+    arg-max pair, not MIN-doc/MAX-j from different docs) or novel.
 
     At 100 TB the existing side is the maintained (band, band_key ->
     doc) index — appended per accepted batch, never recomputed — and the
@@ -1589,11 +1602,19 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = sets.select(F.col("doc_id").alias("ex_doc"), F.col("shs").alias("se"))
     n_common = F.size(F.array_intersect("si", "se"))
     j = n_common.cast("double") / (F.size("si") + F.size("se") - n_common)
+    # arg-max, not (MIN doc, MAX j): dup_of must be the existing doc that
+    # ACHIEVES best_jaccard (smallest id on exact-j ties) so the emitted
+    # row is a real (duplicate-of, similarity) pair — round-4 ADVICE. The
+    # tie order is engine-stable: j is the same IEEE divide of exact ints
+    # on both sides, and ex_doc breaks exact ties deterministically.
+    w_best = Window.partitionBy("inc_doc").orderBy(
+        F.desc("j"), F.asc("ex_doc"))
     ver = (cand.join(di, "inc_doc").join(de, "ex_doc")
            .withColumn("j", j).filter(F.col("j") >= 0.1)
-           .groupBy("inc_doc")
-           .agg(F.min("ex_doc").alias("dup_of"),
-                F.max("j").alias("best_jaccard")))
+           .withColumn("rn", F.row_number().over(w_best))
+           .filter(F.col("rn") == 1)
+           .select("inc_doc", F.col("ex_doc").alias("dup_of"),
+                   F.col("j").alias("best_jaccard")))
     inc = sets.filter(F.col("doc_id") % 10 >= 8).select("doc_id")
     return (inc.join(ver, F.col("doc_id") == F.col("inc_doc"), "left")
             .select("doc_id",

@@ -424,19 +424,23 @@ def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
     through ``trigger(availableNow=True)`` in append mode into a uniquely
     named memory sink, and return the sink table fully materialized.
 
-    The staged directory is small enough for one micro-batch (no
-    maxFilesPerTrigger limit is set), so the final watermark is
-    ``max(ts) - delay`` and append mode flushes exactly the finalized
-    windows — the emission rule each query's oracle SQL replays.
-    ``awaitTermination``'s boolean is checked: a timeout would otherwise
-    return a silently partial memory table (round-3 ADVICE). The staging
-    dir is removed after termination (the memory sink holds the rows)."""
+    Every oracle here replays the SINGLE-micro-batch emission rule (final
+    watermark = ``max(ts) - delay``, one flush), so single-batch admission
+    is enforced, not assumed (round-4 ADVICE): the stage is written
+    ``coalesce(1)`` — one file per side, which no ``maxFilesPerTrigger``
+    setting can split — and ``_assert_single_batch`` verifies from the
+    query's progress log that exactly one batch carried rows; a split
+    would otherwise advance the watermark between batches and silently
+    evict state. ``awaitTermination``'s boolean is checked: a timeout
+    would otherwise return a silently partial memory table (round-3
+    ADVICE). The staging dir is removed after termination (the memory
+    sink holds the rows)."""
     import shutil
     import tempfile
 
     staged = tempfile.mkdtemp(prefix=f"depa_stream_{prefix}_")
     try:
-        staged_input.write.mode("overwrite").parquet(staged)
+        staged_input.coalesce(1).write.mode("overwrite").parquet(staged)
         _STREAM_SEQ[0] += 1
         name = f"depa_stream_{prefix}_{_STREAM_SEQ[0]}"
         stream = spark.readStream.schema(staged_input.schema).parquet(staged)
@@ -447,9 +451,25 @@ def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
             raise RuntimeError(
                 f"streaming query {name} did not terminate within 300s; "
                 f"memory sink would be partial")
+        _assert_single_batch(q, name)
         return spark.table(name)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def _assert_single_batch(q, name: str) -> None:
+    """Fail loudly if the availableNow run admitted input across more
+    than one micro-batch: the batch oracles replay the one-flush
+    emission rule, and a split admission (e.g. an externally configured
+    ``maxFilesPerTrigger``) can evict watermark state between batches —
+    a silent-row-loss mode, never a hash-diff the driver could catch."""
+    data_batches = sum(
+        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0)
+    if data_batches > 1:
+        raise RuntimeError(
+            f"streaming query {name}: input admitted across "
+            f"{data_batches} micro-batches; the single-batch emission "
+            f"contract the oracle replays does not hold")
 
 
 @query("streaming_hourly_rollup", f"""
@@ -641,8 +661,12 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_clk = tempfile.mkdtemp(prefix="depa_stream_attr_clk_")
     d_pur = tempfile.mkdtemp(prefix="depa_stream_attr_pur_")
     try:
-        clicks.write.mode("overwrite").parquet(d_clk)
-        purchases.write.mode("overwrite").parquet(d_pur)
+        # coalesce(1): one staged file per side -> both sides are
+        # admitted in ONE micro-batch regardless of any external
+        # maxFilesPerTrigger, so the 2h watermark can never evict click
+        # state between batches (round-4 ADVICE); asserted below.
+        clicks.coalesce(1).write.mode("overwrite").parquet(d_clk)
+        purchases.coalesce(1).write.mode("overwrite").parquet(d_pur)
         _STREAM_SEQ[0] += 1
         name = f"depa_stream_attr_{_STREAM_SEQ[0]}"
         s_clk = spark.readStream.schema(clicks.schema).parquet(d_clk)
@@ -655,6 +679,7 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise RuntimeError(
                 f"streaming query {name} did not terminate within 300s")
+        _assert_single_batch(q, name)
         return spark.table(name).select(
             "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts",
             "amount")
