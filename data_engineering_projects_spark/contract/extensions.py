@@ -513,6 +513,57 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_members"))
 
 
+@query("dedup_clusters_chain", """
+WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+edges AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM nodes a JOIN nodes b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 64 <> 63),
+reach AS (
+  SELECT doc_id AS node, doc_id AS anc FROM nodes
+  UNION
+  SELECT r.node, e.u FROM reach r JOIN edges e ON e.v = r.anc),
+lab AS (SELECT node AS doc_id, MIN(anc) AS cluster_id FROM reach
+        GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM lab
+""")
+def dedup_clusters_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADVERSARIAL long-chain connected components — the graph shape
+    fixed-k min-label propagation provably cannot label (a planted
+    64-node path has diameter 63; k=8 propagation reaches only 8 hops),
+    pinning the log-diameter star-contraction path
+    (operators/clustering.py::connected_components_star) as more than a
+    same-answer alternate on clique-ish graphs.
+
+    Fixture: a deterministic path graph over the REAL doc_id domain —
+    edge (id, id+1) whenever both exist and id % 64 != 63, i.e. chains
+    of 64 consecutive ids (the dedup analog: a drifting near-dup chain
+    A~B~C~… where only adjacent pairs clear the similarity bar).
+    cluster_id = component minimum = the chain head; isolated ids (a
+    segment head with no successor) keep themselves. The oracle CANNOT
+    be the fixed-k CTE here by construction — it is a recursive-CTE
+    ancestor closure (terminates: ancestors are bounded by the chain),
+    an independent algorithm agreeing on the exact labels.
+
+    Scale: star contraction converges in O(log d) rounds — ~6 joins for
+    d=63 vs 63 for propagation; every round is one groupBy + equi-join
+    on the shrinking edge list with localCheckpoint lineage truncation.
+    At 100 TB the same operator handles unknown-diameter pair graphs
+    (the reason it exists)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nxt = (d.select(F.col("doc_id").alias("u"),
+                    (F.col("doc_id") + F.lit(1)).alias("v"))
+           .filter(F.col("u") % 64 != 63))
+    edges = nxt.join(d.select(F.col("doc_id").alias("v")), "v")
+    labels = connected_components_star(edges, "u", "v")
+    out = (d.join(labels, d.doc_id == labels.id, "left")
+           .select("doc_id",
+                   F.coalesce("label", "doc_id").alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn("n_members", F.count(F.lit(1)).over(w))
+
+
 _CONTAM_K = 5  #: n-gram order for eval-set contamination (verbatim overlap)
 _CONTAM_EVAL_MOD = 50  #: doc_id % MOD == 0 plays the held-out eval set
 

@@ -1,0 +1,73 @@
+"""Round-5 additions: long-chain star-contraction CC, the approx-p95
+error-bound contract, streaming single-batch enforcement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from data_engineering_projects_spark import contract
+    contract.load_all()
+    return contract.QUERIES
+
+
+def test_chain_defeats_fixed_k_but_not_star(spark):
+    """The planted 64-chain is genuinely adversarial: k=8 min-label
+    propagation leaves nodes >8 hops from the head mislabeled, while
+    star contraction labels the whole chain with its head."""
+    from data_engineering_projects_spark.operators.clustering import (
+        connected_components_star, propagate_min_labels)
+
+    edges = spark.range(63).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    star = {r["id"]: r["label"]
+            for r in connected_components_star(edges).collect()}
+    assert star == {i: 0 for i in range(64)}
+    fixed = {r["id"]: r["label"]
+             for r in propagate_min_labels(edges, iters=8).collect()}
+    # 8 iterations reach 8 hops: node 63 can see down to node 55 at best
+    assert fixed[63] > 0
+    assert fixed != star
+
+
+def test_clusters_chain_contract_shape(spark, queries):
+    """Every doc labeled, heads are their own cluster, chain segments of
+    64 consecutive ids share their head's label."""
+    out = queries["dedup_clusters_chain"](spark, SF_DIR)
+    rows = {r["doc_id"]: (r["cluster_id"], r["n_members"])
+            for r in out.collect()}
+    n = len(rows)
+    assert n > 0
+    for doc_id, (cluster_id, n_members) in rows.items():
+        head = (doc_id // 64) * 64
+        assert cluster_id == head
+        assert n_members == min(64, n - head)
+
+
+def test_p95_approx_within_bound_all_true(spark, queries):
+    out = queries["star_pricing_p95_approx"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    assert all(r["within_bound"] for r in out)
+    assert all(r["p95_exact"] is not None and r["n"] > 0 for r in out)
+
+
+def test_single_batch_assert_trips_on_split_admission(spark):
+    """_assert_single_batch raises when a progress log shows rows
+    admitted across two micro-batches, and passes on one."""
+    from data_engineering_projects_spark.contract.sessions import (
+        _assert_single_batch)
+
+    class FakeQuery:
+        def __init__(self, progress):
+            self.recentProgress = progress
+
+    _assert_single_batch(FakeQuery([{"numInputRows": 10},
+                                    {"numInputRows": 0}]), "ok")
+    with pytest.raises(RuntimeError, match="2 micro-batches"):
+        _assert_single_batch(FakeQuery([{"numInputRows": 10},
+                                        {"numInputRows": 5}]), "split")
