@@ -178,16 +178,36 @@ def fake_audio_decoder(content: bytes) -> tuple[int, float, float]:
     return len(samples), rms, zcr
 
 
-def real_audio_decoder(content: bytes):  # pragma: no cover - needs librosa
-    """Production decoder slot. Requires an audio codec library that is
-    not installed in this container."""
+def real_audio_decoder(content: bytes):  # pragma: no cover - needs soundfile
+    """Production decoder: decodes any libsndfile-supported container
+    (WAV/FLAC/OGG/...) via the optional public ``soundfile`` dep and
+    emits the same (n_samples, rms, zero_crossing_rate) tuple as
+    :func:`fake_audio_decoder` — drop-in under the identical
+    ``mapInPandas`` contract. Raises ``NotImplementedError`` when the
+    codec library is absent (this container), keeping the fake kernel as
+    the oracle-checked path; tests/test_multimodal.py auto-skips the
+    real-codec case on ImportError."""
     try:
-        import librosa  # noqa: F401
+        import soundfile as sf
     except ImportError as e:
         raise NotImplementedError(
-            "real audio decode requires librosa/soundfile; use "
-            "fake_audio_decoder for plumbing tests or install a codec at "
-            "deploy time") from e
+            "real audio decode requires soundfile (libsndfile); use "
+            "fake_audio_decoder for plumbing tests or install the codec "
+            "at deploy time") from e
+    import io
+    import math
+
+    import numpy as np
+    data, _sr = sf.read(io.BytesIO(content), dtype="float64",
+                        always_2d=True)
+    mono = data.mean(axis=1)
+    n = int(mono.shape[0])
+    if n == 0:
+        return 0, 0.0, 0.0
+    rms = math.sqrt(float(np.mean(mono * mono)))
+    neg = mono < 0
+    zc = int(np.sum(neg[:-1] != neg[1:])) if n > 1 else 0
+    return n, rms, zc / max(n - 1, 1)
 
 
 def audio_features(media: DataFrame, decoder=None) -> DataFrame:

@@ -88,3 +88,52 @@ def test_real_audio_decoder_is_gated(media):
         audio_features(media).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_real_image_decoder_with_pillow(spark):
+    """Real-codec path: a PNG synthesized by Pillow itself round-trips
+    through decode_images with the production decoder — identical
+    mapInPandas contract as the fake kernel. Auto-skips where Pillow is
+    absent (this container); the fake kernel stays the oracle path."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(w, h, value):
+        img = PIL_Image.new("L", (w, h), value)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, "image", png_bytes(8, 4, 100), "image/png", None),
+            (2, "image", png_bytes(3, 5, 200), "image/png", None)]
+    from data_engineering_projects_spark.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           decode_images(media, real_image_decoder).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (8, 4)
+    assert (got[2]["width"], got[2]["height"]) == (3, 5)
+    assert abs(got[1]["mean_intensity"] - 100.0) < 1e-9
+    assert abs(got[2]["mean_intensity"] - 200.0) < 1e-9
+
+
+def test_real_audio_decoder_with_soundfile(spark):
+    """Real-codec path: a WAV synthesized by soundfile round-trips
+    through audio_features with the production decoder. A ±0.5
+    alternating square wave has rms 0.5 and zero-crossing rate 1.0.
+    Auto-skips where soundfile is absent (this container)."""
+    sf_mod = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    wave = np.tile([0.5, -0.5], 512)
+    buf = io.BytesIO()
+    sf_mod.write(buf, wave, 8000, format="WAV", subtype="DOUBLE")
+    from data_engineering_projects_spark.multimodal import (
+        MEDIA_SCHEMA, audio_features, real_audio_decoder)
+    media = spark.createDataFrame(
+        [(1, "audio", buf.getvalue(), "audio/wav", None)], MEDIA_SCHEMA)
+    row = audio_features(media, real_audio_decoder).collect()[0]
+    assert row["n_samples"] == 1024
+    assert abs(row["rms"] - 0.5) < 1e-9
+    assert abs(row["zero_crossing_rate"] - 1.0) < 1e-6
