@@ -1138,6 +1138,36 @@ def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(gate.cast("int")).cast("bigint").alias("n_sampled")))
 
 
+@query("docs_sample_topn_per_source", f"""
+SELECT doc_id, source, hash_rank
+FROM (SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=29)},
+                        doc_id) AS hash_rank
+      FROM documents)
+WHERE hash_rank <= 5
+""")
+def docs_sample_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-per-group deterministic sample (the "take 5 examples
+    per source for the eval sheet" shape — complements the rate-based
+    gates, which cannot promise a count): rank docs within each source
+    by a seeded md5 hash (doc_id tiebreak) and keep rank <= 5. The
+    hash-order makes the pick pseudorandom yet identical on every
+    re-run and partitioning — a distributed deterministic reservoir.
+
+    One shuffle on the group key; rank <= k pushes down as a window
+    limit per group (Spark plans a per-partition top-k sort, never a
+    full sort). At 100 TB this replaces driver-side df.sample loops:
+    the per-group state is k rows, executor-resident."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        md5_hash64(F.col("doc_id").cast("string"), seed=29), "doc_id")
+    return (d.select("doc_id", "source",
+                     F.row_number().over(w).alias("hash_rank"))
+            .filter(F.col("hash_rank") <= 5))
+
+
 @query("docs_length_band", """
 WITH q AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
                   quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi

@@ -431,6 +431,49 @@ def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("n_at_or_below") >= lo_rank)).alias("within_bound"))
 
 
+@query("star_small_quantity_revenue", f"""
+WITH pf AS (SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#12' AND p_size <= 15),
+lf AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+       FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey),
+qa AS (SELECT l_partkey,
+              {DEC_AVG_SQL.format(c='l_quantity', s=6)} AS avg_qty
+       FROM lf GROUP BY l_partkey)
+SELECT {DEC_SUM_SQL.format(c='l.l_extendedprice', s=2)} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lf l JOIN qa ON l.l_partkey = qa.l_partkey
+WHERE l.l_quantity < 0.2 * qa.avg_qty
+""")
+def star_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue lost to small-quantity orders for a
+    selective part family — the canonical AGGREGATE-THEN-JOIN-BACK
+    decorrelation (a correlated scalar subquery ``l_quantity <
+    0.2·avg(per part)`` rewritten as a grouped avg joined back to the
+    fact rows).
+
+    100 TB shape, in order: (1) the selective part dim filter broadcasts
+    and prunes lineitem FIRST, so both the per-part average and the
+    join-back run over the filtered fact slice, never the full table;
+    (2) the per-part avg relation is bounded by the filtered part count
+    — broadcast for the join-back, so lineitem is scanned once and
+    shuffled once (for the avg), and the probe side never moves. The avg
+    routes through exact DECIMAL (integer quantities — order-independent)
+    and the final quotient is emitted raw per the derived-ratio rule."""
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15))
+         .select("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    lf = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    qa = lf.groupBy("l_partkey").agg(
+        dec_avg(F.col("l_quantity"), scale=6).alias("avg_qty"))
+    small = (lf.join(F.broadcast(qa), "l_partkey")
+             .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")))
+    return small.agg(
+        (dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"))
+
+
 @query("star_top_orders_by_revenue", f"""
 SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
        ROUND(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue

@@ -686,3 +686,94 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d_clk, ignore_errors=True)
         shutil.rmtree(d_pur, ignore_errors=True)
+
+
+@query("events_user_reach_hll", f"""
+WITH ev AS ({EV})
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+       COUNT(*) AS n_events, TRUE AS within_bound
+FROM ev GROUP BY event_type
+""")
+def events_user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user reach via the HyperLogLog++ sketch
+    (``approx_count_distinct``) — the documented 100 TB switch for
+    COUNT(DISTINCT) (SCALING.md): O(1) memory per group instead of the
+    exact-distinct expand/shuffle.
+
+    Oracle-backed with the same ERROR-BOUND pattern as
+    ``star_pricing_p95_approx``: the sketch value is engine-specific, so
+    the hashed columns are the exact distinct count (DuckDB recomputes
+    it) plus ``within_bound`` — |approx − exact| ≤ 4·rsd·exact with the
+    default rsd 0.05, a ≥4-sigma envelope for HLL++'s standard error.
+    The sketch is hash-based and order-independent, so the boolean is
+    deterministic for a given dataset; a sketch regression breaks the
+    hash. Exact + approx fold into ONE aggregate: a single shuffle
+    carries both (the exact side is the verification cost; production
+    keeps only the sketch)."""
+    rsd = 0.05
+    ev = load_table(spark, sf_dir, "events")
+    agg = (ev.groupBy("event_type")
+             .agg(F.count_distinct(F.col("user_id")).alias("exact"),
+                  F.approx_count_distinct("user_id", rsd).alias("approx"),
+                  F.count(F.lit(1)).alias("n_events")))
+    bound = F.lit(4.0 * rsd) * F.col("exact").cast("double")
+    return agg.select(
+        "event_type", F.col("exact").alias("n_users_exact"), "n_events",
+        (F.abs(F.col("approx").cast("double")
+               - F.col("exact").cast("double")) <= bound)
+        .alias("within_bound"))
+
+
+_PR_SEQ_SQL = """SELECT src, dst FROM (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM ev) WHERE dst IS NOT NULL"""
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import DEFAULT_PR_ITERS, pagerank_sql
+    return (pagerank_sql(EV, _PR_SEQ_SQL)
+            + f"SELECT node AS event_type, r AS pagerank "
+              f"FROM r{DEFAULT_PR_ITERS}")
+
+
+@query("events_pagerank_types", _pagerank_oracle())
+def events_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the event-type transition graph
+    (operators/graph.py): nodes = event types, edge weights = per-source
+    transition shares from each user's (ts, event_id)-ordered sequence —
+    the iterative-algorithm family (beyond one-shot joins/aggs) under
+    full oracle hash strictness.
+
+    Determinism is the whole trick: every rank update is
+    (1−d)/N + d·Σ w·r where each term is one IEEE multiply of identical
+    operands on both engines and the per-destination Σ folds in
+    ascending order (fold_sum ↔ DuckDB ``SUM(x ORDER BY x)``) — so five
+    rounds of float iteration stay bit-identical cross-engine, and the
+    raw doubles are hashed unrounded. Dangling mass (a node with no
+    out-edges) is dropped, identically on both sides.
+
+    Scale: per-iteration cost is one node-keyed equi-join + one grouped
+    fold on the edge list — the node/edge relations partition by id and
+    nothing touches the driver; lineage truncation per round
+    (clustering.py pattern) is the documented add-on for deep iteration
+    counts."""
+    from ..operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select(F.col("event_type").alias("src"),
+                     F.lead("event_type").over(w_seq).alias("dst"))
+           .filter(F.col("dst").isNotNull()))
+    edges = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    outdeg = edges.groupBy("src").agg(F.sum("cnt").alias("outc"))
+    w = (edges.join(outdeg, "src")
+         .select("src", "dst",
+                 (F.col("cnt").cast("double")
+                  / F.col("outc").cast("double")).alias("w")))
+    nodes = (seq.select(F.col("src").alias("node"))
+             .union(seq.select(F.col("dst").alias("node"))).distinct())
+    r = pagerank(nodes, w)
+    return r.select(F.col("node").alias("event_type"),
+                    F.col("r").alias("pagerank"))

@@ -1,0 +1,91 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+Extends the CC family (operators/clustering.py) with fixed-point float
+iteration — PageRank as the canonical member. The engineering problem
+these share is NOT the math, it's (a) keeping every iteration a bounded
+set of joins/aggregations on the edge relation (never a driver loop over
+rows) and (b) making distributed float accumulation deterministic so the
+result is a pure function of the input — the property the DuckDB oracle
+replay and any incremental re-run depend on. Determinism comes from
+``fold_sum`` (functions/determinism.py): per-destination incoming mass is
+summed as a sequential fold over ascending-sorted terms, which both
+Spark (``aggregate(array_sort(collect_list(...)))``) and DuckDB
+(``SUM(x ORDER BY x)``) evaluate identically.
+
+Scale: each iteration is one equi-join (ranks to edge sources) + one
+grouped fold (incoming mass per destination) + one left join back to the
+node set — all shuffles keyed on node id, so a large graph partitions by
+node and no step is driver-side. For deep iteration counts, truncate
+lineage per round (``localCheckpoint``) exactly as the CC operators do;
+the contract query's fixed 5 rounds on a schema-bounded node set skips
+that. ``fold_sum`` buffers one destination's in-neighbor terms per group
+— bounded by in-degree; for social-scale hubs swap the two-level fold
+documented in functions/determinism.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.determinism import fold_sum
+
+#: Iteration count and damping shared with the contract oracle — the
+#: oracle unrolls exactly this many CTE rounds with the same constant.
+DEFAULT_PR_ITERS = 5
+DAMPING = 0.85
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame,
+             iters: int = DEFAULT_PR_ITERS,
+             damping: float = DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank. ``nodes``: (node); ``edges``:
+    (src, dst, w) with w = out-edge weight (rows of a src should sum to
+    1; a src absent from ``edges`` is dangling and its mass is dropped,
+    not redistributed — documented simplification shared with the
+    oracle). Returns (node, r) after exactly ``iters`` rounds from the
+    uniform start r0 = 1/N — a deterministic function of the inputs:
+    every term ``w·r`` is one IEEE multiply of identical operands on any
+    engine, and per-destination sums fold in sorted order."""
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    base = nodes.crossJoin(F.broadcast(n))  # (node, n): 1-row broadcast NLJ
+    r = base.select("node", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(iters):
+        m = (edges.join(r.select(F.col("node").alias("src"), "r"), "src")
+             .select("dst", (F.col("w") * F.col("r")).alias("t"))
+             .groupBy("dst").agg(fold_sum(F.col("t")).alias("m")))
+        r = (base.join(m, base.node == m.dst, "left")
+             .select("node",
+                     (F.lit(1.0 - damping) / F.col("n")
+                      + F.lit(damping)
+                      * F.coalesce(F.col("m"), F.lit(0.0))).alias("r")))
+    return r
+
+
+def pagerank_sql(ev_cte: str, seq_cte: str, iters: int = DEFAULT_PR_ITERS,
+                 damping: float = DAMPING) -> str:
+    """DuckDB oracle rendering: the identical computation as ``iters``
+    unrolled CTE rounds. ``seq_cte`` must yield (src, dst) transition
+    rows; weights/ranks derive exactly as in :func:`pagerank`, with the
+    per-destination fold as the ordered aggregate ``SUM(x ORDER BY x)``."""
+    rounds = []
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        rounds.append(f"""
+m{k} AS (SELECT e.dst, SUM(e.w * p.r ORDER BY e.w * p.r) AS m
+         FROM w e JOIN {prev} p ON e.src = p.node GROUP BY e.dst),
+r{k} AS (SELECT b.node, {1.0 - damping} / b.n + {damping} * COALESCE(m{k}.m, 0.0) AS r
+         FROM base b LEFT JOIN m{k} ON m{k}.dst = b.node)""")
+    return f"""
+WITH ev AS ({ev_cte}),
+seq AS ({seq_cte}),
+edges AS (SELECT src, dst, COUNT(*) AS cnt FROM seq GROUP BY src, dst),
+outdeg AS (SELECT src, SUM(cnt) AS outc FROM edges GROUP BY src),
+w AS (SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / CAST(o.outc AS DOUBLE) AS w
+      FROM edges e JOIN outdeg o ON e.src = o.src),
+nodes AS (SELECT DISTINCT src AS node FROM seq
+          UNION SELECT DISTINCT dst FROM seq),
+base AS (SELECT node, (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) AS n
+         FROM nodes),
+r0 AS (SELECT node, 1.0 / n AS r FROM base),{",".join(rounds)}
+"""

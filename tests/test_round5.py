@@ -71,3 +71,52 @@ def test_single_batch_assert_trips_on_split_admission(spark):
     with pytest.raises(RuntimeError, match="2 micro-batches"):
         _assert_single_batch(FakeQuery([{"numInputRows": 10},
                                         {"numInputRows": 5}]), "split")
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    """On a symmetric cycle every node keeps the uniform rank at every
+    iteration — a closed-form fixed point the operator must preserve."""
+    from data_engineering_projects_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4, 1.0) for i in range(4)], "src long, dst long, w double")
+    got = {r["node"]: r["r"] for r in pagerank(nodes, edges).collect()}
+    assert len(got) == 4
+    for v in got.values():
+        assert abs(v - 0.25) < 1e-12
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    """Two sources pointing at one hub: the hub must outrank the
+    sources; run result is identical across repeated invocations
+    (determinism of the fold path)."""
+    from data_engineering_projects_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 2, 1.0), (1, 2, 1.0), (2, 0, 0.5), (2, 1, 0.5)],
+        "src long, dst long, w double")
+    a = {r["node"]: r["r"] for r in pagerank(nodes, edges).collect()}
+    b = {r["node"]: r["r"] for r in pagerank(nodes, edges).collect()}
+    assert a == b
+    assert a[2] > a[0] and a[2] > a[1]
+
+
+def test_hll_reach_bound_and_exactness(spark, queries):
+    out = queries["events_user_reach_hll"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    assert all(r["within_bound"] for r in out)
+    assert all(r["n_users_exact"] > 0 for r in out)
+
+
+def test_topn_per_source_is_exactly_k_capped(spark, queries):
+    out = queries["docs_sample_topn_per_source"](spark, SF_DIR)
+    per = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    from data_engineering_projects_spark.sources import load_table
+    totals = {r["source"]: r["cnt"] for r in
+              load_table(spark, SF_DIR, "documents").groupBy("source")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for src, n in per.items():
+        assert n == min(5, totals[src])
