@@ -47,8 +47,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     uniform start r0 = 1/N — a deterministic function of the inputs:
     every term ``w·r`` is one IEEE multiply of identical operands on any
     engine, and per-destination sums fold in sorted order."""
+    # truncate lineage ONCE on the loop-invariant relations (the
+    # clustering.py discipline): without this every iteration replants
+    # the full node/edge derivation subtree into both sides of its join
+    # — observed as a 400-node plan re-scanning the source 10× for 5
+    # rounds. After truncation each round adds one join + one fold to a
+    # linear plan. On a real cluster swap localCheckpoint for
+    # fault-tolerant checkpoint(), as documented in clustering.py.
+    edges = edges.localCheckpoint()
     n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    base = nodes.crossJoin(F.broadcast(n))  # (node, n): 1-row broadcast NLJ
+    base = nodes.crossJoin(F.broadcast(n)).localCheckpoint()
     r = base.select("node", (F.lit(1.0) / F.col("n")).alias("r"))
     for _ in range(iters):
         m = (edges.join(r.select(F.col("node").alias("src"), "r"), "src")
