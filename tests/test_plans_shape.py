@@ -157,7 +157,11 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          "embed_knn_ivf_nprobe", "embed_knn_ivf_sweep",
                          # corpus-total scalar broadcast into the scoring
                          # join (1-row NLJ, the tfidf/n_docs shape)
-                         "docs_unigram_score"}
+                         "docs_unigram_score",
+                         # node-count scalar broadcast into the uniform
+                         # rank init (1-row NLJ, same shape; checkpointed
+                         # once before the iteration loop)
+                         "events_pagerank_types"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
