@@ -29,35 +29,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # Enumerated first: the driver checks only ~50 registry queries per round,
 # so each round front-loads every query WITHOUT a driver row from the
 # previous round (rotation keeps every row at most one round old) plus any
-# new/reshaped queries. Round 4: the 25 queries CORRECTNESS_r03.json has no
-# row for, the reshaped embed_normalize_quantize (r3's red row — q_int8 is
-# now a joined string), and the three new round-4 queries. Remaining
-# queries follow in registration order.
-_FRONT_R4 = [
-    # reshaped red row + new in round 4
-    "embed_normalize_quantize", "streaming_dedup_first",
-    "streaming_session_rollup", "events_salted_dim_join",
-    "events_rolling_7d", "events_gap_fill_hourly", "docs_pack_chunks",
-    "docs_unigram_score", "docs_levenshtein_near", "embed_knn_ivf_sweep",
-    "dbt_model_dag_incremental", "dedup_minhash_sweep", "dbt_profile_events",
-    "events_zscore_hourly", "docs_mixture_sample",
-    "streaming_click_attribution", "multimodal_audio_features",
-    "multimodal_frame_fingerprints", "events_value_ntiles",
-    "dedup_incremental_ingest",
-    # no CORRECTNESS_r03 row (driver cap fell on these r1/r2-green queries)
-    "dbt_fk_orphans", "dbt_outlier_3sigma", "text_token_stats",
-    "text_quality", "text_lang_id", "text_tokens_bpe", "text_fingerprint",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_simhash", "dedup_simhash_pairs",
-    "embed_knn_brute", "embed_knn_blas", "embed_knn_ivf",
-    "dedup_embed_cosine", "embed_label_centroids", "text_vocab_top",
-    "text_bigram_top", "docs_split_assign", "docs_sample_stratified",
-    "docs_length_band", "text_tfidf_top_terms", "dbt_stg_volume_clean",
+# new/reshaped queries. Round 5: the 6 brand-new queries, the 7 reshaped
+# ones (p95 bound oracle, partition-pruned incremental DAG, arg-max
+# incremental ingest, ASCII-scoped levenshtein, single-batch-asserted
+# streaming set), then the 42 queries CORRECTNESS_r04.json has no row for
+# (last checked r03). Remaining queries follow in registration order.
+_FRONT_R5 = [
+    # new in round 5
+    "star_pricing_p95_approx", "dedup_clusters_chain",
+    "events_pagerank_types", "events_user_reach_hll",
+    "star_small_quantity_revenue", "docs_sample_topn_per_source",
+    # reshaped in round 5
+    "dbt_model_dag_incremental", "dedup_incremental_ingest",
+    "docs_levenshtein_near", "streaming_click_attribution",
+    "streaming_hourly_rollup", "streaming_session_rollup",
+    "streaming_dedup_first",
+    # no CORRECTNESS_r04 row (last driver-checked in r03)
+    "bq_exceedance", "customers_cohort_setops", "dbt_congestion_hourly",
+    "dbt_daily_congestion_rank", "dbt_hourly_speed_metrics",
+    "dbt_model_dag_mart", "dbt_quality_report",
+    "dbt_speed_percentile_buckets", "dbt_time_bucket_rollup",
+    "dbt_weekly_volume_rank", "dedup_clusters_star",
+    "docs_eval_contamination", "docs_repetition_score",
+    "embed_knn_ivf_nprobe", "events_asof_latest_order",
+    "events_cube_type_day", "events_latest_per_user",
+    "events_next_type_transitions", "events_props_json",
+    "events_range_join_clicks", "events_rollup_daily",
+    "events_salted_rollup", "events_scd2_intervals", "events_sessionize",
+    "events_type_normalize", "events_value_hour_corr",
+    "multimodal_image_features", "orders_above_customer_avg",
+    "orders_asof_window", "orders_with_bigticket_items",
+    "snowflake_lottr_pivot", "snowflake_lottr_trend",
+    "star_customers_without_orders", "star_nation_rank_global",
+    "star_nation_revenue_share", "star_orders_between",
+    "star_part_buckets", "star_pricing_summary",
+    "star_priority_bigorder_rate", "star_region_revenue",
+    "star_top_orders_by_revenue", "star_union_segments",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    front = {k: d[k] for k in _FRONT_R4 if k in d}
+    front = {k: d[k] for k in _FRONT_R5 if k in d}
     return front | {k: v for k, v in d.items() if k not in front}
 
 
