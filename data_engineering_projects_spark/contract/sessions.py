@@ -777,3 +777,67 @@ def events_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = pagerank(nodes, w)
     return r.select(F.col("node").alias("event_type"),
                     F.col("r").alias("pagerank"))
+
+
+@query("events_funnel_steps", f"""
+WITH ev AS ({EV}),
+u AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+      FROM ev GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM ev e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'click' AND e.ts >= u.v_ts GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+SELECT COUNT(*) AS n_users, COUNT(u.v_ts) AS n_viewed,
+       COUNT(c.c_ts) AS n_clicked, COUNT(p.p_ts) AS n_purchased,
+       CASE WHEN COUNT(u.v_ts) = 0 THEN NULL
+            ELSE CAST(COUNT(c.c_ts) AS DOUBLE) / COUNT(u.v_ts) END
+         AS view_to_click,
+       CASE WHEN COUNT(c.c_ts) = 0 THEN NULL
+            ELSE CAST(COUNT(p.p_ts) AS DOUBLE) / COUNT(c.c_ts) END
+         AS click_to_purchase
+FROM u LEFT JOIN c ON u.user_id = c.user_id
+       LEFT JOIN p ON u.user_id = p.user_id
+""")
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordered funnel (view → click-after-view →
+    purchase-after-that-click): the product-analytics step sequence the
+    sessionize/attribution queries don't express — each step's timestamp
+    is the MIN event of its type AT OR AFTER the previous step's.
+
+    ONE shuffle: all three steps are chained conditional-min windows
+    over the same bare user_id partitioning (no ORDER BY ⇒ no sort), and
+    the per-user reduce + the final 1-row rollup reuse that clustering —
+    where the naive rendering (the oracle's independent derivation)
+    joins the event table once per step. NULLs chain naturally: a user
+    with no view has NULL v_ts, so every later step's `ts >= NULL`
+    predicate is NULL and the step never fires. All step values are
+    exact timestamps/counts; conversion rates are raw quotients
+    (try_divide ↔ the oracle's CASE-guarded division)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s = (ev.withColumn(
+            "v_ts", F.min(F.when(F.col("event_type") == "view",
+                                 F.col("ts"))).over(w))
+         .withColumn(
+            "c_ts", F.min(F.when((F.col("event_type") == "click")
+                                 & (F.col("ts") >= F.col("v_ts")),
+                                 F.col("ts"))).over(w))
+         .withColumn(
+            "p_ts", F.min(F.when((F.col("event_type") == "purchase")
+                                 & (F.col("ts") >= F.col("c_ts")),
+                                 F.col("ts"))).over(w)))
+    per_user = s.groupBy("user_id").agg(
+        F.min("v_ts").alias("v_ts"), F.min("c_ts").alias("c_ts"),
+        F.min("p_ts").alias("p_ts"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked"),
+        F.count("p_ts").alias("n_purchased"),
+        F.try_divide(F.count("c_ts").cast("double"), F.count("v_ts"))
+         .alias("view_to_click"),
+        F.try_divide(F.count("p_ts").cast("double"), F.count("c_ts"))
+         .alias("click_to_purchase"))
