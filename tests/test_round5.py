@@ -120,3 +120,26 @@ def test_topn_per_source_is_exactly_k_capped(spark, queries):
               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     for src, n in per.items():
         assert n == min(5, totals[src])
+
+
+def test_pagerank_mass_conserved_no_dangling(spark):
+    """With no dangling nodes the total rank mass stays 1 (up to float
+    fold error) — the invariant that catches weight-normalization bugs."""
+    from data_engineering_projects_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 2, 1.0), (1, 2, 1.0), (2, 0, 0.5), (2, 1, 0.5)],
+        "src long, dst long, w double")
+    total = sum(r["r"] for r in pagerank(nodes, edges).collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_delta_merge_hook_falls_back_without_delta(spark, tmp_path):
+    """In an environment without the delta-spark runtime the Delta hook
+    must report False (parquet fallback), never raise."""
+    from data_engineering_projects_spark.plans.models import Model, ModelGraph
+
+    m = Model("t", lambda s, v: None, unique_key=("id",))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    assert ModelGraph._delta_merge(spark, m, df, str(tmp_path / "t")) is False
