@@ -39,7 +39,7 @@ _FRONT_R5 = [
     "star_pricing_p95_approx", "dedup_clusters_chain",
     "events_pagerank_types", "events_user_reach_hll",
     "star_small_quantity_revenue", "docs_sample_topn_per_source",
-    "events_funnel_steps",
+    "events_funnel_steps", "streaming_foreachbatch_upsert",
     # reshaped in round 5
     "dbt_model_dag_incremental", "dedup_incremental_ingest",
     "docs_levenshtein_near", "streaming_click_attribution",

@@ -841,3 +841,112 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("view_to_click"),
         F.try_divide(F.count("p_ts").cast("double"), F.count("c_ts"))
          .alias("click_to_purchase"))
+
+
+@query("streaming_foreachbatch_upsert", f"""
+WITH ev AS ({EV}),
+r AS (SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev)
+SELECT user_id, user_id % 8 AS bucket, ts AS last_ts,
+       event_type AS last_type, value AS last_value
+FROM r WHERE rn = 1
+""")
+def streaming_foreachbatch_upsert(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The streaming → lake UPSERT sink (CDC latest-state): a file
+    stream of events, processed in TWO time-ordered micro-batches
+    (``maxFilesPerTrigger=1`` over two staged files with forced mtime
+    order), where ``foreachBatch`` reduces each batch to its
+    latest-row-per-user and MERGEs it into a parquet warehouse table
+    through the SAME ``ModelGraph`` incremental/merge machinery the
+    batch DAG uses — the partition-PRUNED path (bucket ⊆ unique_key).
+    Batch 2's users supersede their batch-1 rows because the stage is
+    split by time, so the final table must equal the global
+    latest-per-user relation, which the oracle computes directly — a
+    real multi-batch upsert equivalence, not a single-flush replay.
+
+    Scale: this is the canonical exactly-once streaming upsert shape —
+    foreachBatch gives batch-level idempotency, the merge rewrites only
+    the partitions the batch touches (O(batch) write amplification per
+    trigger), and on a lake format the same hook becomes Delta
+    MERGE INTO (plans/models.py::_delta_merge). State lives in the
+    table, not the stream — no watermark needed for latest-state CDC."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..plans.models import ModelGraph
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+
+    staged = tempfile.mkdtemp(prefix="depa_stream_upsert_in_")
+    wh = tempfile.mkdtemp(prefix="depa_stream_upsert_wh_")
+    try:
+        # stage two single-file batches with strictly increasing mtimes
+        # so maxFilesPerTrigger=1 admits them oldest-first: batch 1 =
+        # first half by time, batch 2 = second half.
+        for i, batch in enumerate([ev.filter(F.col("ts") < F.lit(cut)),
+                                   ev.filter(F.col("ts") >= F.lit(cut))]):
+            tmp = tempfile.mkdtemp(prefix="depa_stream_upsert_tmp_")
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp)
+                        if f.endswith(".parquet") and f.startswith("part-"))
+            dst = os.path.join(staged, f"batch-{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+        batch_holder: dict[int, DataFrame] = {}
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            g = ModelGraph(warehouse_dir=wh)
+            g.add_source("batch", lambda s, v: batch_df)
+
+            @g.model(name="user_latest", deps=["batch"],
+                     materialization="incremental",
+                     incremental_strategy="merge",
+                     unique_key=["user_id", "bucket"],
+                     partition_by=["bucket"])
+            def user_latest(s, v, batch):
+                w = Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id"))
+                return (batch.withColumn("rn", F.row_number().over(w))
+                        .filter(F.col("rn") == 1)
+                        .select("user_id",
+                                (F.col("user_id") % 8).alias("bucket"),
+                                F.col("ts").alias("last_ts"),
+                                F.col("event_type").alias("last_type"),
+                                F.col("value").alias("last_value")))
+
+            g.run(spark)
+            batch_holder[batch_id] = batch_df
+
+        _STREAM_SEQ[0] += 1
+        name = f"depa_stream_upsert_{_STREAM_SEQ[0]}"
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(staged))
+        q = (stream.writeStream.foreachBatch(upsert)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(staged, "_ckpt"))
+             .queryName(name).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"streaming query {name} did not terminate within 300s")
+        if len(batch_holder) != 2:
+            raise RuntimeError(
+                f"streaming query {name}: expected 2 upsert micro-batches, "
+                f"got {len(batch_holder)} — the multi-batch merge contract "
+                f"does not hold")
+        final = spark.read.parquet(os.path.join(wh, "user_latest")).select(
+            "user_id", F.col("bucket").cast("bigint").alias("bucket"),
+            "last_ts", "last_type", "last_value")
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
