@@ -2,7 +2,11 @@
 """Benchmark harness: runs every contract query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": N}.
+"queries": {name: sec, ...}, "streaming": [tagged names],
+"streaming_total": sec, "batch_total": sec, "sf": N}. Streaming queries
+carry fixed micro-batch/sink start-stop overhead that is not
+data-proportional — their subtotal is split out so the batch engine's
+per-query mean stays comparable as the registry grows.
 
 Each query is fully executed through the noop sink (computes every row,
 writes nothing) so timings measure the real plan, not a count shortcut.

@@ -901,7 +901,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
             shutil.rmtree(tmp, ignore_errors=True)
             os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
 
-        batch_holder: dict[int, DataFrame] = {}
+        seen_batches: set[int] = set()
 
         def upsert(batch_df: DataFrame, batch_id: int) -> None:
             g = ModelGraph(warehouse_dir=wh)
@@ -924,7 +924,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
                                 F.col("value").alias("last_value")))
 
             g.run(spark)
-            batch_holder[batch_id] = batch_df
+            seen_batches.add(batch_id)
 
         _STREAM_SEQ[0] += 1
         name = f"depa_stream_upsert_{_STREAM_SEQ[0]}"
@@ -938,10 +938,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
             q.stop()
             raise RuntimeError(
                 f"streaming query {name} did not terminate within 300s")
-        if len(batch_holder) != 2:
+        if len(seen_batches) != 2:
             raise RuntimeError(
                 f"streaming query {name}: expected 2 upsert micro-batches, "
-                f"got {len(batch_holder)} — the multi-batch merge contract "
+                f"got {len(seen_batches)} — the multi-batch merge contract "
                 f"does not hold")
         final = spark.read.parquet(os.path.join(wh, "user_latest")).select(
             "user_id", F.col("bucket").cast("bigint").alias("bucket"),
