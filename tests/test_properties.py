@@ -280,3 +280,45 @@ def test_star_contraction_long_chain(spark):
     pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
     got = {r.id: r.label for r in connected_components_star(pairs).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                       st.integers(min_value=0, max_value=2),
+                       st.integers(min_value=0, max_value=99)),
+             min_size=1, max_size=6),
+    min_size=1, max_size=3))
+def test_partition_pruned_merge_equals_reference_upsert(spark, batches):
+    """The partition-pruned merge (partition_by ⊆ unique_key) must equal
+    a naive in-memory upsert for ANY batch sequence — including batches
+    that revisit keys, revisit partitions, or contain intra-batch
+    duplicate keys (last-write-wins is not promised for intra-batch
+    dups, so dedupe within batch first like a real pipeline would)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_projects_spark.plans.models import ModelGraph
+
+    wh = tempfile.mkdtemp(prefix="merge_prop_")
+    try:
+        ref: dict[tuple[int, int], int] = {}
+        state = {"rows": []}
+        g = ModelGraph(warehouse_dir=wh)
+
+        @g.model(materialization="incremental", unique_key=["k", "p"],
+                 partition_by=["p"], incremental_strategy="merge")
+        def t(s, v):
+            return s.createDataFrame(state["rows"], "k long, p long, v long")
+
+        for batch in batches:
+            dedup = {}
+            for k, p, v in batch:       # last occurrence wins in-batch
+                dedup[(k, p)] = v
+            ref.update(dedup)
+            state["rows"] = [(k, p, v) for (k, p), v in dedup.items()]
+            out = g.run(spark)["t"]
+        got = {(r["k"], r["p"]): r["v"] for r in out.collect()}
+        assert got == ref
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
