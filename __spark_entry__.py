@@ -40,6 +40,7 @@ _FRONT_R5 = [
     "events_pagerank_types", "events_user_reach_hll",
     "star_small_quantity_revenue", "docs_sample_topn_per_source",
     "events_funnel_steps", "streaming_foreachbatch_upsert",
+    "docs_select_token_budget", "docs_negative_samples",
     # reshaped in round 5
     "dbt_model_dag_incremental", "dedup_incremental_ingest",
     "docs_levenshtein_near", "streaming_click_attribution",

@@ -1701,3 +1701,112 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
                     "dup_of", "best_jaccard"))
+
+
+@query("docs_select_token_budget", """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_chars
+  FROM documents)
+SELECT doc_id, source, n_chars, cum_chars,
+       CAST(cum_chars <= 10000 AS INT) AS selected
+FROM ranked
+""")
+def docs_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection (the data-selection step of a
+    pretraining pipeline: keep the best documents per source until that
+    source's token budget is spent): rank docs within each source by
+    quality (longest-first here; any deterministic score slots in),
+    take the running total, and select while the cumulative size fits
+    the 10k-char budget. The greedy-under-budget rule is exactly one
+    keyed cumulative-sum window — no iteration, no driver loop.
+
+    Scale: state per source = one running integer; the window shuffles
+    once on the source key. Budgets are enforced per source, so the
+    global selection parallelizes across sources — the shape that lets
+    'curate N tokens per domain' run over an arbitrary corpus. Integer
+    sums: bit-exact on any engine."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("n_chars"), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.select("doc_id", "source", "n_chars",
+                     F.sum("n_chars").over(w).alias("cum_chars"))
+            .withColumn("selected",
+                        (F.col("cum_chars") <= 10000).cast("int")))
+
+
+_NEG_BUCKETS = 8   #: hash-ring buckets (scale: windows are per-bucket)
+_NEG_K = 2         #: negatives per anchor
+
+
+@query("docs_negative_samples", f"""
+WITH ring AS (
+  SELECT doc_id, source,
+         {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=37)} % {_NEG_BUCKETS}
+           AS bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=37)}
+                        % {_NEG_BUCKETS}
+           ORDER BY {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=41)},
+                    doc_id) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY {md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=37)}
+                        % {_NEG_BUCKETS}) AS bsize
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS anchor_id, a.bucket, a.rn, off.off,
+         (a.rn - 1 + off.off) % a.bsize + 1 AS partner_rn
+  FROM ring a, (SELECT UNNEST(range(1, {_NEG_K + 1})) AS off) off)
+SELECT p.anchor_id, p.off AS neg_no, b.doc_id AS negative_id,
+       CAST(a2.source <> b.source AS INT) AS cross_source
+FROM pairs p
+JOIN ring b ON b.bucket = p.bucket AND b.rn = p.partner_rn
+JOIN ring a2 ON a2.doc_id = p.anchor_id
+WHERE b.doc_id <> p.anchor_id
+""")
+def docs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    every document gets K pseudorandom partner documents from a seeded
+    md5 HASH RING — docs are bucketed by one hash, ordered around each
+    bucket's ring by a second hash, and each anchor's negatives are the
+    next K positions around its ring (wrapping). Re-runs, repartitions,
+    and incremental rebuilds pick the identical negatives — the property
+    `df.sample`-based negative mining cannot give.
+
+    Scale: both the ring ordering and the partner lookup are per-BUCKET
+    windows and equi-joins (bucket count is the parallelism knob; no
+    global row-numbering, which would serialize at 100 TB). Join fan-out
+    is exactly K rows per anchor. Self-pairs only occur in singleton
+    buckets and are filtered identically on both engines;
+    ``cross_source`` audits how often the ring crosses domains."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    h_bucket = md5_hash64(F.col("doc_id").cast("string"), seed=37)
+    h_order = md5_hash64(F.col("doc_id").cast("string"), seed=41)
+    wb = Window.partitionBy("bucket")
+    ring = (d.select("doc_id", "source",
+                     (h_bucket % _NEG_BUCKETS).alias("bucket"),
+                     h_order.alias("h_order"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("bucket").orderBy("h_order", "doc_id")))
+            .withColumn("bsize", F.count(F.lit(1)).over(wb))
+            .drop("h_order"))
+    offs = F.explode(F.array(*[F.lit(i) for i in range(1, _NEG_K + 1)]))
+    pairs = (ring.select(F.col("doc_id").alias("anchor_id"),
+                         F.col("source").alias("a_source"),
+                         "bucket", "rn", "bsize", offs.alias("off"))
+             .withColumn("partner_rn",
+                         (F.col("rn") - 1 + F.col("off")) % F.col("bsize") + 1))
+    b = ring.select(F.col("bucket").alias("b_bucket"),
+                    F.col("rn").alias("b_rn"),
+                    F.col("doc_id").alias("negative_id"),
+                    F.col("source").alias("b_source"))
+    return (pairs.join(b, (F.col("bucket") == F.col("b_bucket"))
+                       & (F.col("partner_rn") == F.col("b_rn")))
+            .filter(F.col("negative_id") != F.col("anchor_id"))
+            .select("anchor_id", F.col("off").alias("neg_no"), "negative_id",
+                    (F.col("a_source") != F.col("b_source")).cast("int")
+                    .alias("cross_source")))

@@ -143,3 +143,38 @@ def test_delta_merge_hook_falls_back_without_delta(spark, tmp_path):
     m = Model("t", lambda s, v: None, unique_key=("id",))
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     assert ModelGraph._delta_merge(spark, m, df, str(tmp_path / "t")) is False
+
+
+def test_token_budget_selects_prefix_of_quality_order(spark, queries):
+    """Within each source the selected set must be a prefix of the
+    (n_chars desc, doc_id) order and stop at the 10k budget."""
+    rows = queries["docs_select_token_budget"](spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (-r["n_chars"], r["doc_id"]))
+        seen_unselected = False
+        total = 0
+        for r in rs:
+            total += r["n_chars"]
+            assert r["cum_chars"] == total
+            if r["selected"]:
+                assert not seen_unselected  # prefix property
+                assert r["cum_chars"] <= 10000
+            else:
+                seen_unselected = True
+
+
+def test_negative_samples_deterministic_k_fanout(spark, queries):
+    """Every anchor draws at most K negatives, never itself, and two
+    invocations pick identical partners."""
+    out1 = queries["docs_negative_samples"](spark, SF_DIR).collect()
+    out2 = queries["docs_negative_samples"](spark, SF_DIR).collect()
+    key = lambda r: (r["anchor_id"], r["neg_no"], r["negative_id"])
+    assert sorted(map(key, out1)) == sorted(map(key, out2))
+    per_anchor = {}
+    for r in out1:
+        assert r["negative_id"] != r["anchor_id"]
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_no"])
+    assert per_anchor and all(len(v) <= 2 for v in per_anchor.values())
