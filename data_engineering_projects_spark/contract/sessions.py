@@ -950,3 +950,88 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
     finally:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@query("events_max_concurrency", f"""
+WITH ev AS ({EV}),
+pts AS (
+  SELECT user_id, event_id, ts AS pt, 1 AS delta FROM ev
+  UNION ALL
+  SELECT user_id, event_id, ts + INTERVAL 30 MINUTE AS pt, -1 AS delta
+  FROM ev),
+run AS (
+  SELECT CAST(pt AS DATE) AS day,
+         SUM(delta) OVER (PARTITION BY CAST(pt AS DATE)
+                          ORDER BY pt, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrent
+  FROM pts)
+SELECT day, CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
+FROM run GROUP BY day
+""")
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day (capacity planning over implied activity
+    intervals): each event opens a 30-minute activity window, the
+    windows become +1/-1 boundary points, a day-keyed running sum counts
+    how many are open at each boundary, and the day's max is the peak —
+    the classic sweep-line rendering of interval overlap counting, with
+    no interval self-join anywhere.
+
+    Determinism at boundaries: the running sum orders by (pt, delta,
+    event_id) — delta sorts the −1 before the +1 at an exact touch
+    (half-open [start, end) intervals, identically on both engines), and
+    event_id breaks residual ties so the prefix sums are bit-identical.
+    Scale: the sweep is keyed by day (windows cannot span the day key by
+    more than the 30-min horizon — the same truncation any watermark
+    makes), so state per partition is one running integer; 2 rows per
+    event flow through one day-keyed shuffle. Integer arithmetic only."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = (ev.select("user_id", "event_id", F.col("ts").alias("pt"),
+                     F.lit(1).alias("delta"))
+           .unionAll(ev.select(
+               "user_id", "event_id",
+               (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("pt"),
+               F.lit(-1).alias("delta"))))
+    w = (Window.partitionBy(F.to_date("pt"))
+         .orderBy("pt", "delta", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = pts.select(F.to_date("pt").alias("day"),
+                     F.sum("delta").over(w).alias("concurrent"))
+    return (run.groupBy("day")
+            .agg(F.max("concurrent").cast("bigint").alias("max_concurrent")))
+
+
+@query("events_value_mad", f"""
+WITH ev AS ({EV}),
+med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM ev GROUP BY event_type)
+SELECT e.event_type,
+       ROUND(m.med, 6) AS median_value,
+       ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad,
+       COUNT(*) AS n
+FROM ev e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.med
+""")
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the ROBUST dispersion
+    stat the 3-sigma outlier gate (dbt_outlier_3sigma) should graduate
+    to when the data is heavy-tailed: median(|x − median(x)|) shrugs off
+    the exact outliers that inflate a standard deviation.
+
+    Two-pass by necessity (the inner median must exist before deviations
+    do): pass 1 computes each type's exact median; pass 2 joins it back
+    (broadcast — one row per type) and takes the median of absolute
+    deviations. Both medians are the exact interpolated percentile
+    (cross-engine bit-parity per A1–A3); |x − m| is one IEEE subtract of
+    identical operands. At 100 TB both passes swap to approx_percentile
+    under the documented sketch-bound pattern, same plan shape."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = (ev.groupBy("event_type")
+           .agg(F.percentile("value", 0.5).alias("med")))
+    j = ev.join(F.broadcast(med), "event_type")
+    return (j.groupBy("event_type", "med")
+            .agg(F.round(F.percentile(F.abs(F.col("value") - F.col("med")),
+                                      0.5), 6).alias("mad"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("event_type", F.round("med", 6).alias("median_value"),
+                    "mad", "n"))
