@@ -42,6 +42,7 @@ _FRONT_R5 = [
     "events_funnel_steps", "streaming_foreachbatch_upsert",
     "docs_select_token_budget", "docs_negative_samples",
     "events_max_concurrency", "events_value_mad",
+    "events_retention_cohorts",
     # reshaped in round 5
     "dbt_model_dag_incremental", "dedup_incremental_ingest",
     "docs_levenshtein_near", "streaming_click_attribution",

@@ -1035,3 +1035,41 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n"))
             .select("event_type", F.round("med", 6).alias("median_value"),
                     "mad", "n"))
+
+
+@query("events_retention_cohorts", f"""
+WITH ev AS ({EV}),
+uw AS (SELECT DISTINCT user_id,
+              CAST(date_trunc('week', ts) AS DATE) AS week FROM ev),
+first_w AS (SELECT user_id, MIN(week) AS cohort_week FROM uw
+            GROUP BY user_id)
+SELECT f.cohort_week,
+       CAST((uw.week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active
+FROM uw JOIN first_w f ON uw.user_id = f.user_id
+GROUP BY f.cohort_week, (uw.week - f.cohort_week) // 7
+""")
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the canonical product-analytics
+    triangle: users grouped by their FIRST active week, counted in each
+    later week they return (week_offset 0 = the cohort's size itself,
+    since uw is distinct user-weeks).
+
+    Shape: distinct user-weeks (one dedup shuffle), per-user min week
+    (reuses the user key), join back on user, rollup by (cohort,
+    offset). All shuffles are user- or cohort-keyed; the offset is
+    integer DAY arithmetic on week-truncated DATEs (Spark datediff ↔
+    DuckDB date subtraction, both integer days — no timestamp-repr or
+    DST ambiguity). Cohort count is bounded by the
+    calendar, so the final rollup is tiny at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (ev.select("user_id",
+                    F.date_trunc("week", "ts").cast("date").alias("week"))
+          .distinct())
+    first_w = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = uw.join(first_w, "user_id")
+    return (j.select("cohort_week",
+                     F.floor(F.datediff("week", "cohort_week") / 7)
+                      .cast("bigint").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_active")))
