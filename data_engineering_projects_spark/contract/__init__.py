@@ -52,4 +52,4 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import all query modules so their registrations run."""
     from . import (parity, traffic, extensions, more, sessions,  # noqa: F401
-                   timeseries)  # noqa: F401
+                   timeseries, analytics)  # noqa: F401

@@ -1,0 +1,323 @@
+"""Classic warehouse-analytics shapes (round-5 widening): gaps-and-islands
+streaks, count-distribution histograms (TPC-H Q13's shape), deterministic
+per-group mode, contingency-table residuals, rank-based winsorized robust
+means, and the decomposed EXISTS/NOT-EXISTS pair of TPC-H Q21.
+
+None of these appear verbatim in the reference (its five writeups stop at
+grouped rollups + window ranks, e.g. 5_dbt/READ.md:123-133), but every one
+is a standard ask of the warehouse the reference feeds — they widen the
+engine the same way the dedup/ANN families do (SURVEY.md §6 extensions).
+
+Determinism (contract/__init__ conventions):
+- streak/histogram/Q21 queries are pure integer+date arithmetic — exact;
+- mode uses a struct-max with an explicit (count, key) tiebreak, mirrored
+  in SQL as ROW_NUMBER ordered by the same pair — never bare ``max_by``,
+  whose tie choice is engine-private;
+- chi-square cells emit PER-CELL expected counts and Pearson residuals
+  ((O-E)/sqrt(E): multiply/divide/sqrt are correctly-rounded IEEE ops, so
+  bit-exact given identical integer inputs) and deliberately do NOT sum
+  the statistic — a float sum over cells would be merge-order-dependent;
+- winsorized bounds are rank-based order statistics (actual 2dp data
+  values, never interpolated), so the clamped column stays in the exact
+  DECIMAL(18,2) domain and the mean is dec_avg's raw quotient.
+
+Scale notes (100 TB):
+- every query is keyed-shuffle only: the streak windows and aggregations
+  all share the user_id partitioning; Q13 pre-aggregates orders per
+  custkey BEFORE the customer join (the shuffle carries one row per
+  customer, not one per order); Q21 decomposes the correlated EXISTS /
+  NOT EXISTS into one grouped pass over (orderkey, suppkey) — no
+  per-row subquery, no re-scan;
+- mode-per-group is two partial-agg-friendly groupBys (struct-max), not
+  a row_number window — no per-group sort state;
+- the winsorize bounds relation is one row per event_type and joins back
+  by broadcast; the heavy relation is scanned twice (rank pass + clamp
+  pass) which at scale is the right trade against caching a 100 TB sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.determinism import DEC_AVG_SQL, dec_avg
+from ..functions.temporal import wday_pandas
+from ..sources import load_table
+from . import query
+from .parity import EV
+
+
+@query("events_streaks", f"""
+WITH ev AS ({EV}),
+d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+r AS (SELECT user_id, day,
+             (day - DATE '1970-01-01')
+             - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d),
+s AS (SELECT user_id, island, COUNT(*) AS len,
+             MIN(day) AS start_day, MAX(day) AS end_day
+      FROM r GROUP BY user_id, island)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       MIN(start_day) AS first_active,
+       MAX(end_day) AS last_active
+FROM s GROUP BY user_id
+""")
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via the
+    classic ``day_number - row_number`` island key (consecutive days share
+    a constant difference; any gap shifts it), then per-user streak stats.
+
+    Pure integer/date arithmetic — exact cross-engine. One shuffle for the
+    (user, day) distinct; the row_number window and both aggregations all
+    reuse the user_id partitioning, so the whole query is a single
+    exchange at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day"))
+    r = d.select(
+        "user_id", "day",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) - rn)
+        .alias("island"))
+    s = (r.groupBy("user_id", "island")
+         .agg(F.count(F.lit(1)).alias("len"),
+              F.min("day").alias("start_day"),
+              F.max("day").alias("end_day")))
+    return (s.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+                 F.max("len").cast("bigint").alias("longest_streak"),
+                 F.sum("len").cast("bigint").alias("active_days"),
+                 F.min("start_day").alias("first_active"),
+                 F.max("end_day").alias("last_active")))
+
+
+@query("star_order_count_distribution", """
+WITH oc AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+pc AS (
+  SELECT c.c_custkey, COALESCE(oc.n, 0) AS c_count
+  FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count
+""")
+def star_order_count_distribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q13's shape: the distribution of customers by order count,
+    INCLUDING the zero-order bucket (the left join the naive GROUP BY
+    silently drops). All integers — exact.
+
+    Orders are pre-aggregated to one row per custkey BEFORE the customer
+    join, so the join shuffle carries |customers| rows, not |orders| —
+    the agg-below-join rewrite that matters when orders is the 100 TB
+    side. The final histogram groupBy is over a relation already reduced
+    to one row per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    pc = (customer.join(oc, customer.c_custkey == oc.o_custkey, "left")
+          .select(F.coalesce("n", F.lit(0)).alias("c_count")))
+    return (pc.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+            .select(F.col("c_count").cast("bigint").alias("c_count"),
+                    "custdist"))
+
+
+@query("events_mode_daily", f"""
+WITH ev AS ({EV}),
+c AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM ev GROUP BY 1, 2),
+r AS (SELECT day, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type DESC) AS rn
+      FROM c)
+SELECT day, event_type AS mode_type, CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rn = 1
+""")
+def events_mode_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent event type per day,
+    ties broken toward the lexicographically larger type — encoded as a
+    struct-max over (count, type), whose ordering is exactly the oracle's
+    ``ORDER BY n DESC, event_type DESC`` rn=1 row. Never ``max_by``: its
+    tie choice is engine-private and would flake the hash.
+
+    Two partial-agg-friendly groupBys (map-side combine on both), no
+    window state — cheaper than the oracle's own row_number rendering,
+    which is the point of expressing arg-max as an aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    m = (c.groupBy("day")
+         .agg(F.max(F.struct(F.col("n"), F.col("event_type"))).alias("m")))
+    return m.select("day",
+                    F.col("m.event_type").alias("mode_type"),
+                    F.col("m.n").cast("bigint").alias("n_mode"))
+
+
+@query("events_chi2_residuals", f"""
+WITH ev AS ({EV}),
+cell AS (SELECT event_type, CAST(date_part('isodow', ts) AS INT) AS dow,
+                COUNT(*) AS o
+         FROM ev GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_n
+       FROM cell GROUP BY 1),
+ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS col_n FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell)
+SELECT cell.event_type, cell.dow, CAST(cell.o AS BIGINT) AS observed,
+       CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+         / CAST(tot.n AS DOUBLE) AS expected,
+       (CAST(cell.o AS DOUBLE)
+        - CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+          / CAST(tot.n AS DOUBLE))
+       / SQRT(CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+              / CAST(tot.n AS DOUBLE)) AS residual
+FROM cell JOIN rt ON cell.event_type = rt.event_type
+          JOIN ct ON cell.dow = ct.dow
+          CROSS JOIN tot
+""")
+def events_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence diagnostics for event_type × ISO
+    weekday: observed counts, expected-under-independence counts
+    (row_total × col_total / N), and the Pearson standardized residual
+    (O−E)/√E per cell. Deliberately PER-CELL — summing the χ² statistic
+    would be a merge-order-dependent float reduction; the residual matrix
+    is also the more useful artifact (it localizes the dependence).
+
+    Every input is an exact integer; expected/residual use only IEEE
+    multiply/divide/sqrt in an identical expression tree on both engines
+    — bit-exact. The margins (rt, ct, tot) are tiny aggregates of the
+    cell relation joined back by broadcast; the cell groupBy is the only
+    data-proportional shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = (ev.groupBy("event_type",
+                       wday_pandas("ts").cast("int").alias("dow"))
+            .agg(F.count(F.lit(1)).alias("o")))
+    rt = (cell.groupBy("event_type")
+          .agg(F.sum("o").cast("bigint").alias("row_n")))
+    ct = cell.groupBy("dow").agg(F.sum("o").cast("bigint").alias("col_n"))
+    tot = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    expected = (F.col("row_n").cast("double")
+                * F.col("col_n").cast("double") / F.col("n").cast("double"))
+    return (cell.join(F.broadcast(rt), "event_type")
+            .join(F.broadcast(ct), "dow")
+            .crossJoin(F.broadcast(tot))
+            .select("event_type", "dow",
+                    F.col("o").cast("bigint").alias("observed"),
+                    expected.alias("expected"),
+                    ((F.col("o").cast("double") - expected)
+                     / F.sqrt(expected)).alias("residual")))
+
+
+@query("events_winsorized_mean", f"""
+WITH ev AS ({EV}),
+v AS (SELECT event_type, event_id, value FROM ev WHERE value IS NOT NULL),
+r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+b AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT))
+                      THEN value END) AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN value END) AS hi
+      FROM r GROUP BY event_type)
+SELECT v.event_type, b.n, b.lo, b.hi,
+       {DEC_AVG_SQL.format(c='LEAST(GREATEST(v.value, b.lo), b.hi)', s=2)}
+         AS winsorized_mean,
+       {DEC_AVG_SQL.format(c='v.value', s=2)} AS raw_mean
+FROM v JOIN b ON v.event_type = b.event_type
+GROUP BY v.event_type, b.n, b.lo, b.hi
+""")
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based winsorized mean per event type: clamp values to the
+    [p05, p95] ORDER-STATISTIC bounds (actual data values at ranks
+    ceil(0.05·n) / ceil(0.95·n) under a deterministic (value, event_id)
+    order — never interpolated percentiles, so the clamped column stays
+    in the source's exact 2dp domain) and compare against the raw mean.
+    The robust-location complement to `events_value_mad`'s robust spread.
+
+    Both means route through dec_avg's exact DECIMAL(18,2) sum — safe
+    precisely because winsorizing substitutes existing 2dp values;
+    an interpolated bound (e.g. 1.015) would re-enter the
+    derived-quotient ROUND divergence class. The rank index uses
+    CEIL(0.05·n) as the same IEEE double expression on both engines.
+    Bounds are one row per type, broadcast back; the rank pass and the
+    clamp pass each scan the fact table once."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    v = ev.select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = (Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    r = v.select("event_type", "value",
+                 F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(wn).alias("n"))
+    lo_k = F.greatest(F.lit(1).cast("bigint"),
+                      F.ceil(F.lit(0.05) * F.col("n")).cast("bigint"))
+    hi_k = F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
+    b = (r.groupBy("event_type")
+         .agg(F.max("n").cast("bigint").alias("n"),
+              F.max(F.when(F.col("rn") == lo_k, F.col("value"))).alias("lo"),
+              F.max(F.when(F.col("rn") == hi_k, F.col("value"))).alias("hi")))
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (v.join(F.broadcast(b), "event_type")
+            .groupBy("event_type", "n", "lo", "hi")
+            .agg(dec_avg(clamped, scale=2).alias("winsorized_mean"),
+                 dec_avg(F.col("value"), scale=2).alias("raw_mean"))
+            .select("event_type", "n", "lo", "hi",
+                    "winsorized_mean", "raw_mean"))
+
+
+@query("star_exclusive_late_supplier", """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+           AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+per AS (
+  SELECT l_orderkey, l_suppkey, BOOL_OR(late) AS supp_late
+  FROM li GROUP BY 1, 2),
+ag AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         SUM(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+  FROM per GROUP BY 1)
+SELECT p.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per p JOIN ag a ON p.l_orderkey = a.l_orderkey
+WHERE a.n_supp >= 2 AND a.n_late = 1 AND p.supp_late
+GROUP BY p.l_suppkey
+""")
+def star_exclusive_late_supplier(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on the available columns: per supplier, the
+    number of multi-supplier orders where THAT supplier was the only one
+    to ship late (> 60 days after the order date). Q21's correlated
+    EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    supplier) pair is decomposed into one grouped pass over
+    (orderkey, suppkey) with per-order counts joined back — no per-row
+    subquery, no repeated scans.
+
+    All date/integer/boolean logic — exact. The order join, both
+    groupBys, and the back-join all share the l_orderkey partitioning
+    (one exchange reused across four operators at scale); the final
+    per-supplier count is a second small keyed shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .select("l_orderkey", "l_suppkey",
+                 (F.to_date("l_shipdate")
+                  > F.date_add(F.to_date("o_orderdate"), 60)).alias("late")))
+    per = (j.groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max("late").alias("supp_late")))
+    ag = (per.groupBy("l_orderkey")
+          .agg(F.count(F.lit(1)).alias("n_supp"),
+               F.sum(F.col("supp_late").cast("int")).alias("n_late")))
+    return (per.join(ag, "l_orderkey")
+            .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+                    & F.col("supp_late"))
+            .groupBy(F.col("l_suppkey").alias("suppkey"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait")))
