@@ -517,6 +517,53 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_memory(spark, ev, "rollup", agg)
 
 
+@query("streaming_sliding_rollup", f"""
+WITH ev AS ({EV}),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS cutoff FROM ev),
+x AS (SELECT date_trunc('hour', ts) - k * INTERVAL '1 hour' AS window_start,
+             event_type, value
+      FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+SELECT window_start, event_type, COUNT(*) AS n,
+       ROUND({DEC_SUM_SQL.format(c='value', s=2)}, 3) AS total_value
+FROM x, wm
+GROUP BY window_start, event_type, cutoff
+HAVING window_start + INTERVAL 2 HOUR <= cutoff
+""")
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2-hour length, 1-hour slide) — the
+    overlapping-window streaming shape the tumbling rollup can't express:
+    each event contributes to exactly two hour-aligned windows, so the
+    per-window aggregate is a smoothed 2-hour trailing view updated
+    hourly.
+
+    The oracle replays Spark's slide semantics literally: every event is
+    replicated to the k ∈ {{0, 1}} hour-aligned starts covering it (the
+    unnest cross join), then the same single-flush append rule as the
+    tumbling oracle — only windows whose END (start + 2h) is at or
+    before ``max(ts) - 2h`` are emitted. Counts are exact; sums route
+    through the DECIMAL path.
+
+    Scale: state is (window, type)-keyed like the tumbling case but with
+    2× the live windows per key (length/slide); the watermark still
+    bounds it — overlapping windows change the state constant, not the
+    growth class."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (stream.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .alias("dec_total"))
+                .select(F.col("w.start").alias("window_start"), "event_type",
+                        F.col("n").cast("bigint").alias("n"),
+                        F.round(F.col("dec_total").cast("double"), 3)
+                         .alias("total_value")))
+
+    return _run_stream_to_memory(spark, ev, "sliding", agg)
+
+
 @query("streaming_dedup_first", f"""
 SELECT DISTINCT {FINGERPRINT_SQL.format(c='text')} AS fp FROM documents
 """)
