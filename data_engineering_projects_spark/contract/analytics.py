@@ -301,10 +301,15 @@ def star_exclusive_late_supplier(spark: SparkSession,
     (orderkey, suppkey) with per-order counts joined back — no per-row
     subquery, no repeated scans.
 
-    All date/integer/boolean logic — exact. The order join, both
-    groupBys, and the back-join all share the l_orderkey partitioning
-    (one exchange reused across four operators at scale); the final
-    per-supplier count is a second small keyed shuffle."""
+    All date/integer/boolean logic — exact. The per-order counts the
+    oracle writes as a groupBy + back-join are a WINDOW over the
+    already-reduced (orderkey, suppkey) relation here: the naive
+    join-back rendering made Spark recompute the whole lineitem⋈orders
+    subtree on both sides of a sort-merge self-join (4 scans,
+    5 exchanges in the audited plan); the window form scans lineitem
+    once and needs only the (orderkey, suppkey) agg exchange, a small
+    orderkey re-exchange of the reduced relation, and the final
+    per-supplier shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -313,10 +318,12 @@ def star_exclusive_late_supplier(spark: SparkSession,
                   > F.date_add(F.to_date("o_orderdate"), 60)).alias("late")))
     per = (j.groupBy("l_orderkey", "l_suppkey")
            .agg(F.max("late").alias("supp_late")))
-    ag = (per.groupBy("l_orderkey")
-          .agg(F.count(F.lit(1)).alias("n_supp"),
-               F.sum(F.col("supp_late").cast("int")).alias("n_late")))
-    return (per.join(ag, "l_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    flagged = per.select(
+        "l_suppkey", "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).over(w).alias("n_late"))
+    return (flagged
             .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)
                     & F.col("supp_late"))
             .groupBy(F.col("l_suppkey").alias("suppkey"))
