@@ -35,6 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming set), then the 42 queries CORRECTNESS_r04.json has no row for
 # (last checked r03). Remaining queries follow in registration order.
 _FRONT_R5 = [
+    # new in round 5 (later additions first: never driver-checked)
+    "events_streaks", "star_order_count_distribution",
+    "events_mode_daily", "events_chi2_residuals",
+    "events_winsorized_mean", "star_exclusive_late_supplier",
+    "streaming_sliding_rollup",
     # new in round 5
     "star_pricing_p95_approx", "dedup_clusters_chain",
     "events_pagerank_types", "events_user_reach_hll",
