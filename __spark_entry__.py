@@ -36,6 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (last checked r03). Remaining queries follow in registration order.
 _FRONT_R5 = [
     # new in round 5 (later additions first: never driver-checked)
+    "events_type_lift", "events_rolling_wau",
+    "docs_dedup_rate_by_source", "docs_crosslang_dups",
     "events_streaks", "star_order_count_distribution",
     "events_mode_daily", "events_chi2_residuals",
     "events_winsorized_mean", "star_exclusive_late_supplier",

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import DEC_AVG_SQL, dec_avg
 from ..functions.temporal import wday_pandas
+from ..functions.text import (FINGERPRINT_SQL, NORMALIZE_TEXT_SQL,
+                              fingerprint, normalize_text)
 from ..sources import load_table
 from . import query
 from .parity import EV
@@ -328,3 +330,165 @@ def star_exclusive_late_supplier(spark: SparkSession,
                     & F.col("supp_late"))
             .groupBy(F.col("l_suppkey").alias("suppkey"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("numwait")))
+
+
+@query("events_type_lift", f"""
+WITH ev AS ({EV}),
+ut AS (SELECT DISTINCT user_id, event_type FROM ev),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total FROM ut),
+tx AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_x
+       FROM ut GROUP BY event_type),
+pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(COUNT(*) AS BIGINT) AS n_ab
+       FROM ut a JOIN ut b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY a.event_type, b.event_type)
+SELECT pr.type_a, pr.type_b, ta.n_x AS n_a, tb.n_x AS n_b, pr.n_ab,
+       CAST(pr.n_ab AS DOUBLE) / tot.n_total AS support,
+       CAST(pr.n_ab AS DOUBLE) * tot.n_total
+         / (CAST(ta.n_x AS DOUBLE) * tb.n_x) AS lift
+FROM pr JOIN tx ta ON pr.type_a = ta.event_type
+        JOIN tx tb ON pr.type_b = tb.event_type
+        CROSS JOIN tot
+""")
+def events_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence lift between event-type pairs at the
+    user level: support = P(a,b) and lift = P(a,b)/(P(a)P(b)) over the
+    distinct (user, type) relation — the association-rule screen, kept
+    log-free (PMI's ln is a non-correctly-rounded transcendental that
+    could diverge cross-engine; lift is pure int-ratio IEEE arithmetic,
+    bit-exact).
+
+    The pair generation is a user-keyed self-join of the ALREADY-distinct
+    (user, type) relation — per-user fan-out is bounded by the squared
+    type-alphabet size (schema-bounded, single digits), never |events|²;
+    the distinct is the only data-proportional shuffle. Margins (per-type
+    user counts, total users) are tiny aggregates broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.agg(F.count_distinct("user_id").cast("bigint")
+                 .alias("n_total"))
+    tx = (ut.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_x")))
+    a = ut.select(F.col("user_id").alias("u"),
+                  F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("u"),
+                  F.col("event_type").alias("type_b"))
+    pr = (a.join(b, (a.u == b.u) & (F.col("type_a") < F.col("type_b")))
+          .groupBy("type_a", "type_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")))
+    ta = tx.select(F.col("event_type").alias("type_a"),
+                   F.col("n_x").alias("n_a"))
+    tb = tx.select(F.col("event_type").alias("type_b"),
+                   F.col("n_x").alias("n_b"))
+    return (pr.join(F.broadcast(ta), "type_a")
+            .join(F.broadcast(tb), "type_b")
+            .crossJoin(F.broadcast(tot))
+            .select("type_a", "type_b", "n_a", "n_b", "n_ab",
+                    (F.col("n_ab").cast("double") / F.col("n_total"))
+                    .alias("support"),
+                    (F.col("n_ab").cast("double") * F.col("n_total")
+                     / (F.col("n_a").cast("double") * F.col("n_b")))
+                    .alias("lift")))
+
+
+@query("events_rolling_wau", f"""
+WITH ev AS ({EV}),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau7
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""")
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (trailing WAU) — the windowed
+    COUNT DISTINCT neither engine's window frames can express (DISTINCT
+    is not allowed in a window aggregate): rendered as the day-spine
+    range join against the distinct (user, day) relation, then an exact
+    distinct count per anchor day. Integer/date logic — exact.
+
+    The spine is one row per calendar day (schema-bounded, broadcast);
+    the range join fans each user-day to at most 7 anchors before the
+    per-day distinct — work is 7·|user-days|, independent of raw event
+    volume. At extreme user counts the exact distinct swaps for the
+    HLL sketch (`events_user_reach_hll`); this is the exact-tier
+    rendering."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    return (ud.join(F.broadcast(days),
+                    (F.col("day") >= F.date_sub(F.col("d"), 6))
+                    & (F.col("day") <= F.col("d")))
+            .groupBy(F.col("d").alias("day"))
+            .agg(F.count_distinct("user_id").cast("bigint").alias("wau7")))
+
+
+@query("docs_dedup_rate_by_source", f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT {FINGERPRINT_SQL.format(c='text')}) AS BIGINT)
+         AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT {FINGERPRINT_SQL.format(c='text')})
+            AS BIGINT) AS n_dups,
+       CAST(COUNT(*) - COUNT(DISTINCT {FINGERPRINT_SQL.format(c='text')})
+            AS DOUBLE) / COUNT(*) AS dup_rate
+FROM documents GROUP BY source
+""")
+def docs_dedup_rate_by_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the dedup-pipeline health report
+    a corpus dashboard leads with: docs, distinct content fingerprints,
+    and the duplicate share per source. The rate is the raw quotient of
+    exact integers (bit-exact).
+
+    COUNT(DISTINCT fp) per group is the two-phase distinct aggregate
+    (partial dedup map-side, exact merge) — one shuffle keyed by source;
+    the fingerprint is computed in the scan projection, no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", fingerprint(F.col("text")).alias("fp"))
+    n = F.count(F.lit(1))
+    u = F.count_distinct("fp")
+    return (d.groupBy("source")
+            .agg(n.cast("bigint").alias("n_docs"),
+                 u.cast("bigint").alias("n_unique"),
+                 (n - u).cast("bigint").alias("n_dups"),
+                 ((n - u).cast("double") / n).alias("dup_rate")))
+
+
+@query("docs_crosslang_dups", f"""
+WITH fp AS (
+  SELECT md5(substr({NORMALIZE_TEXT_SQL.format(c='text')}, 1, 60)) AS fp,
+         lang, doc_id
+  FROM documents)
+SELECT fp,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM fp GROUP BY fp
+HAVING COUNT(DISTINCT lang) >= 2
+""")
+def docs_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language near-duplicate contamination: BLOCKED content keys
+    (md5 of the first 60 normalized chars — the blocking-key trick, since
+    the corpus's planted near-dups differ by suffix edits and an
+    exact-content fingerprint finds nothing) that appear under two or
+    more language labels. A dup group with conflicting lang labels means
+    at least one label is wrong, and a lang-stratified split would leak
+    it across partitions — the label-noise screen a language-filtered
+    training corpus needs before `docs_split_assign`.
+
+    One blocked-key shuffle; COUNT(DISTINCT lang) rides the same grouped
+    aggregate (the lang alphabet is schema-bounded, distinct state per
+    key is bytes). Exact integers throughout; substr-of-normalized is
+    byte-identical cross-engine on this ASCII corpus (the
+    `docs_levenshtein_near` ASCII scope note applies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.md5(F.substring(normalize_text(F.col("text")), 1, 60))
+         .alias("fp"),
+        "lang", "doc_id")
+    return (d.groupBy("fp")
+            .agg(F.count_distinct("lang").cast("bigint").alias("n_langs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_langs") >= 2))
