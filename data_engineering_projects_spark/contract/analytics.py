@@ -407,18 +407,20 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join against the distinct (user, day) relation, then an exact
     distinct count per anchor day. Integer/date logic — exact.
 
-    The spine is one row per calendar day (schema-bounded, broadcast);
-    the range join fans each user-day to at most 7 anchors before the
-    per-day distinct — work is 7·|user-days|, independent of raw event
-    volume. At extreme user counts the exact distinct swaps for the
-    HLL sketch (`events_user_reach_hll`); this is the exact-tier
-    rendering."""
+    The BETWEEN is not executed as an inequality join (that compiles to
+    a nested loop): each user-day EXPLODES to its <= 7 candidate anchor
+    days (``sequence(day, day+6)``) and equi-joins the broadcast
+    day spine — fan-out 7·|user-days| either way, but the join is a
+    hash join, and anchors past the observed span drop in the join.
+    At extreme user counts the exact distinct swaps for the HLL sketch
+    (`events_user_reach_hll`); this is the exact-tier rendering."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     days = ud.select("day").distinct().select(F.col("day").alias("d"))
-    return (ud.join(F.broadcast(days),
-                    (F.col("day") >= F.date_sub(F.col("d"), 6))
-                    & (F.col("day") <= F.col("d")))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("d"))
+    return (fan.join(F.broadcast(days), "d")
             .groupBy(F.col("d").alias("day"))
             .agg(F.count_distinct("user_id").cast("bigint").alias("wau7")))
 

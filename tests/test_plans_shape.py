@@ -161,7 +161,10 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          # node-count scalar broadcast into the uniform
                          # rank init (1-row NLJ, same shape; checkpointed
                          # once before the iteration loop)
-                         "events_pagerank_types"}
+                         "events_pagerank_types",
+                         # grand-total scalar broadcast into the
+                         # expected-count / lift arithmetic (1-row NLJ)
+                         "events_chi2_residuals", "events_type_lift"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
@@ -177,3 +180,59 @@ def test_no_accidental_cartesian_or_python_row_udf(spark, sf_dir, name):
     if name not in _ONE_ROW_BROADCAST_OK:
         assert "BroadcastNestedLoopJoin" not in p, \
             f"{name}: unexpected nested-loop join\n{p}"
+
+
+def test_q21_single_lineitem_scan_no_self_join(spark, sf_dir):
+    """star_exclusive_late_supplier: the per-order counts are a window
+    over the reduced relation, NOT a groupBy + join-back that would
+    recompute the lineitem⋈orders subtree on both sides — lineitem must
+    appear exactly once in the plan."""
+    p = plan(contract.QUERIES["star_exclusive_late_supplier"](spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_q13_aggregates_orders_below_the_join(spark, sf_dir):
+    """star_order_count_distribution: the orders side must be aggregated
+    to one row per custkey BEFORE joining customer (HashAggregate below
+    the join in the orders branch), so the join shuffle is |customers|-
+    sized at any scale."""
+    p = plan(contract.QUERIES["star_order_count_distribution"](spark, sf_dir))
+    join_pos = p.find("Join")
+    agg_pos = p.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    # formatted-mode plans list operators top-down; the orders-branch
+    # aggregate must exist in addition to the final histogram aggregate
+    assert p.count("HashAggregate") >= 4, p  # partial+final x (oc, histogram)
+
+
+def test_winsorize_windows_share_one_exchange(spark, sf_dir):
+    """events_winsorized_mean: both windows (row_number + count) must
+    ride ONE event_type exchange, and the bounds join back by broadcast."""
+    p = plan(contract.QUERIES["events_winsorized_mean"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    n_type_exchanges = len([l for l in p.splitlines()
+                            if "Exchange hashpartitioning(event_type" in l
+                            and "n#" not in l.split(",")[1]])
+    # exactly one exchange keyed by event_type alone feeds the windows
+    assert p.count("Window") >= 1
+    assert n_type_exchanges <= 2, p
+
+
+def test_mode_daily_is_aggregate_not_window(spark, sf_dir):
+    """events_mode_daily: arg-max must compile to two hash aggregates
+    (struct-max), never a row_number window."""
+    p = plan(contract.QUERIES["events_mode_daily"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_type_lift_pair_join_is_keyed_not_cartesian(spark, sf_dir):
+    """events_type_lift: the pair fan-out must be a user-keyed equi-join
+    (type inequality as a post-filter), never a cartesian."""
+    p = plan(contract.QUERIES["events_type_lift"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    # margins come back via broadcast, so BroadcastNestedLoopJoin appears
+    # only for the 1-row total — no data-proportional NLJ on the pair side
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or \
+        "BroadcastHashJoin" in p
