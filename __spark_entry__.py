@@ -36,6 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (last checked r03). Remaining queries follow in registration order.
 _FRONT_R5 = [
     # new in round 5 (later additions first: never driver-checked)
+    "star_top_revenue_suppliers", "docs_weighted_sample",
+    "streaming_dim_enrich",
     "events_type_lift", "events_rolling_wau",
     "docs_dedup_rate_by_source", "docs_crosslang_dups",
     "events_streaks", "star_order_count_distribution",

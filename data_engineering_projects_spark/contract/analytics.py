@@ -43,10 +43,11 @@ from pyspark.sql import functions as F
 from ..functions.determinism import DEC_AVG_SQL, dec_avg
 from ..functions.temporal import wday_pandas
 from ..functions.text import (FINGERPRINT_SQL, NORMALIZE_TEXT_SQL,
-                              fingerprint, normalize_text)
+                              fingerprint, md5_hash64, md5_hash64_sql,
+                              normalize_text)
 from ..sources import load_table
 from . import query
-from .parity import EV
+from .parity import EV, _disc_price_dec
 
 
 @query("events_streaks", f"""
@@ -494,3 +495,90 @@ def docs_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.min("doc_id").alias("first_doc"))
             .filter(F.col("n_langs") >= 2))
+
+
+@query("star_top_revenue_suppliers", """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+           AS rev_dec
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey),
+rk AS (SELECT l_suppkey, rev_dec,
+              RANK() OVER (ORDER BY rev_dec DESC) AS r FROM rev)
+SELECT l_suppkey AS suppkey,
+       ROUND(CAST(rev_dec AS DOUBLE), 2) AS total_revenue
+FROM rk WHERE r = 1
+""")
+def star_top_revenue_suppliers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape: the supplier(s) achieving MAXIMUM quarterly
+    revenue — the revenue-equals-global-max selection, rendered as
+    RANK()=1 so ties are kept exactly like the spec's ``= max(...)``
+    subquery. Revenue accumulates in the exact DECIMAL domain, so the
+    max/rank comparison can never flip on summation order.
+
+    The shipdate predicate is pushed to the parquet scan; the global
+    rank runs over the PER-SUPPLIER aggregate (one row per supplier with
+    quarter activity — bounded far below the fact table; the same
+    single-partition window trade documented at
+    `star_nation_rank_global`, with the scalar-max broadcast join as the
+    swap-in when even the supplier relation is too wide)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.to_date("l_shipdate")
+    rev = (li.filter((sd >= F.lit("1996-01-01").cast("date"))
+                     & (sd < F.lit("1996-04-01").cast("date")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_disc_price_dec()).alias("rev_dec")))
+    rk = F.rank().over(Window.orderBy(F.col("rev_dec").desc()))
+    return (rev.withColumn("r", rk).filter(F.col("r") == 1)
+            .select(F.col("l_suppkey").alias("suppkey"),
+                    F.round(F.col("rev_dec").cast("double"), 2)
+                     .alias("total_revenue")))
+
+
+@query("docs_weighted_sample", f"""
+WITH m AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+g AS (
+  SELECT d.source, d.n_chars,
+         CAST({md5_hash64_sql("CAST(doc_id AS VARCHAR)", seed=17)}
+              % m.max_chars < d.n_chars AS INT) AS kept
+  FROM documents d CROSS JOIN m)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_rate,
+       CAST(SUM(n_chars) AS DOUBLE)
+         / (COUNT(*) * MAX((SELECT max_chars FROM m))) AS expected_rate
+FROM g GROUP BY source
+""")
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted (importance) sampling:
+    P(keep doc) = n_chars / max(n_chars), gated by a seeded md5 hash of
+    the doc id modulo max_chars — longer documents proportionally more
+    likely to survive, the char-budget-friendly complement to
+    `docs_mixture_sample`'s per-source rates. Reproducible across runs,
+    engines, and partitionings (hash gate, no RNG); the keep decision is
+    pure integer arithmetic, bit-exact.
+
+    The max-weight scalar is a 1-row broadcast into the scan projection
+    (the `dbt_outlier_3sigma` shape); the gate itself rides the scan —
+    the per-source report is the only shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("n_chars").alias("max_chars"))
+    g = (docs.crossJoin(F.broadcast(m))
+         .select("source", "n_chars", "max_chars",
+                 (md5_hash64(F.col("doc_id").cast("string"), seed=17)
+                  % F.col("max_chars") < F.col("n_chars"))
+                 .cast("int").alias("kept")))
+    return (g.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                 F.sum("kept").cast("bigint").alias("n_kept"),
+                 (F.sum("kept").cast("double") / F.count(F.lit(1)))
+                 .alias("achieved_rate"),
+                 (F.sum("n_chars").cast("double")
+                  / (F.count(F.lit(1)) * F.max("max_chars")))
+                 .alias("expected_rate")))

@@ -564,6 +564,52 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_memory(spark, ev, "sliding", agg)
 
 
+@query("streaming_dim_enrich", f"""
+WITH ev AS ({EV}),
+st AS (SELECT event_type, {DEC_AVG_SQL.format(c='value', s=2)} AS type_mean
+       FROM ev WHERE value IS NOT NULL GROUP BY event_type),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS cutoff FROM ev)
+SELECT date_trunc('hour', e.ts) AS window_start, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value > st.type_mean THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_mean
+FROM ev e JOIN st ON e.event_type = st.event_type, wm
+GROUP BY date_trunc('hour', e.ts), e.event_type, cutoff
+HAVING date_trunc('hour', MIN(e.ts)) + INTERVAL 1 HOUR <= cutoff
+""")
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast join — the enrichment pattern the other
+    streaming queries don't cover: each micro-batch's rows join a static
+    per-type reference relation (here the type's historical mean value,
+    computed batch-side at launch) before the watermarked hourly window
+    counts how many readings exceeded their type's mean.
+
+    The static side is broadcast once and reused by every micro-batch —
+    no stream-side state for the join itself; only the windowed
+    aggregate holds state, bounded by the watermark. The mean is
+    dec_avg's raw quotient (bit-exact), so the ``value > mean`` gate
+    cannot flip cross-engine; counts are exact integers; the emission
+    rule is the tumbling oracle's single-flush replay."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    static = (ev.filter(F.col("value").isNotNull())
+              .groupBy("event_type")
+              .agg(dec_avg(F.col("value"), scale=2).alias("type_mean")))
+
+    def agg(stream: DataFrame) -> DataFrame:
+        s = (stream.withWatermark("ts", "2 hours")
+             .join(F.broadcast(static), "event_type"))
+        return (s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.when(F.col("value") > F.col("type_mean"), 1)
+                            .otherwise(0)).alias("n_above"))
+                .select(F.col("w.start").alias("window_start"), "event_type",
+                        F.col("n").cast("bigint").alias("n"),
+                        F.col("n_above").cast("bigint")
+                         .alias("n_above_mean")))
+
+    return _run_stream_to_memory(spark, ev, "enrich", agg)
+
+
 @query("streaming_dedup_first", f"""
 SELECT DISTINCT {FINGERPRINT_SQL.format(c='text')} AS fp FROM documents
 """)
