@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import DEC_AVG_SQL, dec_avg
+from ..functions.determinism import DEC_AVG_SQL, DEC_SUM_SQL, dec_avg
 from ..functions.temporal import wday_pandas
 from ..functions.text import (FINGERPRINT_SQL, NORMALIZE_TEXT_SQL,
                               fingerprint, md5_hash64, md5_hash64_sql,
@@ -582,3 +582,93 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("n_chars").cast("double")
                   / (F.count(F.lit(1)) * F.max("max_chars")))
                  .alias("expected_rate")))
+
+
+@query("events_value_histogram", f"""
+WITH ev AS ({EV}),
+v AS (SELECT event_type, value FROM ev WHERE value IS NOT NULL),
+g AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM v),
+b AS (
+  SELECT event_type,
+         CAST(LEAST(19, CAST(FLOOR((value - g.lo) * 20.0 / (g.hi - g.lo))
+                             AS BIGINT)) AS BIGINT) AS bucket,
+         g.lo AS lo, g.hi AS hi
+  FROM v CROSS JOIN g)
+SELECT event_type, bucket,
+       lo + bucket * ((hi - lo) / 20.0) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bucket, lo, hi
+""")
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH value histogram per event type over a GLOBAL 20-bin
+    [min, max] grid — the fixed-grid complement to
+    `events_value_ntiles`' equi-depth tiles: because every type shares
+    one grid, the per-type distributions are directly comparable
+    (the overlay-plot shape).
+
+    Bucketing arithmetic is subtract/multiply/divide/floor on identical
+    operands — each correctly-rounded IEEE, so the bucket index and the
+    emitted bin_lo are bit-exact cross-engine (2dp source values; the
+    hi endpoint clamps into the last bucket via LEAST). The [lo, hi]
+    scalar is a 1-row broadcast into the scan projection; one grouped
+    shuffle, partial-agg friendly."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select("event_type", "value")
+    g = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.lit(19).cast("bigint"),
+        F.floor((F.col("value") - F.col("lo")) * F.lit(20.0)
+                / (F.col("hi") - F.col("lo"))).cast("bigint"))
+    b = (v.crossJoin(F.broadcast(g))
+         .select("event_type", bucket.alias("bucket"), "lo", "hi"))
+    return (b.groupBy("event_type", "bucket", "lo", "hi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select("event_type", "bucket",
+                    (F.col("lo") + F.col("bucket")
+                     * ((F.col("hi") - F.col("lo")) / F.lit(20.0)))
+                    .alias("bin_lo"),
+                    "n"))
+
+
+@query("star_prospect_customers", f"""
+WITH pos AS (SELECT c_acctbal FROM customer WHERE c_acctbal > 0),
+thresh AS (SELECT {DEC_AVG_SQL.format(c='c_acctbal', s=2)} AS avg_bal
+           FROM pos),
+recent AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_prospects,
+       ROUND({DEC_SUM_SQL.format(c='c.c_acctbal', s=2)}, 2) AS total_bal
+FROM customer c CROSS JOIN thresh
+WHERE c.c_acctbal > thresh.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""")
+def star_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape on the available columns: customers whose
+    balance exceeds the positive-balance average but who placed NO
+    recent orders (none since 1999 — the reference Q22's 7-year dormancy
+    window; an unconditional no-orders test is vacuous on this data),
+    rolled up per nation. Combines the scalar-subquery threshold
+    (1-row broadcast) with the NOT EXISTS anti-join in one query — the
+    two halves the registry previously pinned only separately.
+
+    The threshold mean is dec_avg's raw quotient (bit-exact gate); the
+    anti-join's build side is the DISTINCT recent-order custkey relation
+    (pre-reduced, date filter pushed to the orders scan); balances sum
+    in the exact DECIMAL domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thresh = (cust.filter(F.col("c_acctbal") > 0)
+              .agg(dec_avg(F.col("c_acctbal"), scale=2).alias("avg_bal")))
+    recent = (orders
+              .filter(F.to_date("o_orderdate")
+                      >= F.lit("1999-01-01").cast("date"))
+              .select("o_custkey").distinct())
+    return (cust.crossJoin(F.broadcast(thresh))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_prospects"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                          .cast("double"), 2).alias("total_bal")))

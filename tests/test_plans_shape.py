@@ -164,7 +164,11 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          "events_pagerank_types",
                          # grand-total scalar broadcast into the
                          # expected-count / lift arithmetic (1-row NLJ)
-                         "events_chi2_residuals", "events_type_lift"}
+                         "events_chi2_residuals", "events_type_lift",
+                         # global [min,max] / max-weight / avg-balance
+                         # scalar broadcast into the scan projection
+                         "events_value_histogram", "docs_weighted_sample",
+                         "star_prospect_customers"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
