@@ -672,3 +672,129 @@ def star_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_prospects"),
                  F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
                           .cast("double"), 2).alias("total_bal")))
+
+
+@query("events_iqr_outliers", f"""
+WITH ev AS ({EV}),
+v AS (SELECT event_type, event_id, value FROM ev WHERE value IS NOT NULL),
+r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+b AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT))
+                      THEN value END) AS q1,
+             MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                      THEN value END) AS q3
+      FROM r GROUP BY event_type)
+SELECT v.event_type, b.n, b.q1, b.q3,
+       b.q1 - 1.5 * (b.q3 - b.q1) AS fence_lo,
+       b.q3 + 1.5 * (b.q3 - b.q1) AS fence_hi,
+       CAST(SUM(CASE WHEN v.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN v.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM v JOIN b ON v.event_type = b.event_type
+GROUP BY v.event_type, b.n, b.q1, b.q3
+""")
+def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5·IQR) outlier census per event type — completing
+    the robust-stats family (3σ → z-score → MAD → winsorize → IQR):
+    rank-based quartiles (actual data values at ceil(0.25n)/ceil(0.75n)
+    under the deterministic (value, id) order, same discipline as the
+    winsorize bounds), fences from identical-operand IEEE arithmetic, and
+    exact counts outside each fence.
+
+    Same two-pass shape as `events_winsorized_mean`: one keyed window
+    pass for the quartiles (both windows share the event_type exchange),
+    a one-row-per-type bounds relation broadcast back, exact-integer
+    census in the clamp pass."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("value").isNotNull())
+         .select("event_type", "event_id", "value"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = (Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    r = v.select("event_type", "value",
+                 F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(wn).alias("n"))
+    q1_k = F.greatest(F.lit(1).cast("bigint"),
+                      F.ceil(F.lit(0.25) * F.col("n")).cast("bigint"))
+    q3_k = F.ceil(F.lit(0.75) * F.col("n")).cast("bigint")
+    b = (r.groupBy("event_type")
+         .agg(F.max("n").cast("bigint").alias("n"),
+              F.max(F.when(F.col("rn") == q1_k, F.col("value"))).alias("q1"),
+              F.max(F.when(F.col("rn") == q3_k, F.col("value"))).alias("q3")))
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    return (v.join(F.broadcast(b), "event_type")
+            .groupBy("event_type", "n", "q1", "q3")
+            .agg(F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+                  .cast("bigint").alias("n_low"),
+                 F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+                  .cast("bigint").alias("n_high"))
+            .select("event_type", "n", "q1", "q3",
+                    lo.alias("fence_lo"), hi.alias("fence_hi"),
+                    "n_low", "n_high"))
+
+
+@query("events_bounce_rate", f"""
+WITH ev AS ({EV}),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL OR
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_no
+  FROM flagged),
+sess AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events, MIN(ts) AS start_ts
+  FROM numbered GROUP BY user_id, session_no)
+SELECT CAST(start_ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS bounce_rate
+FROM sess GROUP BY CAST(start_ts AS DATE)
+""")
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the canonical product-analytics KPI derived
+    from sessionization: share of sessions (30-min inactivity gap, same
+    definition as `events_sessionize`) containing exactly one event,
+    rolled up by session-start day. The rate is a raw integer quotient
+    (bit-exact); session numbering ties break on event_id.
+
+    The lag flag, running sum, and per-session rollup all ride ONE
+    user_id-keyed shuffle (the sessionize single-exchange shape); only
+    the final by-day rollup re-keys, over the already-reduced session
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(prev_us.isNull()
+               | ((F.unix_micros("ts") - prev_us) > 1_800_000_000), 1)
+         .otherwise(0).alias("new_session"))
+    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    numbered = flagged.withColumn(
+        "session_no", F.sum("new_session").over(wrun))
+    sess = (numbered.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("start_ts")))
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (sess.groupBy(F.to_date("start_ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 bounce.cast("bigint").alias("n_bounce"),
+                 (bounce.cast("double") / F.count(F.lit(1)))
+                 .alias("bounce_rate")))
