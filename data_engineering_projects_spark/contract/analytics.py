@@ -40,7 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import DEC_AVG_SQL, DEC_SUM_SQL, dec_avg
+from ..functions.determinism import (DEC_AVG_SQL, DEC_SUM_SQL, dec_avg,
+                                     fold_sum)
 from ..functions.temporal import wday_pandas
 from ..functions.text import (FINGERPRINT_SQL, NORMALIZE_TEXT_SQL,
                               fingerprint, md5_hash64, md5_hash64_sql,
@@ -798,3 +799,111 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  bounce.cast("bigint").alias("n_bounce"),
                  (bounce.cast("double") / F.count(F.lit(1)))
                  .alias("bounce_rate")))
+
+
+def _pi_fold_arr(arr) -> F.Column:
+    """Row-local ascending-ordered fold of an array column — the same
+    reduction as :func:`fold_sum` but over an in-row array, zero
+    shuffle."""
+    return F.aggregate(F.array_sort(arr), F.lit(0.0), lambda a, x: a + x)
+
+
+def _pi_matvec_t(base: DataFrame) -> DataFrame:
+    """u = Xᵀ·s : per-dim fold whose fan-in is the CORPUS size — the
+    documented two-level fold (functions/determinism.py): fold per
+    (dim, vec_id%64 bucket) first (per-bucket buffer = N/64), then fold
+    the 64 bucket sums. Both levels are pure functions of their input
+    multiset, so the result is partition-count-independent AND the
+    per-group collect buffer is bounded by the bucket knob at scale."""
+    ex = (base.select("vec_id", "s", F.posexplode("xs").alias("pos", "x"))
+          .select((F.col("pos") + 1).cast("int").alias("dim"),
+                  (F.col("vec_id") % 64).alias("b"),
+                  (F.col("x") * F.col("s")).alias("t")))
+    lvl1 = ex.groupBy("dim", "b").agg(fold_sum(F.col("t")).alias("ts"))
+    return lvl1.groupBy("dim").agg(fold_sum(F.col("ts")).alias("u"))
+
+
+def _pi_normalize(u: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """v = u/‖u‖, plus v re-shaped as ONE 64-element array row (ordered
+    by dim) for the next round's row-local X·v."""
+    n = u.agg(F.sqrt(fold_sum(F.col("u") * F.col("u"))).alias("nrm"))
+    v = (u.crossJoin(F.broadcast(n))
+         .select("dim", (F.col("u") / F.col("nrm")).alias("v"))
+         .localCheckpoint(eager=False))
+    v_arr = (v.groupBy()
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                 lambda st: st["v"]).alias("varr")))
+    return v, n, v_arr
+
+
+_PI_SQL_ITER = """
+u{t} AS (
+  SELECT dim, SUM(ts ORDER BY ts) AS u FROM (
+    SELECT lf.dim, lf.vec_id % 64 AS b,
+           SUM(lf.x * {sv}.{sc} ORDER BY lf.x * {sv}.{sc}) AS ts
+    FROM lf JOIN {sv} USING (vec_id) GROUP BY lf.dim, lf.vec_id % 64)
+  GROUP BY dim),
+n{t} AS (SELECT SQRT(SUM(u * u ORDER BY u * u)) AS nrm FROM u{t}),
+v{t} AS (SELECT dim, u / n{t}.nrm AS v FROM u{t}, n{t})"""
+
+
+@query("embed_top_eigenvector", f"""
+WITH lf AS (
+  SELECT vec_id, CAST(dim AS INT) AS dim,
+         CAST(embedding[dim] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(dim)),
+s1 AS (SELECT vec_id, SUM(x ORDER BY x) / 8.0 AS s FROM lf GROUP BY vec_id),
+{_PI_SQL_ITER.format(t=1, sv='s1', sc='s')},
+s2 AS (SELECT vec_id, SUM(lf.x * v1.v ORDER BY lf.x * v1.v) AS s
+       FROM lf JOIN v1 USING (dim) GROUP BY vec_id),
+{_PI_SQL_ITER.format(t=2, sv='s2', sc='s')},
+s3 AS (SELECT vec_id, SUM(lf.x * v2.v ORDER BY lf.x * v2.v) AS s
+       FROM lf JOIN v2 USING (dim) GROUP BY vec_id),
+{_PI_SQL_ITER.format(t=3, sv='s3', sc='s')}
+SELECT v3.dim, v3.v AS loading, n3.nrm AS eigenvalue
+FROM v3, n3
+""")
+def embed_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-free distributed power iteration (3 fixed rounds): the top
+    principal direction of the embedding matrix via alternating
+    s = X·v (per-vector fold over 64 schema-bounded dims) and
+    u = Xᵀ·s (per-dim TWO-LEVEL fold — the determinism.py pattern for
+    data-bounded fan-in), normalized each round; the final Gram-iteration
+    norm is the eigenvalue estimate of XᵀX. X never materializes as a
+    matrix anywhere: only the long-form (vec_id, dim, x) relation and
+    two tiny per-round relations (64-row v, one scalar norm) exist.
+
+    Determinism: v₀ = 1/8 (= 1/√64, an exact power of two) and every
+    reduction is an ascending-ordered fold mirrored by DuckDB's
+    ``SUM(x ORDER BY x)`` — the float fixed point is a pure function of
+    the input multiset, independent of partitioning (the
+    `events_pagerank_types` discipline applied to linear algebra).
+    Eigenvector sign is pinned by the deterministic v₀.
+
+    Scale: X·v is ROW-LOCAL (zip_with product + in-row ordered fold over
+    the 64-element array — no join, no shuffle; the oracle's long-form
+    join rendering is multiset-identical), so each round costs exactly
+    two keyed shuffles (the two fold levels of Xᵀ·s) plus a 1-row
+    v-array broadcast. Lineage truncates through the per-round
+    ``localCheckpoint`` of the 64-row v (the pagerank loop-invariant
+    trick); on a real cluster the embeddings scan would be cached across
+    rounds — here each round reads the source once."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.transform("embedding",
+                             lambda x: x.cast("double")).alias("xs")))
+    base = e.select("vec_id", "xs",
+                    (_pi_fold_arr(F.col("xs")) / F.lit(8.0)).alias("s"))
+    v = n = None
+    for _ in range(3):
+        u = _pi_matvec_t(base)
+        v, n, v_arr = _pi_normalize(u)
+        base = (e.crossJoin(F.broadcast(v_arr))
+                .select("vec_id", "xs",
+                        _pi_fold_arr(
+                            F.zip_with("xs", "varr",
+                                       lambda x, w: x * w)).alias("s")))
+    return (v.crossJoin(F.broadcast(n))
+            .select("dim", F.col("v").alias("loading"),
+                    F.col("nrm").alias("eigenvalue")))

@@ -168,7 +168,10 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          # global [min,max] / max-weight / avg-balance
                          # scalar broadcast into the scan projection
                          "events_value_histogram", "docs_weighted_sample",
-                         "star_prospect_customers"}
+                         "star_prospect_customers",
+                         # per-round 1-row v-array / norm broadcast of the
+                         # power iteration
+                         "embed_top_eigenvector"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
