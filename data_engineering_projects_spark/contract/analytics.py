@@ -907,3 +907,64 @@ def embed_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (v.crossJoin(F.broadcast(n))
             .select("dim", F.col("v").alias("loading"),
                     F.col("nrm").alias("eigenvalue")))
+
+
+@query("events_value_concentration", f"""
+WITH ev AS ({EV}),
+ut AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS tot
+       FROM ev WHERE value IS NOT NULL GROUP BY user_id),
+rk AS (SELECT user_id, tot,
+              ROW_NUMBER() OVER (ORDER BY tot, user_id) AS r,
+              NTILE(10) OVER (ORDER BY tot DESC, user_id) AS decile
+       FROM ut),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tot) AS DOUBLE) AS s0,
+             CAST(SUM(r * tot) AS DOUBLE) AS s1
+      FROM rk)
+SELECT rk.decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(rk.tot) AS DOUBLE), 2) AS decile_total,
+       CAST(SUM(rk.tot) AS DOUBLE) / g.s0 AS share,
+       2.0 * g.s1 / (g.n * g.s0) - CAST(g.n + 1 AS DOUBLE) / g.n AS gini
+FROM rk CROSS JOIN g
+GROUP BY rk.decile, g.n, g.s0, g.s1
+""")
+def events_value_concentration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Value-concentration analysis (the Pareto/LTV report): users ranked
+    by lifetime value into deciles (decile 1 = highest), each decile's
+    share of total value, plus the exact Gini coefficient
+    (2·Σ rᵢxᵢ / (n·Σxᵢ) − (n+1)/n over ascending-ranked totals) repeated
+    as a scalar column. Every input to the ratios is an exact DECIMAL or
+    BIGINT aggregate — rank·total products stay in the decimal domain —
+    so the doubles emitted are identical-operand IEEE, bit-exact.
+
+    Per-user totals reduce the fact table first (the only
+    data-proportional shuffle); both ranking windows run over the
+    user-bounded totals relation with deterministic (tot, user_id)
+    order. The single-partition window carries the
+    `star_nation_rank_global` caveat: at extreme user counts the rank
+    swaps for a two-pass range-partitioned sort; the Gini moments
+    (n, s0, s1) are a 1-row broadcast back into the decile rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = (ev.filter(F.col("value").isNotNull())
+          .groupBy("user_id")
+          .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("tot")))
+    rk = ut.select(
+        "user_id", "tot",
+        F.row_number().over(Window.orderBy("tot", "user_id")).alias("r"),
+        F.ntile(10).over(Window.orderBy(F.col("tot").desc(), "user_id"))
+         .alias("decile"))
+    g = rk.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+               F.sum("tot").cast("double").alias("s0"),
+               F.sum(F.col("r") * F.col("tot")).cast("double").alias("s1"))
+    gini = (F.lit(2.0) * F.col("s1") / (F.col("n") * F.col("s0"))
+            - (F.col("n") + F.lit(1)).cast("double") / F.col("n"))
+    return (rk.crossJoin(F.broadcast(g))
+            .groupBy("decile", "n", "s0", "s1")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.round(F.sum("tot").cast("double"), 2)
+                  .alias("decile_total"),
+                 (F.sum("tot").cast("double") / F.max("s0")).alias("share"))
+            .select("decile", "n_users", "decile_total", "share",
+                    gini.alias("gini")))

@@ -171,7 +171,10 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          "star_prospect_customers",
                          # per-round 1-row v-array / norm broadcast of the
                          # power iteration
-                         "embed_top_eigenvector"}
+                         "embed_top_eigenvector",
+                         # 1-row Gini-moments broadcast into the decile
+                         # rollup
+                         "events_value_concentration"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
