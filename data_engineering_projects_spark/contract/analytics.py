@@ -1,7 +1,10 @@
 """Classic warehouse-analytics shapes (round-5 widening): gaps-and-islands
-streaks, count-distribution histograms (TPC-H Q13's shape), deterministic
-per-group mode, contingency-table residuals, rank-based winsorized robust
-means, and the decomposed EXISTS/NOT-EXISTS pair of TPC-H Q21.
+streaks, the TPC-H Q13/Q15/Q21/Q22 shapes, deterministic per-group mode,
+contingency-table residuals, the robust-stats family (winsorized mean,
+IQR fences), equi-width histograms, market-basket lift, rolling WAU,
+sessionized bounce rate, LTV concentration with exact Gini,
+length-weighted sampling, corpus dup-rate/contamination reports, and a
+matrix-free power-iteration top eigenvector.
 
 None of these appear verbatim in the reference (its five writeups stop at
 grouped rollups + window ranks, e.g. 5_dbt/READ.md:123-133), but every one

@@ -148,3 +148,59 @@ def test_crosslang_groups_have_conflicting_labels(spark, queries):
     assert out, "blocked cross-lang check must be non-vacuous on testdata"
     assert all(r["n_langs"] >= 2 and r["n_docs"] >= r["n_langs"]
                for r in out)
+
+
+def test_eigenvector_is_unit_norm_and_dominant(spark, queries):
+    """The returned loading vector must be unit-norm, the eigenvalue
+    positive, and the Rayleigh quotient of the returned vector must be
+    close to the eigenvalue estimate (power iteration converged enough
+    that v is a genuine dominant-direction approximation)."""
+    import math
+    rows = queries["embed_top_eigenvector"](spark, SF_DIR).collect()
+    assert len(rows) == 64
+    v = {r["dim"]: r["loading"] for r in rows}
+    lam = rows[0]["eigenvalue"]
+    assert lam > 0
+    assert math.isclose(sum(x * x for x in v.values()), 1.0, rel_tol=1e-9)
+    # Rayleigh check against the raw data
+    from data_engineering_projects_spark.sources import load_table
+    import numpy as np
+    X = np.array([r["embedding"] for r in
+                  load_table(spark, SF_DIR, "embeddings")
+                  .select("embedding").collect()], dtype=np.float64)
+    vv = np.array([v[d] for d in sorted(v)])
+    # one more exact power step: Gram-iteration norms grow monotonically
+    # toward lambda_1, so the next norm must be >= the reported estimate
+    # and (3 rounds in) already within ~15% of it
+    u = X.T @ (X @ vv)
+    nxt = np.linalg.norm(u)
+    assert nxt >= lam * (1 - 1e-9)
+    assert (nxt - lam) / lam < 0.15
+
+
+def test_gini_bounds_and_share_mass(spark, queries):
+    rows = queries["events_value_concentration"](spark, SF_DIR).collect()
+    assert rows
+    gini = rows[0]["gini"]
+    assert 0.0 <= gini <= 1.0
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    # decile 1 (top users) must hold at least its proportional share
+    by_decile = {r["decile"]: r["share"] for r in rows}
+    assert by_decile[1] >= 1.0 / len(rows)
+
+
+def test_iqr_fences_bracket_quartiles(spark, queries):
+    for r in queries["events_iqr_outliers"](spark, SF_DIR).collect():
+        assert r["q1"] <= r["q3"]
+        assert r["fence_lo"] <= r["q1"] and r["fence_hi"] >= r["q3"]
+        assert r["n_low"] + r["n_high"] <= r["n"]
+
+
+def test_bounce_rate_consistent_with_sessionize(spark, queries):
+    """n_sessions summed over days equals the sessionize query's session
+    count; bounce sessions are exactly the 1-event sessions."""
+    sess = queries["events_sessionize"](spark, SF_DIR).collect()
+    bounce = queries["events_bounce_rate"](spark, SF_DIR).collect()
+    assert sum(r["n_sessions"] for r in bounce) == len(sess)
+    assert (sum(r["n_bounce"] for r in bounce)
+            == sum(1 for s in sess if s["n_events"] == 1))
