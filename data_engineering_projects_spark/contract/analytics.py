@@ -971,3 +971,72 @@ def events_value_concentration(spark: SparkSession,
                  (F.sum("tot").cast("double") / F.max("s0")).alias("share"))
             .select("decile", "n_users", "decile_total", "share",
                     gini.alias("gini")))
+
+
+@query("embed_centroid_confusion", f"""
+WITH c AS (
+  SELECT label AS c_label, CAST(dim AS INT) AS dim,
+         {DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)} AS m
+  FROM embeddings, range(1, 65) t(dim)
+  GROUP BY label, dim),
+d AS (
+  SELECT e.vec_id, e.label AS true_label, c.c_label,
+         SUM((CAST(e.embedding[c.dim] AS DOUBLE) - c.m)
+             * (CAST(e.embedding[c.dim] AS DOUBLE) - c.m)
+             ORDER BY (CAST(e.embedding[c.dim] AS DOUBLE) - c.m)
+                      * (CAST(e.embedding[c.dim] AS DOUBLE) - c.m)) AS d2
+  FROM embeddings e, c
+  GROUP BY e.vec_id, e.label, c.c_label),
+p AS (
+  SELECT vec_id, true_label, c_label AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+  FROM d)
+SELECT CAST(true_label AS INT) AS true_label,
+       CAST(pred_label AS INT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE rn = 1
+GROUP BY true_label, pred_label
+""")
+def embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-evaluation confusion matrix: every vector assigned to
+    its nearest LABEL CENTROID (squared-L2, deterministic (distance,
+    label) tiebreak) and cross-tabulated against its true label — the
+    centroid-classifier diagnostic an embedding pipeline runs after
+    `embed_label_centroids`.
+
+    Determinism: centroid components are dec_avg raw quotients
+    (identical doubles both engines); each squared-difference term is
+    identical-operand IEEE; the per-(vector, candidate) distance is an
+    ascending-ordered fold (row-local over the 64-dim array here — the
+    oracle's long-form ordered SUM is multiset-identical); argmin is a
+    struct-min mirrored by the oracle's (d2, label) ROW_NUMBER.
+
+    Scale: centroids are k rows (broadcast, built from one keyed
+    pass); assignment is a row-local map over the corpus — k·64 work
+    per vector, zero assignment shuffle; the struct-min and the k×k
+    confusion rollup are two partial-agg-friendly groupBys."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.select("label", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(dec_avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cvec"))
+            .select(F.col("label").alias("c_label"), "cvec"))
+    xs = e.select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("xs"))
+    d2 = _pi_fold_arr(
+        F.zip_with("xs", "cvec", lambda x, m: (x - m) * (x - m)))
+    assigned = (xs.crossJoin(F.broadcast(cent))
+                .select("vec_id", "true_label", "c_label",
+                        d2.alias("d2"))
+                .groupBy("vec_id", "true_label")
+                .agg(F.min(F.struct(F.col("d2"), F.col("c_label")))
+                      .alias("best")))
+    return (assigned
+            .select(F.col("true_label").cast("int").alias("true_label"),
+                    F.col("best.c_label").cast("int").alias("pred_label"))
+            .groupBy("true_label", "pred_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))

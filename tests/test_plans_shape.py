@@ -174,7 +174,10 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          "embed_top_eigenvector",
                          # 1-row Gini-moments broadcast into the decile
                          # rollup
-                         "events_value_concentration"}
+                         "events_value_concentration",
+                         # k-row label-centroid table broadcast into the
+                         # row-local assignment map (the IVF-centroid shape)
+                         "embed_centroid_confusion"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
