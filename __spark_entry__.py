@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (last checked r03). Remaining queries follow in registration order.
 _FRONT_R5 = [
     # new in round 5 (later additions first: never driver-checked)
-    "embed_centroid_confusion",
+    "docs_source_overlap", "embed_centroid_confusion",
     "events_value_concentration", "embed_top_eigenvector",
     "events_iqr_outliers", "events_bounce_rate",
     "events_value_histogram", "star_prospect_customers",

@@ -1040,3 +1040,59 @@ def embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("best.c_label").cast("int").alias("pred_label"))
             .groupBy("true_label", "pred_label")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+@query("docs_source_overlap", f"""
+WITH fp AS (
+  SELECT DISTINCT md5(substr({NORMALIZE_TEXT_SQL.format(c='text')}, 1, 60))
+           AS fp, source
+  FROM documents),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM fp GROUP BY source),
+pr AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(COUNT(*) AS BIGINT) AS shared
+       FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+       GROUP BY a.source, b.source)
+SELECT pr.source_a, pr.source_b, ta.n_blocks AS n_a, tb.n_blocks AS n_b,
+       pr.shared,
+       CAST(pr.shared AS DOUBLE) / (ta.n_blocks + tb.n_blocks - pr.shared)
+         AS jaccard
+FROM pr JOIN tot ta ON pr.source_a = ta.source
+        JOIN tot tb ON pr.source_b = tb.source
+""")
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix on blocked content keys: for every
+    source pair, how many distinct 60-char-prefix fingerprints they
+    share, with the Jaccard overlap of their block sets — the
+    inter-source duplication report a corpus curator reads before
+    weighting sources (`docs_mixture_sample`) or deduplicating across
+    them; complements `docs_crosslang_dups`' label-noise view of the
+    same block keys.
+
+    The pair join is keyed on the BLOCK fingerprint (the inverted-index
+    shape — work proportional to shared blocks, never |sources|² scans);
+    per-source totals are tiny aggregates joined back; Jaccard is a raw
+    integer quotient, bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (docs.select(
+        F.md5(F.substring(normalize_text(F.col("text")), 1, 60))
+         .alias("fp"), "source")
+        .distinct())
+    tot = (fp.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks")))
+    a = fp.select("fp", F.col("source").alias("source_a"))
+    b = fp.select("fp", F.col("source").alias("source_b"))
+    pr = (a.join(b, "fp")
+          .filter(F.col("source_a") < F.col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("shared")))
+    ta = tot.select(F.col("source").alias("source_a"),
+                    F.col("n_blocks").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"),
+                    F.col("n_blocks").alias("n_b"))
+    return (pr.join(F.broadcast(ta), "source_a")
+            .join(F.broadcast(tb), "source_b")
+            .select("source_a", "source_b", "n_a", "n_b", "shared",
+                    (F.col("shared").cast("double")
+                     / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                    .alias("jaccard")))
