@@ -486,9 +486,15 @@ def docs_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One blocked-key shuffle; COUNT(DISTINCT lang) rides the same grouped
     aggregate (the lang alphabet is schema-bounded, distinct state per
-    key is bytes). Exact integers throughout; substr-of-normalized is
-    byte-identical cross-engine on this ASCII corpus (the
-    `docs_levenshtein_near` ASCII scope note applies)."""
+    key is bytes). Exact integers throughout. Fingerprint parity rests
+    on CODE-POINT semantics, not an ASCII assumption (round-5 ADVICE):
+    Spark `substring` and DuckDB `substr` both count code points, both
+    md5 the UTF-8 encoding, and lower/regexp/trim agree on the simple
+    one-to-one case mappings — so the prefix key matches cross-engine
+    for any text whose lowercase mapping is unconditional (all of Latin;
+    the shipped corpus is additionally pure ASCII at every SF, verified
+    sf0.001/0.01/0.1). Locale-conditional case chars (e.g. Turkish İ)
+    would need the byte-hash variant: md5 of the UTF-8 prefix bytes."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         F.md5(F.substring(normalize_text(F.col("text")), 1, 60))

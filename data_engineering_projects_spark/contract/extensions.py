@@ -1706,10 +1706,11 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("docs_select_token_budget", """
 WITH ranked AS (
   SELECT doc_id, source, n_chars,
-         SUM(n_chars) OVER (PARTITION BY source
-                            ORDER BY n_chars DESC, doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum_chars
+         CAST(SUM(n_chars) OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+              AS BIGINT) AS cum_chars
   FROM documents)
 SELECT doc_id, source, n_chars, cum_chars,
        CAST(cum_chars <= 10000 AS INT) AS selected

@@ -383,8 +383,7 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("star_pricing_p95_approx", """
 SELECT l_returnflag,
-       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6)
-         AS p95_exact,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95_exact,
        COUNT(*) AS n, TRUE AS within_bound
 FROM lineitem GROUP BY l_returnflag
 """)
@@ -425,8 +424,14 @@ def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("n_at_or_below")))
     lo_rank = F.floor((0.95 - eps) * F.col("n"))
     hi_rank = F.ceil((0.95 + eps) * F.col("n"))
+    # p95_exact is emitted UNROUNDED (round-5 ADVICE): Spark `percentile`
+    # and DuckDB `quantile_cont` interpolate identically (lower +
+    # (upper-lower)*frac over the same IEEE operands — verified bit-exact
+    # at sf0.01/sf0.1 across p in {.5,.8,.85,.95}), while ROUND of an
+    # interpolated double is the known half-boundary hash flake
+    # (functions/determinism.py).
     return agg.select(
-        "l_returnflag", F.round("exact", 6).alias("p95_exact"), "n",
+        "l_returnflag", F.col("exact").alias("p95_exact"), "n",
         ((F.col("n_below") + 1 <= hi_rank)
          & (F.col("n_at_or_below") >= lo_rank)).alias("within_bound"))
 

@@ -1,8 +1,18 @@
 """Local replica of the driver's DuckDB-oracle differential check:
 row count + column names + order-insensitive canonicalized value compare.
 
-Uses ``collect()`` / ``fetchall()`` (python objects) rather than pandas,
-so type identities (date vs datetime, int vs float) survive comparison.
+TWO canon modes, both run by :func:`compare` (round-5 VERDICT.md #2):
+
+- **python** — ``collect()`` / ``fetchall()`` (python objects), so type
+  identities (date vs datetime, int vs float) survive comparison at full
+  repr precision.
+- **pandas (driver-style)** — ``toPandas()`` / ``fetchdf()``, replaying
+  the DRIVER's canonicalization path. This is the only mode that sees
+  DuckDB→pandas dtype coercion: DuckDB's integer window/aggregate SUM
+  returns HUGEINT (int128), which ``fetchdf`` coerces to float64 while
+  Spark emits int64 — equal values, different canon, driver hash
+  mismatch (the round-5 ``docs_select_token_budget`` red row, which the
+  fetchall path masked because python ints carry no width).
 """
 
 from __future__ import annotations
@@ -52,6 +62,46 @@ def canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
 
 
+def _canon_pd_cell(v) -> str:
+    """Driver-style cell canon over pandas values. Deliberately dtype-
+    sensitive: numpy int64 500 -> "500" but float64 500.0 -> "500.0",
+    because the driver's hash over pandas frames distinguishes them too
+    (that IS the HUGEINT→float64 failure mode this mode exists to
+    catch). NaN/NaT/None all canonicalize to NULL, matching the python
+    mode's treatment of SQL NULL."""
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):  # covers numpy.float64
+        return "NULL"
+    if isinstance(v, dt.datetime):
+        # THIS duckdb build's fetchdf returns DATE columns as
+        # datetime64[us] (midnight timestamps) while Spark's toPandas
+        # yields datetime.date — yet every date-emitting registry query
+        # is driver-hash-green (r3–r5), so the driver's canon equates a
+        # date with its midnight timestamp. Replay that: canonicalize a
+        # tz-naive midnight timestamp to its date. Timestamps with a
+        # real time-of-day (and tz-aware values) keep full precision.
+        if (v.tzinfo is None and v.hour == v.minute == v.second == 0
+                and v.microsecond == 0
+                and getattr(v, "nanosecond", 0) == 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    return _canon_cell(v)
+
+
+def canon_pandas(pdf) -> list[tuple]:
+    """Order-insensitive canon of a pandas frame: sort columns by name
+    (as the driver does), canonicalize cells dtype-sensitively, sort
+    rows."""
+    cols = list(pdf.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon_pd_cell(t[i]) for i in order)
+        for t in pdf.itertuples(index=False, name=None))
+
+
 def assert_driver_hashable(spark_df) -> None:
     """The driver canonicalizes results via pandas ``sort_values``, which
     dies on unhashable cells (``TypeError: unhashable type:
@@ -69,7 +119,10 @@ def assert_driver_hashable(spark_df) -> None:
         f"explode to rows instead")
 
 
-def compare(spark_df, sql: str, sf_dir: str) -> None:
+def compare(spark_df, sql: str, sf_dir: str, pandas_canon: bool = True) -> None:
+    """Differential check in BOTH canon modes (python + driver-style
+    pandas). ``pandas_canon=False`` skips the driver-style pass (used
+    only by tests that pin the divergence between the two modes)."""
     assert_driver_hashable(spark_df)
     got_cols = spark_df.columns
     got_rows = [tuple(r) for r in spark_df.collect()]
@@ -78,6 +131,7 @@ def compare(spark_df, sql: str, sf_dir: str) -> None:
         cur = con.execute(sql)
         want_cols = [d[0] for d in cur.description]
         want_rows = cur.fetchall()
+        want_pdf = con.execute(sql).fetchdf() if pandas_canon else None
     finally:
         con.close()
     assert sorted(got_cols) == sorted(want_cols), (
@@ -88,3 +142,12 @@ def compare(spark_df, sql: str, sf_dir: str) -> None:
     if g != w:
         diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
         raise AssertionError(f"value mismatch; first diffs (spark, oracle): {diffs}")
+    if pandas_canon:
+        gp, wp = canon_pandas(spark_df.toPandas()), canon_pandas(want_pdf)
+        if gp != wp:
+            diffs = [(a, b) for a, b in zip(gp, wp) if a != b][:5]
+            raise AssertionError(
+                "pandas-canon (driver-style) mismatch — python-object canon "
+                "passed, so this is a DuckDB→pandas or Spark→pandas dtype "
+                "coercion (e.g. HUGEINT→float64: CAST the oracle SUM to "
+                f"BIGINT); first diffs (spark, oracle): {diffs}")

@@ -77,6 +77,33 @@ def test_array_columns_rejected_before_driver_can_crash(spark):
     assert_driver_hashable(df.select("id"))
 
 
+def test_pandas_canon_catches_hugeint_coercion(spark, sf_dir):
+    """The round-5 red row class (``docs_select_token_budget``): DuckDB's
+    integer SUM returns HUGEINT (int128), which ``fetchdf`` coerces to
+    float64, while Spark emits int64 — equal values, different driver
+    canon. The python-object mode (``fetchall`` → python int) is
+    structurally blind to this; the driver-style pandas mode must catch
+    it, and the repo rule CAST(SUM(...) AS BIGINT)
+    (``contract/__init__.py``) must make it pass both modes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .groupBy("source").agg(F.sum("n_chars").alias("total_chars")))
+    uncast = ("SELECT source, SUM(n_chars) AS total_chars "
+              "FROM documents GROUP BY source")
+    cast = ("SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY source")
+
+    # python-object canon alone passes the uncast oracle — the blind spot
+    compare(df, uncast, sf_dir, pandas_canon=False)
+    # driver-style pandas canon must flag the HUGEINT→float64 coercion
+    with _pytest.raises(AssertionError, match="pandas-canon"):
+        compare(df, uncast, sf_dir)
+    # the repo's CAST rule makes both modes green
+    compare(df, cast, sf_dir)
+
+
 def test_no_registered_query_returns_complex_columns(spark, sf_dir):
     """Schema-level sweep: every contract query's output is scalar-typed
     (driver-hashable) — enforced on the cheap via the analyzed schema,

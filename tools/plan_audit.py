@@ -34,9 +34,10 @@ def audit_plan(p: str) -> dict:
         "py_row_udf": "BatchEvalPython" in p,
         "arrow_udf": ("ArrowEvalPython" in p or "MapInPandas" in p
                       or "FlatMapGroupsInPandas" in p),
-        "pushed": "PushedFilters: [" in p
-                  and not re.search(r"PushedFilters: \[\]", p.split(
-                      "PushedFilters: [")[0] + "PushedFilters: ["),
+        # true iff at least one parquet scan carries a NON-EMPTY pushed
+        # filter list (round-5 ADVICE: the old expression was dead logic
+        # that reduced to a bare substring check and was never printed)
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", p)),
     }
 
 
@@ -55,8 +56,9 @@ def main() -> int:
                         shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    print("| query | exch | bcast | scans | NLJ | cart | rowUDF | arrow |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| query | exch | bcast | scans | NLJ | cart | rowUDF | arrow "
+          "| pushed |")
+    print("|---|---|---|---|---|---|---|---|---|")
     worst: list[str] = []
     skipped: list[str] = []
     for name in sorted(contract.QUERIES):
@@ -77,7 +79,8 @@ def main() -> int:
               f"{a['scans']} | {a['nlj']} | "
               f"{'Y' if a['cartesian'] else '-'} | "
               f"{'Y' if a['py_row_udf'] else '-'} | "
-              f"{'Y' if a['arrow_udf'] else '-'} |")
+              f"{'Y' if a['arrow_udf'] else '-'} | "
+              f"{'Y' if a['pushed'] else '-'} |")
         if a["cartesian"] or a["py_row_udf"]:
             worst.append(name)
     print(f"\nskipped (streaming, executes on build): {len(skipped)}")
