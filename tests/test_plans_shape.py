@@ -195,6 +195,29 @@ def test_no_accidental_cartesian_or_python_row_udf(spark, sf_dir, name):
             f"{name}: unexpected nested-loop join\n{p}"
 
 
+#: Queries whose plans carry non-empty PushedFilters at a parquet scan
+#: (snapshot from tools/plan_audit.py after its round-6 `pushed` fix).
+#: A rewrite that silently strips pushdown from any of these — e.g. a
+#: filter moved behind a UDF or a non-deterministic expression — fails
+#: here instead of surfacing as a 100x-scale full-scan regression.
+_PUSHED_FILTER_PINNED = [
+    "dbt_hourly_speed_metrics", "star_orders_between", "star_pricing_summary",
+    "star_top_orders_by_revenue", "star_small_quantity_revenue",
+    "star_region_revenue", "star_exclusive_late_supplier",
+    "star_customers_without_orders", "dbt_fk_orphans",
+    "events_range_join_clicks", "orders_with_bigticket_items",
+    "customers_cohort_setops", "dedup_embed_cosine", "embed_knn_brute",
+]
+
+
+@pytest.mark.parametrize("name", _PUSHED_FILTER_PINNED)
+def test_selective_scans_keep_pushed_filters(spark, sf_dir, name):
+    import re
+    p = plan(contract.QUERIES[name](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]", p), (
+        f"{name}: no non-empty PushedFilters at any parquet scan\n{p}")
+
+
 def test_q21_single_lineitem_scan_no_self_join(spark, sf_dir):
     """star_exclusive_late_supplier: the per-order counts are a window
     over the reduced relation, NOT a groupBy + join-back that would
