@@ -1108,30 +1108,17 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     one midnight, so carry-in is a single previous-day aggregate — the
     same bounded look-back any watermark makes), state per partition is
     one running integer; 2 rows per event flow through one day-keyed
-    shuffle plus a day-keyed carry join. Integer arithmetic only."""
+    shuffle plus a day-keyed carry join. Integer arithmetic only. The
+    sweep itself is ``operators.intervals.max_concurrency_by_day``,
+    property-tested against a brute-force interval counter on
+    adversarial (midnight-straddling) inputs in tests/test_properties.py
+    — oracle parity alone cannot catch a truncation both engines
+    share."""
+    from ..operators.intervals import max_concurrency_by_day
+
     ev = load_table(spark, sf_dir, "events")
-    end = F.col("ts") + F.expr("INTERVAL 30 MINUTE")
-    pts = (ev.select("event_id", F.col("ts").alias("pt"),
-                     F.lit(1).alias("delta"),
-                     F.to_date("ts").alias("day"))
-           .unionAll(ev.select(
-               "event_id", end.alias("pt"), F.lit(-1).alias("delta"),
-               F.to_date(end - F.expr("INTERVAL 1 MICROSECOND"))
-                .alias("day"))))
-    w = (Window.partitionBy("day")
-         .orderBy("pt", "delta", "event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    run = pts.select("day", F.sum("delta").over(w).alias("concurrent"))
-    mx = run.groupBy("day").agg(F.max("concurrent").alias("mx"))
-    next_mid = F.date_add(F.to_date("ts"), 1)
-    carry = (ev.filter(end > next_mid.cast("timestamp"))
-             .groupBy(next_mid.alias("day"))
-             .agg(F.count(F.lit(1)).alias("carry_in")))
-    ci = F.coalesce(F.col("carry_in"), F.lit(0))
-    return (mx.join(carry, "day", "left")
-            .select("day",
-                    F.greatest(ci, ci + F.col("mx")).cast("bigint")
-                     .alias("max_concurrent")))
+    return max_concurrency_by_day(ev, ts_col="ts", id_col="event_id",
+                                  duration="INTERVAL 30 MINUTE")
 
 
 @query("events_value_mad", f"""

@@ -322,3 +322,48 @@ def test_partition_pruned_merge_equals_reference_upsert(spark, batches):
         assert got == ref
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2),        # day offset
+              st.integers(0, 24 * 60 - 1)),  # minute within day
+    min_size=1, max_size=40))
+def test_max_concurrency_matches_brute_force(spark, starts):
+    """The day-keyed sweep (carry-in + midnight endpoint attribution)
+    must agree with a brute-force interval counter — including inputs
+    where intervals straddle midnight or end exactly ON midnight (a
+    23:30 start), the two cases the round-5 ADVICE flagged. Oracle
+    parity cannot catch these: both engines replay the same SQL, so a
+    shared truncation would hash green.
+
+    Brute force: concurrency(x) = #{i : s_i <= x < s_i + 30min} is a
+    right-continuous step function that only increases at starts, so
+    each day's peak is attained at a start within the day or at the
+    day's midnight (the carry-in); days appear in the output iff they
+    contain a boundary (a start, or an end attributed via end - 1us)."""
+    from data_engineering_projects_spark.operators.intervals import (
+        max_concurrency_by_day)
+
+    base = dt.datetime(2024, 3, 1)
+    dur = dt.timedelta(minutes=30)
+    ivals = [(base + dt.timedelta(days=d, minutes=m),
+              base + dt.timedelta(days=d, minutes=m) + dur)
+             for d, m in starts]
+
+    def conc(x: dt.datetime) -> int:
+        return sum(1 for s, e in ivals if s <= x < e)
+
+    days = {s.date() for s, _ in ivals} | \
+           {(e - dt.timedelta(microseconds=1)).date() for _, e in ivals}
+    want = {}
+    for day in days:
+        mid = dt.datetime.combine(day, dt.time())
+        cands = [mid] + [s for s, _ in ivals if s.date() == day]
+        want[day] = max(conc(x) for x in cands)
+
+    rows = [(i, s) for i, (s, _) in enumerate(ivals)]
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    got = {r["day"]: r["max_concurrent"]
+           for r in max_concurrency_by_day(ev).collect()}
+    assert got == want
