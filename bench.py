@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every contract query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON record {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "streaming": [tagged names],
-"streaming_total": sec, "batch_total": sec, "sf": N}. Streaming queries
-carry fixed micro-batch/sink start-stop overhead that is not
+"streaming_total": sec, "batch_total": sec, "sf": N} followed by a FINAL
+compact JSON line (same headline keys, slowest-queries subset) sized to
+survive the driver's last-2000-bytes stdout capture — the full-registry
+line is ~4 KB and was arriving left-truncated ("parsed": null in
+BENCH_r02–r05). The complete record is also persisted to
+BENCH_detail.json at the repo root on every run. Streaming queries carry
+fixed micro-batch/sink start-stop overhead that is not
 data-proportional — their subtotal is split out so the batch engine's
 per-query mean stays comparable as the registry grows.
 
@@ -79,7 +84,7 @@ def main() -> None:
     # batch engine stays comparable as the registry grows.
     streaming = sorted(n for n in timings if n.startswith("streaming_"))
     streaming_total = round(sum(timings[n] for n in streaming), 3)
-    print(json.dumps({
+    full = {
         "metric": "contract_suite_runtime",
         "value": total,
         "unit": "sec",
@@ -88,7 +93,38 @@ def main() -> None:
         "streaming_total": streaming_total,
         "batch_total": round(total - streaming_total, 3),
         "sf": _sf_from_dir(SF_DIR),
-    }))
+    }
+    # The driver records only the LAST ~2000 bytes of stdout and parses
+    # the JSON it finds there; with 128 queries the full dict is ~4 KB,
+    # so a single fat line gets truncated from the left and fails to
+    # parse (BENCH_r02..r05: "parsed": null). Emit the full record first
+    # (and persist it to BENCH_detail.json beside this script for human/
+    # judge consumption), then print a FINAL compact line that always
+    # fits the capture window: headline totals plus as many of the
+    # slowest per-query timings as fit a conservative byte budget.
+    print(json.dumps(full))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(full, f)
+    compact = {
+        "metric": "contract_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "batch_total": full["batch_total"],
+        "streaming_total": streaming_total,
+        "detail": "BENCH_detail.json",
+        "queries": {},
+    }
+    budget = 1600  # bytes; leaves headroom inside the 2000-byte capture
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = t
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 
