@@ -134,13 +134,18 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                 .filter(F.col("u") != F.col("v"))
                 .distinct())
 
+    # carry the previous round's count forward: each round's edge set is
+    # already materialized (localCheckpoint), so re-counting the OLD set
+    # for the convergence test would spend one whole Spark job per round
+    # on a number we computed last round
+    prev_n = e.count()
     for _ in range(max_iters):
         new_e = small_star(large_star(e)).localCheckpoint()
-        if new_e.count() == e.count() and \
-                new_e.exceptAll(e).take(1) == []:
+        n = new_e.count()
+        if n == prev_n and new_e.exceptAll(e).take(1) == []:
             e = new_e
             break
-        e = new_e
+        e, prev_n = new_e, n
     # converged: every edge is (node, component_min); roots self-label
     return (e.select(F.col("u").alias("id"), F.col("v").alias("label"))
             .union(e.select(F.col("v").alias("id"), F.col("v").alias("label")))
