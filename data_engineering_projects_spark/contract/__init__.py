@@ -24,6 +24,16 @@ Conventions that make the order-insensitive value-hash comparison stable
   an exact 7-dp rational Spark's shortest-repr HALF_UP and DuckDB's
   float-multiply ROUND disagree by one 6dp ulp (round-3 sf0.1 sweep).
   Emit the raw double: identical division on both engines is bit-exact.
+- the precise rule (round-6): ROUND is a TOLERANCE where the two
+  engines' doubles are NOT guaranteed bit-identical (libm transcendental
+  paths like ln in TF-IDF, multi-pass moments like STDDEV in z-scores —
+  there, 6dp rounding absorbs sub-6dp ulp drift) and pure RISK where
+  they ARE bit-identical (integer-count quotients, interpolated
+  percentiles and their ratios, identical-operand products) — emit those
+  raw. The aws_/azure_/bq_/snowflake_ parity family keeps its 6dp
+  rounding as part of the reference's reported-metric format; its
+  operands are verified bit-exact so the residual boundary exposure is
+  nil on the seed-stable driver data.
 """
 
 from __future__ import annotations

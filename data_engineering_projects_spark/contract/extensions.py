@@ -73,19 +73,23 @@ WITH t AS (
          length({NORMALIZE_TEXT_SQL.format(c='text')}) AS n_norm_chars
   FROM documents)
 SELECT doc_id, len(toks) AS n_tokens,
-       ROUND(CAST(n_norm_chars - (len(toks) - 1) AS DOUBLE) / len(toks), 6)
+       CAST(n_norm_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
          AS avg_token_len,
-       ROUND(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
-             / len(toks), 6) AS stopword_ratio,
-       ROUND(LEAST(len(toks) / 50.0, 1.0)
+       CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+       LEAST(len(toks) / 50.0, 1.0)
              * (0.5 + 0.5 * LEAST(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
-                                  / len(toks) / 0.1, 1.0)), 6) AS quality_score
+                                  / len(toks) / 0.1, 1.0)) AS quality_score
 FROM t
 """)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length + stopword-ratio components — the
     standard cheap pre-filter for training-data curation. Pure Catalyst
-    expressions; scales linearly."""
+    expressions; scales linearly. All three ratios are emitted as RAW
+    quotient chains over integer counts (round-6): identical-operand
+    IEEE arithmetic is bit-exact cross-engine, while ROUND of a derived
+    quotient is the r3 half-boundary divergence class
+    (contract/__init__.py rule)."""
     d = widen(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     d = d.select("doc_id", toks.alias("toks"),
@@ -96,10 +100,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (F.least(n / F.lit(50.0), F.lit(1.0))
                * (F.lit(0.5) + F.lit(0.5) * F.least(sw_ratio / 0.1, F.lit(1.0))))
     return d.select("doc_id", n.alias("n_tokens"),
-                    F.round((F.col("n_norm_chars") - (n - 1)).cast("double") / n, 6)
+                    ((F.col("n_norm_chars") - (n - 1)).cast("double") / n)
                      .alias("avg_token_len"),
-                    F.round(sw_ratio, 6).alias("stopword_ratio"),
-                    F.round(quality, 6).alias("quality_score"))
+                    sw_ratio.alias("stopword_ratio"),
+                    quality.alias("quality_score"))
 
 
 def _lang_pred_sql() -> str:
@@ -158,14 +162,16 @@ WITH t AS (
                                 '{_BPE_RE}')) AS bpe_tokens
   FROM documents)
 SELECT doc_id, ws_tokens, bpe_tokens,
-       ROUND(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6) AS fertility
+       CAST(bpe_tokens AS DOUBLE) / ws_tokens AS fertility
 FROM t WHERE ws_tokens > 0
 """)
 def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish: subword-alphabet token count per doc next
     to the whitespace count, plus fertility (subwords per word) — the
     standard cost estimate for LLM training data. Pure regexp_extract_all
-    in both engines; linear scan, no shuffle."""
+    in both engines; linear scan, no shuffle. Fertility is the RAW
+    integer quotient (round-6: bit-exact; ROUND of it is the
+    half-boundary divergence class)."""
     d = widen(load_table(spark, sf_dir, "documents"))
     norm = normalize_text(F.col("text"))
     d = d.select(
@@ -175,8 +181,8 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("bpe_tokens"))
     return (d.filter(F.col("ws_tokens") > 0)
              .select("doc_id", "ws_tokens", "bpe_tokens",
-                     F.round(F.col("bpe_tokens").cast("double")
-                             / F.col("ws_tokens"), 6).alias("fertility")))
+                     (F.col("bpe_tokens").cast("double")
+                      / F.col("ws_tokens")).alias("fertility")))
 
 
 @query("text_fingerprint", f"""

@@ -729,8 +729,8 @@ WITH nat AS (
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY r.r_name, n.n_name)
 SELECT region, nation, revenue,
-       ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
-                            OVER (PARTITION BY region) AS DOUBLE), 6)
+       revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                      OVER (PARTITION BY region) AS DOUBLE)
          AS region_share
 FROM nat
 """)
@@ -739,7 +739,11 @@ def star_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region's revenue via a window SUM over the grouped result. The window
     total re-enters the exact DECIMAL domain (the 2dp rounded revenue
     casts back exactly), so the 5-row window sum is order-independent —
-    a raw double window SUM would depend on partition row order."""
+    a raw double window SUM would depend on partition row order. The
+    share is emitted as the RAW quotient (round-6: identical-operand IEEE
+    division is bit-exact cross-engine, while ROUND of a derived quotient
+    is the r3 `embed_label_centroids` half-boundary divergence class the
+    repo rule at contract/__init__.py forbids)."""
     li = widen(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -754,4 +758,4 @@ def star_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("region")
     total = F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
     return nat.select("region", "nation", "revenue",
-                      F.round(F.col("revenue") / total, 6).alias("region_share"))
+                      (F.col("revenue") / total).alias("region_share"))
