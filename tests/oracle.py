@@ -71,7 +71,7 @@ def _canon_pd_cell(v) -> str:
     mode's treatment of SQL NULL."""
     import pandas as pd
 
-    if v is None or v is pd.NaT:
+    if v is None or v is pd.NaT or v is pd.NA:
         return "NULL"
     if isinstance(v, float) and math.isnan(v):  # covers numpy.float64
         return "NULL"
