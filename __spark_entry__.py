@@ -26,14 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["aws_tti_top10"](spark, "/root/testdata/sf0.001")
 
 
-# Enumerated first: the driver checks only ~50 registry queries per round,
-# so each round front-loads by driver-row staleness. Round 6 (registry
-# FROZEN at 128 per round-5 VERDICT #3 — no net-new queries): the fixed
-# round-5 red row ``docs_select_token_budget`` (oracle window-SUM now CAST
-# AS BIGINT) first, then the 34 queries whose latest driver row is r03
-# (the un-reached back half of _FRONT_R5), then the 44 r04-stale
-# queries oldest-first; the 49 r5-green queries follow in registration
-# order. ~50-budget => everything r03/r04-stale gets a fresh row.
+# The driver checks only ~50 registry queries per round, so `queries()`
+# front-loads by driver-row staleness. Since round 6 the order is
+# COMPUTED from the CORRECTNESS_r*.json rows at import time
+# (`_staleness_order`: non-green/never-checked first, then green rows
+# oldest-round-first) — self-maintaining across rounds with no manual
+# re-derivation. The static list below is the FALLBACK when no
+# correctness files are readable; it snapshots the round-6 computation:
+# the fixed round-5 red row ``docs_select_token_budget`` (oracle
+# window-SUM now CAST AS BIGINT) first, then the 34 r03-stale queries,
+# then the 44 r04-stale queries. Registry FROZEN at 128 per round-5
+# VERDICT #3.
 _FRONT_R6 = [
     # round-5 red row, fixed (VERDICT r5 #1) — must be re-checked first
     "docs_select_token_budget",
@@ -73,8 +76,52 @@ _FRONT_R6 = [
 ]
 
 
+def _staleness_order(names) -> list[str] | None:
+    """Self-maintaining rotation (round 6): derive the front order from
+    the driver's own ``CORRECTNESS_r*.json`` rows instead of a
+    hand-curated list, so every round automatically re-checks (1) any
+    query whose LATEST driver row is not fully green, then (2) green
+    queries oldest-row-first, then (3) ties by name. A query with no row
+    at all sorts with group (1). Returns None when no correctness files
+    are readable (first round / foreign checkout) so the static fallback
+    applies."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = []
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            files.append((int(m.group(1)), p))
+    latest: dict[str, tuple[int, bool]] = {}
+    seen_any = False
+    for rnd, p in sorted(files):  # numeric order: later rounds overwrite
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        seen_any = True
+        for name, v in rows.items():
+            green = bool(v.get("rows_match") and v.get("schema_match")
+                         and v.get("hash_match") and not v.get("err"))
+            latest[name] = (rnd, green)
+    if not seen_any:
+        return None
+
+    def key(name: str):
+        rnd, green = latest.get(name, (0, False))
+        return (1 if green else 0, rnd, name)
+
+    return sorted(names, key=key)
+
+
 def _ordered(d: dict) -> dict:
-    front = {k: d[k] for k in _FRONT_R6 if k in d}
+    order = _staleness_order(list(d)) or [k for k in _FRONT_R6 if k in d]
+    front = {k: d[k] for k in order if k in d}
     return front | {k: v for k, v in d.items() if k not in front}
 
 

@@ -33,6 +33,46 @@ def test_oracles_subset_of_queries():
     assert set(contract.ORACLES) <= set(contract.QUERIES)
 
 
+def test_staleness_order_rotates_correctly():
+    """The dynamic rotation must (1) front any query whose latest driver
+    row is not fully green or that has no row, (2) order green queries
+    oldest-driver-row-first, and (3) fall back to the static list when
+    no correctness files exist — so the ~50-query driver budget always
+    lands on the rows that need refreshing."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    order = e._staleness_order(list(contract.QUERIES))
+    assert order is not None and len(order) == len(contract.QUERIES)
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    latest = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        for name, v in json.load(open(p)).items():
+            green = bool(v.get("rows_match") and v.get("schema_match")
+                         and v.get("hash_match") and not v.get("err"))
+            latest[name] = green
+    reds = [q for q in contract.QUERIES if not latest.get(q, False)]
+    # every non-green / never-checked query sorts before every green one
+    assert order[:len(reds)] == sorted(reds)
+
+
+def test_staleness_order_falls_back_without_correctness_files(monkeypatch):
+    """No CORRECTNESS files (first round / foreign checkout) -> None, and
+    `_ordered` then applies the static _FRONT_R6 list."""
+    import glob
+
+    import __spark_entry__ as e
+
+    monkeypatch.setattr(glob, "glob", lambda *a, **k: [])
+    assert e._staleness_order(list(contract.QUERIES)) is None
+    d = {k: k for k in contract.QUERIES}
+    assert list(e._ordered(d))[:3] == [n for n in e._FRONT_R6 if n in d][:3]
+
+
 def test_front_list_names_are_real_and_unique():
     """The driver checks ~50 queries per round in `queries()` order, and
     the front list is how stale driver rows get refreshed. `_ordered`
