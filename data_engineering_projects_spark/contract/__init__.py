@@ -5,9 +5,11 @@ Conventions that make the order-insensitive value-hash comparison stable
 (SURVEY.md §5.2, §7.4):
 
 - every computed/aggregate column is aliased identically on both sides;
-- floating-point outputs are ROUNDed identically on both sides (6 dp for
-  ratios/averages, 2 dp for money-scale sums) so last-ulp differences in
-  summation order can never flip a hash;
+- floating-point outputs whose doubles are NOT bit-identical
+  cross-engine are ROUNDed identically on both sides (6 dp for
+  libm/moment-derived ratios, 2 dp for money-scale sums) so sub-6dp ulp
+  drift can never flip a hash — but see the round-6 rule below: values
+  that ARE bit-identical are emitted raw;
 - any ORDER BY ... LIMIT selection orders by deterministic keys (metric,
   then id columns) and, when the metric is a float aggregate, by its
   ROUNDed value so selection is reproducible across engines;
