@@ -367,3 +367,87 @@ def test_max_concurrency_matches_brute_force(spark, starts):
     got = {r["day"]: r["max_concurrent"]
            for r in max_concurrency_by_day(ev).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+             min_size=1, max_size=25),            # left (key, t)
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                       st.integers(0, 999)),
+             min_size=0, max_size=25))            # right (key, t, v)
+def test_asof_join_matches_brute_force(spark, lefts, rights):
+    """The union+carry-forward as-of rendering must agree with the
+    nested-loop definition (latest right with right_ts <= left_ts, same
+    key) on random inputs — including the equal-timestamp boundary,
+    which hypothesis hits constantly on a 0..50 integer time domain.
+    The right side is deduped to one row per (key, t) (the operator's
+    documented precondition), keeping the max v like the contract query
+    keeps a max id."""
+    from data_engineering_projects_spark.operators.asof import (
+        asof_join_backward)
+
+    base = dt.datetime(2024, 5, 1)
+    rd = {}
+    for k, t, v in rights:
+        rd[(k, t)] = max(v, rd.get((k, t), -1))
+    right_rows = [(k, base + dt.timedelta(seconds=t), v)
+                  for (k, t), v in sorted(rd.items())]
+    left_rows = [(i, k, base + dt.timedelta(seconds=t))
+                 for i, (k, t) in enumerate(lefts)]
+
+    left = spark.createDataFrame(left_rows, "lid bigint, k bigint, lts timestamp")
+    right = spark.createDataFrame(right_rows, "k bigint, rts timestamp, v bigint") \
+        if right_rows else spark.createDataFrame([], "k bigint, rts timestamp, v bigint")
+    got = {r["lid"]: r["v"]
+           for r in asof_join_backward(left, right, "k", "lts", "rts",
+                                       ["v"]).collect()}
+
+    want = {}
+    for lid, k, lts in left_rows:
+        best = None
+        for rk, rts, v in right_rows:
+            if rk == k and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, v)
+        want[lid] = best[1] if best else None
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 400)),
+             min_size=1, max_size=20),                    # points (key, t)
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 400),
+                       st.integers(0, 300)),
+             min_size=0, max_size=15),                    # intervals (key, s, dur)
+    st.sampled_from([60, 100, 128, 3600]))                # bucket seconds
+def test_interval_join_matches_brute_force(spark, points, ivals, bucket_s):
+    """The bucketed interval equi-join must emit exactly the nested-loop
+    pairs (start <= t <= end, equal key) for random inputs and bucket
+    widths BOTH larger and smaller than the intervals — the multi-bucket
+    explode path and the bucket-boundary points are where an off-by-one
+    would hide."""
+    from data_engineering_projects_spark.operators.rangejoin import (
+        interval_join)
+
+    base = dt.datetime(2024, 5, 1)
+    p_rows = [(i, k, base + dt.timedelta(seconds=t))
+              for i, (k, t) in enumerate(points)]
+    i_rows = [(j, k, base + dt.timedelta(seconds=s),
+               base + dt.timedelta(seconds=s + d))
+              for j, (k, s, d) in enumerate(ivals)]
+    p = spark.createDataFrame(p_rows, "pid bigint, k bigint, pt timestamp")
+    i = spark.createDataFrame(i_rows,
+                              "iid bigint, k bigint, s timestamp, e timestamp") \
+        if i_rows else spark.createDataFrame(
+            [], "iid bigint, k bigint, s timestamp, e timestamp")
+    got = {(r["pid"], r["iid"])
+           for r in interval_join(p.withColumnRenamed("k", "k1"),
+                                  i.withColumnRenamed("k", "k1"),
+                                  "pt", "s", "e", keys=["k1"],
+                                  bucket_seconds=bucket_s).collect()}
+    want = {(pid, iid)
+            for pid, pk, pt in p_rows
+            for iid, ik, s, e in i_rows
+            if pk == ik and s <= pt <= e}
+    assert got == want
