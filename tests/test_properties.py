@@ -451,3 +451,32 @@ def test_interval_join_matches_brute_force(spark, points, ivals, bucket_s):
             for iid, ik, s, e in i_rows
             if pk == ik and s <= pt <= e}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 5))
+def test_ivf_full_probe_equals_brute_force(spark, seed, n_cells):
+    """IVF exactness invariant: with ``nprobe >= n_cells`` every query
+    probes every cell, so the candidate set is the whole corpus and the
+    search must return EXACTLY the brute-force top-k — same neighbors,
+    same ranks, same rounded sims. This pins the partition-restriction
+    machinery (assign + per-cell equi-join) as lossless when not
+    pruning, independent of how the centroids converged."""
+    import random
+
+    from data_engineering_projects_spark.operators.similarity import (
+        cosine_topk_hof, ivf_assign, ivf_search, ivf_train)
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") % 7 == 0)
+
+    cents = ivf_train(corpus, n_cells=n_cells, n_iters=1)
+    assigned = ivf_assign(corpus, cents)
+    got = {(r["query_id"], r["neighbor_id"], r["knn_rank"], r["sim"])
+           for r in ivf_search(queries, assigned, cents, k=5,
+                               nprobe=n_cells).collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["knn_rank"], r["sim"])
+            for r in cosine_topk_hof(queries, corpus, k=5).collect()}
+    assert got == want
