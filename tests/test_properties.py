@@ -480,3 +480,41 @@ def test_ivf_full_probe_equals_brute_force(spark, seed, n_cells):
     want = {(r["query_id"], r["neighbor_id"], r["knn_rank"], r["sim"])
             for r in cosine_topk_hof(queries, corpus, k=5).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aA zZ09.,!éÉüÜñÑçÇøØåÅß€—…中日«»\t\n", max_size=80),
+    min_size=1, max_size=20))
+def test_blocked_fingerprint_code_point_parity(spark, texts):
+    """Validates the claim the round-6 `docs_crosslang_dups` docstring
+    makes (round-5 ADVICE): the blocked prefix fingerprint
+    md5(substr(normalize(text), 1, 60)) matches cross-engine because
+    Spark `substring` and DuckDB `substr` both count CODE POINTS, both
+    md5 the UTF-8 encoding, and lower/regexp/trim agree on unconditional
+    one-to-one case mappings — exercised here on adversarial NON-ASCII
+    input (accented Latin, ß, €, em-dash/ellipsis, CJK, guillemets),
+    not just the shipped ASCII corpus."""
+    import duckdb
+
+    from data_engineering_projects_spark.functions.text import (
+        normalize_text, NORMALIZE_TEXT_SQL)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id",
+        F.md5(F.substring(normalize_text(F.col("text")), 1, 60)).alias("fp")
+    ).collect()}
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        want = dict(con.execute(
+            f"SELECT doc_id, md5(substr("
+            f"{NORMALIZE_TEXT_SQL.format(c='text')}, 1, 60)) FROM docs"
+        ).fetchall())
+    finally:
+        con.close()
+    assert got == want
