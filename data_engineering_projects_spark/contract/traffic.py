@@ -226,7 +226,8 @@ def dbt_congestion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dbt_daily_congestion_rank", _CONGESTION_CTE + f"""
 , daily AS (
   SELECT location_id, CAST(recorded_hour AS DATE) AS day,
-         ROUND({FOLD_AVG_SQL.format(c='congestion_raw')}, 3) AS avg_daily_congestion,
+         ROUND({FOLD_AVG_SQL.format(c='congestion_raw')}, 3) + 0.0
+           AS avg_daily_congestion,
          ROUND({FOLD_AVG_SQL.format(c='avg_speed')}, 1) AS avg_daily_speed
   FROM congestion WHERE congestion_raw IS NOT NULL
   GROUP BY location_id, CAST(recorded_hour AS DATE))
@@ -247,11 +248,21 @@ def dbt_daily_congestion_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg), so they use the sorted sequential fold (``fold_avg``) — order-
     independent, hence run- and engine-stable. The group is schema-bounded
     (<= 24 hourly rows per location-day), so the per-group buffer is O(1)
-    even at 100 TB."""
+    even at 100 TB.
+
+    Signed zero (round-6, caught by the sf0.001 dual-canon sweep): a
+    location-day whose congestion values average to a tiny NEGATIVE
+    rounds to ``-0.0`` at 3dp in DuckDB while Spark's BigDecimal ROUND
+    normalizes to ``+0.0`` — the same r1/r2 root cause
+    ``dbt_congestion_hourly`` already guards. Both sides add ``+ 0.0``
+    after the ROUND (IEEE: ``-0.0 + 0.0 = +0.0``, all other values
+    unchanged; compare semantics and rank ties unaffected since
+    ``-0.0 == 0.0`` in ordering)."""
     daily = (_congestion_hourly(spark, sf_dir)
              .filter(F.col("congestion_raw").isNotNull())
              .groupBy("location_id", F.to_date("recorded_hour").alias("day"))
-             .agg(F.round(fold_avg(F.col("congestion_raw")), 3).alias("avg_daily_congestion"),
+             .agg((F.round(fold_avg(F.col("congestion_raw")), 3) + F.lit(0.0))
+                  .alias("avg_daily_congestion"),
                   F.round(fold_avg(F.col("avg_speed")), 1).alias("avg_daily_speed")))
     w = Window.partitionBy("day").orderBy(F.desc("avg_daily_congestion"))
     return (daily.withColumn("congestion_rank", F.rank().over(w))
