@@ -23,6 +23,8 @@ same horizon any watermark imposes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,11 +38,33 @@ def max_concurrency_by_day(events: DataFrame, ts_col: str = "ts",
     boundary.
 
     ``duration`` must be under 24 hours so an interval spans at most one
-    midnight (carry-in then reduces to a single previous-day aggregate).
-    Determinism at boundary ties: the running sum orders by (pt, delta,
-    id) — delta sorts a −1 before a +1 at an exact touch, id breaks the
-    rest — so prefix sums are reproducible on any engine.
+    midnight (carry-in then reduces to a single previous-day aggregate) —
+    VALIDATED here, because a longer duration would not error: middle
+    days of a multi-day interval get no boundary row (silently absent
+    from the output) and the final day's peak clamps to zero instead of
+    counting the still-open interval. Determinism at boundary ties: the
+    running sum orders by (pt, delta, id) — delta sorts a −1 before a +1
+    at an exact touch, id breaks the rest — so prefix sums are
+    reproducible on any engine.
     """
+    m = re.fullmatch(
+        r"\s*INTERVAL\s+(\d+)\s+(MICROSECOND|MILLISECOND|SECOND|MINUTE|"
+        r"HOUR)S?\s*", duration, re.IGNORECASE)
+    if not m:
+        raise ValueError(
+            f"max_concurrency_by_day: duration {duration!r} must be a "
+            "sub-day interval (INTERVAL <n> MICROSECOND/MILLISECOND/"
+            "SECOND/MINUTE/HOUR) — a day-or-longer interval spans "
+            "multiple midnights, which the single-day carry-in cannot "
+            "represent (middle days would be silently dropped)")
+    n, unit = int(m.group(1)), m.group(2).upper()
+    us_per = {"MICROSECOND": 1, "MILLISECOND": 1_000, "SECOND": 1_000_000,
+              "MINUTE": 60_000_000, "HOUR": 3_600_000_000}[unit]
+    if n * us_per >= 24 * 3_600_000_000:
+        raise ValueError(
+            f"max_concurrency_by_day: duration {duration!r} is >= 24h; "
+            "intervals would span multiple midnights — aggregate at a "
+            "coarser key or decompose the interval first")
     end = F.col(ts_col) + F.expr(duration)
     pts = (events.select(F.col(id_col).alias("_id"),
                          F.col(ts_col).alias("pt"),

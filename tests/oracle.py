@@ -125,29 +125,46 @@ def compare(spark_df, sql: str, sf_dir: str, pandas_canon: bool = True) -> None:
     only by tests that pin the divergence between the two modes)."""
     assert_driver_hashable(spark_df)
     got_cols = spark_df.columns
-    got_rows = [tuple(r) for r in spark_df.collect()]
-    con = duck_connection(sf_dir)
-    try:
-        cur = con.execute(sql)
-        want_cols = [d[0] for d in cur.description]
-        want_rows = cur.fetchall()
-        want_pdf = con.execute(sql).fetchdf() if pandas_canon else None
-    finally:
-        con.close()
-    assert sorted(got_cols) == sorted(want_cols), (
-        f"column mismatch: spark={sorted(got_cols)} oracle={sorted(want_cols)}")
-    assert len(got_rows) == len(want_rows), (
-        f"row count: spark={len(got_rows)} oracle={len(want_rows)}")
-    g, w = canon(got_cols, got_rows), canon(want_cols, want_rows)
-    if g != w:
-        diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
-        raise AssertionError(f"value mismatch; first diffs (spark, oracle): {diffs}")
     if pandas_canon:
-        gp, wp = canon_pandas(spark_df.toPandas()), canon_pandas(want_pdf)
-        if gp != wp:
-            diffs = [(a, b) for a, b in zip(gp, wp) if a != b][:5]
+        # both canon modes read the Spark result (collect + toPandas);
+        # persist so the plan executes once, not twice
+        spark_df = spark_df.persist()
+    try:
+        got_rows = [tuple(r) for r in spark_df.collect()]
+        con = duck_connection(sf_dir)
+        try:
+            # materialize the oracle once; fetchall and fetchdf then read
+            # the temp table (types preserved — HUGEINT stays HUGEINT, so
+            # the fetchdf coercion the pandas mode exists to see is
+            # unchanged) instead of re-executing the query
+            con.execute(f"CREATE TEMP TABLE __oracle AS {sql}")
+            cur = con.execute("SELECT * FROM __oracle")
+            want_cols = [d[0] for d in cur.description]
+            want_rows = cur.fetchall()
+            want_pdf = (con.execute("SELECT * FROM __oracle").fetchdf()
+                        if pandas_canon else None)
+        finally:
+            con.close()
+        assert sorted(got_cols) == sorted(want_cols), (
+            f"column mismatch: spark={sorted(got_cols)} "
+            f"oracle={sorted(want_cols)}")
+        assert len(got_rows) == len(want_rows), (
+            f"row count: spark={len(got_rows)} oracle={len(want_rows)}")
+        g, w = canon(got_cols, got_rows), canon(want_cols, want_rows)
+        if g != w:
+            diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
             raise AssertionError(
-                "pandas-canon (driver-style) mismatch — python-object canon "
-                "passed, so this is a DuckDB→pandas or Spark→pandas dtype "
-                "coercion (e.g. HUGEINT→float64: CAST the oracle SUM to "
-                f"BIGINT); first diffs (spark, oracle): {diffs}")
+                f"value mismatch; first diffs (spark, oracle): {diffs}")
+        if pandas_canon:
+            gp, wp = canon_pandas(spark_df.toPandas()), canon_pandas(want_pdf)
+            if gp != wp:
+                diffs = [(a, b) for a, b in zip(gp, wp) if a != b][:5]
+                raise AssertionError(
+                    "pandas-canon (driver-style) mismatch — python-object "
+                    "canon passed, so this is a DuckDB→pandas or "
+                    "Spark→pandas dtype coercion (e.g. HUGEINT→float64: "
+                    "CAST the oracle SUM to BIGINT); first diffs "
+                    f"(spark, oracle): {diffs}")
+    finally:
+        if pandas_canon:
+            spark_df.unpersist()

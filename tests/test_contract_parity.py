@@ -48,16 +48,31 @@ def test_staleness_order_rotates_correctly():
     order = e._staleness_order(list(contract.QUERIES))
     assert order is not None and len(order) == len(contract.QUERIES)
 
+    import re
+
     here = os.path.dirname(os.path.abspath(e.__file__))
     latest = {}
-    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    files = []
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            files.append((int(m.group(1)), p))
+    for rnd, p in sorted(files):
         for name, v in json.load(open(p)).items():
             green = bool(v.get("rows_match") and v.get("schema_match")
                          and v.get("hash_match") and not v.get("err"))
-            latest[name] = green
-    reds = [q for q in contract.QUERIES if not latest.get(q, False)]
+            latest[name] = (rnd, green)
+    # mirror the implementation's full key — (green, round, name) — so
+    # the assertion stays valid when reds span multiple rounds or
+    # never-checked queries (round 0) coexist with red rows
+    def key(name):
+        rnd, green = latest.get(name, (0, False))
+        return (1 if green else 0, rnd, name)
+    assert order == sorted(contract.QUERIES, key=key)
+    reds = {q for q in contract.QUERIES
+            if not latest.get(q, (0, False))[1]}
     # every non-green / never-checked query sorts before every green one
-    assert order[:len(reds)] == sorted(reds)
+    assert set(order[:len(reds)]) == reds
 
 
 def test_staleness_order_falls_back_without_correctness_files(monkeypatch):

@@ -155,3 +155,24 @@ def test_interval_join_bucket_boundaries(spark):
                      for r in got)
     assert matched == [0.0, 7200.0]   # inclusive ends; 7201 out; k=2 out
     assert len(got) == len(set((r.k, r.pt) for r in got))  # no duplicates
+
+
+def test_max_concurrency_rejects_day_plus_durations(spark):
+    """Durations >= 24h span multiple midnights, which the single-day
+    carry-in cannot represent — the operator must refuse loudly instead
+    of silently dropping the middle days (round-6 review finding)."""
+    import pytest
+
+    from data_engineering_projects_spark.operators.intervals import (
+        max_concurrency_by_day)
+
+    df = spark.createDataFrame([(1, "2024-01-01 10:00:00")],
+                               "event_id bigint, ts string") \
+        .select("event_id", F.to_timestamp("ts").alias("ts"))
+    with pytest.raises(ValueError, match="midnight"):
+        max_concurrency_by_day(df, duration="INTERVAL 2 DAY")
+    with pytest.raises(ValueError, match="24h"):
+        max_concurrency_by_day(df, duration="INTERVAL 25 HOUR")
+    # sub-day durations still build a plan
+    out = max_concurrency_by_day(df, duration="INTERVAL 23 HOUR")
+    assert out.columns == ["day", "max_concurrent"]
