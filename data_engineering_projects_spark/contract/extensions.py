@@ -773,7 +773,7 @@ sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS} AS sim
   FROM q JOIN c ON q.vec_id <> c.vec_id)
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+SELECT query_id, neighbor_id, ROUND(sim, 6) + 0.0 AS sim, knn_rank FROM (
   SELECT query_id, neighbor_id, sim,
          RANK() OVER (PARTITION BY query_id
                       ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
@@ -808,7 +808,7 @@ sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS} AS sim
   FROM q JOIN c ON q.vec_id <> c.vec_id)
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+SELECT query_id, neighbor_id, ROUND(sim, 6) + 0.0 AS sim, knn_rank FROM (
   SELECT query_id, neighbor_id, sim,
          RANK() OVER (PARTITION BY query_id
                       ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
@@ -835,7 +835,7 @@ sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS} AS sim
   FROM q JOIN c ON q.label = c.label AND q.vec_id <> c.vec_id)
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+SELECT query_id, neighbor_id, ROUND(sim, 6) + 0.0 AS sim, knn_rank FROM (
   SELECT query_id, neighbor_id, sim,
          RANK() OVER (PARTITION BY query_id
                       ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
@@ -887,7 +887,7 @@ sims AS (
          {cosine_sql('p.q_emb', 'c.embedding')} AS sim
   FROM probes p JOIN embeddings c
     ON c.label = p.label AND c.vec_id <> p.query_id)
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+SELECT query_id, neighbor_id, ROUND(sim, 6) + 0.0 AS sim, knn_rank FROM (
   SELECT query_id, neighbor_id, sim,
          RANK() OVER (PARTITION BY query_id
                       ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank

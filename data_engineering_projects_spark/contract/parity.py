@@ -180,7 +180,7 @@ daily AS (SELECT q.user_id, q.day,
           FROM q SEMI JOIN top10 ON q.user_id = top10.user_id
           GROUP BY q.user_id, q.day)
 SELECT user_id, day, ROUND(avg_tti, 6) AS avg_tti,
-       ROUND(COALESCE(avg_tti - LAG(avg_tti) OVER (PARTITION BY user_id ORDER BY day), 0), 6) AS tti_change
+       ROUND(COALESCE(avg_tti - LAG(avg_tti) OVER (PARTITION BY user_id ORDER BY day), 0), 6) + 0.0 AS tti_change
 FROM daily
 """)
 def bq_tti_trend_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +206,8 @@ def bq_tti_trend_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("user_id", "day").agg(fold_avg(F.col("tti")).alias("avg_tti")))
     out = lag_diff(daily, "avg_tti", "day", ["user_id"], out_col="tti_change")
     return out.select("user_id", "day", F.round("avg_tti", 6).alias("avg_tti"),
-                      F.round("tti_change", 6).alias("tti_change"))
+                      (F.round("tti_change", 6) + F.lit(0.0))
+                      .alias("tti_change"))
 
 
 @query("bq_exceedance", _BQ_TTI_CTE + """
@@ -274,7 +275,8 @@ daily AS (SELECT day, {FOLD_SUM_SQL.format(c='bsum')} / SUM(bn) AS avg_lottr
           FROM b GROUP BY day)
 SELECT day, ROUND(avg_lottr, 6) AS avg_lottr,
        ROUND(COALESCE((avg_lottr - LAG(avg_lottr) OVER (ORDER BY day))
-                      / LAG(avg_lottr) OVER (ORDER BY day), 0), 6) AS lottr_pct_change
+                      / LAG(avg_lottr) OVER (ORDER BY day), 0), 6) + 0.0
+         AS lottr_pct_change
 FROM daily
 """)
 def snowflake_lottr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +310,8 @@ def snowflake_lottr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg((fold_sum(F.col("bsum")) / F.sum("bn")).alias("avg_lottr")))
     out = pct_change(daily, "avg_lottr", "day", out_col="lottr_pct_change")
     return out.select("day", F.round("avg_lottr", 6).alias("avg_lottr"),
-                      F.round("lottr_pct_change", 6).alias("lottr_pct_change"))
+                      (F.round("lottr_pct_change", 6) + F.lit(0.0))
+                      .alias("lottr_pct_change"))
 
 
 # ---------------------------------------------------------------------------
@@ -686,7 +689,8 @@ m AS (
 SELECT event_type, CAST(n AS BIGINT) AS n,
        ROUND((n * sxy - sx * sy)
              / NULLIF(SQRT(GREATEST((n * sxx - sx * sx) * (n * syy - sy * sy),
-                                    0.0)), 0.0), 6) AS corr_value_hour
+                                    0.0)), 0.0), 6) + 0.0
+         AS corr_value_hour
 FROM m
 """)
 def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,7 +720,7 @@ def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.nullif(F.sqrt(F.greatest(var_prod, F.lit(0.0))), F.lit(0.0))
     corr = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
     return m.select("event_type", F.col("n").cast("bigint").alias("n"),
-                    F.round(corr, 6).alias("corr_value_hour"))
+                    (F.round(corr, 6) + F.lit(0.0)).alias("corr_value_hour"))
 
 
 @query("star_nation_revenue_share", f"""

@@ -140,10 +140,15 @@ def cosine_topk_blas(queries: DataFrame, corpus: DataFrame, k: int,
 def _final_topk(sims: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("sim", 9)), "neighbor_id")
+    # + 0.0 after the ROUND: a cosine a few ulps below zero rounds to
+    # -0.0 in DuckDB but +0.0 in Spark's BigDecimal ROUND (the signed-
+    # zero hash-divergence class); IEEE -0.0 + 0.0 = +0.0 normalizes
+    # both sides, every other value unchanged
     return (sims.withColumn("knn_rank", F.rank().over(w))
                 .filter(F.col("knn_rank") <= k)
                 .select("query_id", "neighbor_id",
-                        F.round("sim", 6).alias("sim"), "knn_rank"))
+                        (F.round("sim", 6) + F.lit(0.0)).alias("sim"),
+                        "knn_rank"))
 
 
 # ---------------------------------------------------------------------------
