@@ -41,21 +41,19 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
 FROM numbered GROUP BY user_id, session_no
 """)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands sessionization (30-min inactivity gap). The lag
-    flag and running sum share one (user_id)-partitioned sort — a single
+    """Gaps-and-islands sessionization (30-min inactivity gap) via
+    ``operators.windows.sessionize`` — property-tested against a
+    brute-force python sessionizer in tests/test_properties.py (the
+    shared-bug class the SQL-replaying oracle cannot see). The lag flag
+    and running sum share one (user_id)-partitioned sort — a single
     shuffle; the rollup reuses the same key. Ties on ts are broken by
     event_id so numbering is deterministic."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    flagged = ev.select(
-        "user_id", "ts", "event_id",
-        F.when(prev_us.isNull()
-               | ((F.unix_micros("ts") - prev_us) > 1_800_000_000), 1)
-         .otherwise(0).alias("new_session"))
-    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    numbered = flagged.withColumn("session_no", F.sum("new_session").over(wrun))
+    from ..operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    numbered = sessionize(ev, "user_id", "ts", "event_id",
+                          gap_seconds=1800)
     return (numbered.groupBy("user_id", "session_no")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("ts").alias("session_start"),

@@ -41,3 +41,32 @@ def pct_change(df: DataFrame, value_col: str, order_col: str,
     if fill is not None:
         d = F.coalesce(d, F.lit(fill))
     return df.withColumn(out_col, d)
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str, id_col: str,
+               gap_seconds: int = 1800,
+               out_col: str = "session_no") -> DataFrame:
+    """Gaps-and-islands sessionization: append a 1-based per-key session
+    number that increments whenever the gap to the previous event (by
+    ``ts_col``, ties broken by ``id_col``) exceeds ``gap_seconds``.
+
+    One keyed shuffle total: the lag flag and the running sum share the
+    same (key) partitioning and (ts, id) sort, and any downstream
+    per-(key, session) rollup reuses the same clustering — the plan lint
+    pins exactly one Exchange for the contract query built on this.
+    Deterministic: ties on ts are ordered by id, so numbering is
+    reproducible across engines and partitionings. State per key during
+    the scan is one previous-timestamp — linear at any scale, the batch
+    counterpart of the streaming session window's watermark state."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev_us = F.lag(F.unix_micros(ts_col)).over(w)
+    gap_us = int(gap_seconds) * 1_000_000
+    flagged = df.withColumn(
+        "__new_session",
+        F.when(prev_us.isNull()
+               | ((F.unix_micros(ts_col) - prev_us) > gap_us), 1)
+         .otherwise(0))
+    wrun = (Window.partitionBy(key_col).orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (flagged.withColumn(out_col, F.sum("__new_session").over(wrun))
+                   .drop("__new_session"))

@@ -518,3 +518,35 @@ def test_blocked_fingerprint_code_point_parity(spark, texts):
     finally:
         con.close()
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+                min_size=1, max_size=40))
+def test_sessionize_matches_brute_force(spark, events):
+    """The one-shuffle lag-flag + running-sum sessionization must agree
+    with a direct python sessionizer on random per-key event times —
+    including exact-gap boundaries (gap == threshold stays in-session;
+    only STRICTLY greater opens a new one) and duplicate timestamps
+    (ties ordered by id). Uses a 600s gap over a 0..7200s domain so
+    hypothesis constantly crosses the threshold both ways."""
+    from data_engineering_projects_spark.operators.windows import sessionize
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [(i, k, base + dt.timedelta(seconds=s))
+            for i, (k, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id bigint, k bigint, ts timestamp")
+    got = {r["event_id"]: r["session_no"]
+           for r in sessionize(df, "k", "ts", "event_id",
+                               gap_seconds=600).collect()}
+
+    want = {}
+    for k in {k for _, k, _ in rows}:
+        seq = sorted(((ts, i) for i, kk, ts in rows if kk == k))
+        sess, prev = 0, None
+        for ts, i in seq:
+            if prev is None or (ts - prev).total_seconds() > 600:
+                sess += 1
+            want[i] = sess
+            prev = ts
+    assert got == want
