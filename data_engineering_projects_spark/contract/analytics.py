@@ -81,15 +81,18 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer/date arithmetic — exact cross-engine. One shuffle for the
     (user, day) distinct; the row_number window and both aggregations all
     reuse the user_id partitioning, so the whole query is a single
-    exchange at scale."""
+    exchange at scale. The island key is
+    ``operators.windows.islands`` (property-tested against a brute-force
+    consecutive-run grouper in tests/test_properties.py) over the
+    day-number sequence."""
+    from ..operators.windows import islands
+
     ev = load_table(spark, sf_dir, "events")
     d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy("day"))
-    r = d.select(
-        "user_id", "day",
-        (F.datediff("day", F.lit("1970-01-01").cast("date")) - rn)
-        .alias("island"))
+    r = islands(
+        d.withColumn("day_no",
+                     F.datediff("day", F.lit("1970-01-01").cast("date"))),
+        "user_id", "day_no").select("user_id", "day", "island")
     s = (r.groupBy("user_id", "island")
          .agg(F.count(F.lit(1)).alias("len"),
               F.min("day").alias("start_day"),

@@ -70,3 +70,20 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, id_col: str,
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (flagged.withColumn(out_col, F.sum("__new_session").over(wrun))
                    .drop("__new_session"))
+
+
+def islands(df: DataFrame, key_col: str, seq_col: str,
+            out_col: str = "island") -> DataFrame:
+    """Gaps-and-islands grouping key over an integer sequence: rows of
+    the same key whose ``seq_col`` values are CONSECUTIVE integers get
+    the same ``out_col`` value (the classic ``seq - row_number`` trick —
+    consecutive values share a constant difference; any gap shifts it).
+    ``seq_col`` must be unique per key (dedupe first), or equal values
+    would break consecutiveness detection.
+
+    Pure integer arithmetic — exact on any engine. One keyed shuffle for
+    the row_number sort; downstream per-(key, island) rollups reuse the
+    same partitioning. Callers with date sequences convert via datediff
+    against a fixed epoch (see the ``events_streaks`` contract query)."""
+    rn = F.row_number().over(Window.partitionBy(key_col).orderBy(seq_col))
+    return df.withColumn(out_col, F.col(seq_col) - rn)

@@ -550,3 +550,38 @@ def test_sessionize_matches_brute_force(spark, events):
             want[i] = sess
             prev = ts
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)),
+                min_size=1, max_size=40))
+def test_islands_matches_brute_force(spark, pairs):
+    """The ``seq - row_number`` island key must group exactly the
+    maximal runs of consecutive integers per key — compared against a
+    direct python run-grouper on random (key, seq) sets (deduped, the
+    operator's documented precondition). Rows are in the same island iff
+    the brute-force run id matches."""
+    from data_engineering_projects_spark.operators.windows import islands
+
+    rows = sorted({(k, s) for k, s in pairs})
+    df = spark.createDataFrame(rows, "k bigint, seq bigint")
+    got = {(r["k"], r["seq"]): r["island"]
+           for r in islands(df, "k", "seq").collect()}
+
+    want = {}
+    for k in {k for k, _ in rows}:
+        seq = sorted(s for kk, s in rows if kk == k)
+        run = 0
+        for i, s in enumerate(seq):
+            if i == 0 or s != seq[i - 1] + 1:
+                run += 1
+            want[(k, s)] = run
+    # same-island iff same brute-force run: compare the induced partitions
+    by_run = {}
+    for (k, s), r in want.items():
+        by_run.setdefault((k, r), set()).add((k, s))
+    by_island = {}
+    for (k, s), isl in got.items():
+        by_island.setdefault((k, isl), set()).add((k, s))
+    assert sorted(by_run.values(), key=sorted) == \
+        sorted(by_island.values(), key=sorted)
