@@ -1408,7 +1408,7 @@ sims AS (
          {cosine_sql('p.q_emb', 'c.embedding')} AS sim
   FROM probes p JOIN embeddings c
     ON c.label = p.label AND c.vec_id <> p.query_id)
-SELECT nprobe, query_id, neighbor_id, ROUND(sim, 6) AS sim, knn_rank FROM (
+SELECT nprobe, query_id, neighbor_id, ROUND(sim, 6) + 0.0 AS sim, knn_rank FROM (
   SELECT nprobe, query_id, neighbor_id, sim,
          RANK() OVER (PARTITION BY nprobe, query_id
                       ORDER BY ROUND(sim, 9) DESC, neighbor_id) AS knn_rank
@@ -1459,10 +1459,14 @@ def embed_knn_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("sim")))
     w = Window.partitionBy("nprobe", "query_id").orderBy(
         F.desc(F.round("sim", 9)), "neighbor_id")
+    # + 0.0 after the ROUND on BOTH engines (see _final_topk): a cosine a
+    # few ulps below zero rounds to -0.0 in DuckDB but +0.0 in Spark's
+    # BigDecimal ROUND; IEEE -0.0 + 0.0 = +0.0 normalizes both sides.
     return (sims.withColumn("knn_rank", F.rank().over(w))
             .filter(F.col("knn_rank") <= 3)
             .select("nprobe", "query_id", "neighbor_id",
-                    F.round("sim", 6).alias("sim"), "knn_rank"))
+                    (F.round("sim", 6) + F.lit(0.0)).alias("sim"),
+                    "knn_rank"))
 
 
 #: LSH banding configurations for the (bands x rows) sweep: all use the
