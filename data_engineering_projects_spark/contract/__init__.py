@@ -26,16 +26,29 @@ Conventions that make the order-insensitive value-hash comparison stable
   an exact 7-dp rational Spark's shortest-repr HALF_UP and DuckDB's
   float-multiply ROUND disagree by one 6dp ulp (round-3 sf0.1 sweep).
   Emit the raw double: identical division on both engines is bit-exact.
-- the precise rule (round-6): ROUND is a TOLERANCE where the two
-  engines' doubles are NOT guaranteed bit-identical (libm transcendental
-  paths like ln in TF-IDF, multi-pass moments like STDDEV in z-scores —
-  there, 6dp rounding absorbs sub-6dp ulp drift) and pure RISK where
-  they ARE bit-identical (integer-count quotients, interpolated
-  percentiles and their ratios, identical-operand products) — emit those
-  raw. The aws_/azure_/bq_/snowflake_ parity family keeps its 6dp
-  rounding as part of the reference's reported-metric format; its
-  operands are verified bit-exact so the residual boundary exposure is
-  nil on the seed-stable driver data.
+- the precise rule (round-6, sharpened round-8): ROUND is a TOLERANCE
+  where the two engines' doubles are NOT guaranteed bit-identical (libm
+  transcendental paths like ln in TF-IDF, multi-pass moments like
+  STDDEV in z-scores — there, 6dp rounding absorbs sub-6dp ulp drift)
+  and pure RISK where they ARE bit-identical (integer-count quotients,
+  interpolated percentiles over DISTINCT brackets and their ratios,
+  identical-operand products) — emit those raw. The aws_/azure_/bq_/
+  snowflake_ parity family keeps its 6dp rounding as part of the
+  reference's reported-metric format; its operands are verified
+  bit-exact so the residual boundary exposure is nil on the seed-stable
+  driver data.
+- percentile caveat (round-8, tests/test_round7.py): Spark
+  ``percentile`` and DuckDB ``quantile_cont`` share the interpolation
+  arithmetic ``(ceil(pos)-pos)*lo + (pos-floor(pos))*hi`` — bit-exact
+  on distinct brackets — but on a DUPLICATE bracket ``[x, x]`` Spark
+  short-circuits to the stored ``x`` while DuckDB's arithmetic drifts
+  one ulp at non-dyadic fractions. Raw percentiles over DISCRETE data
+  (integer counts, 2dp money) therefore render their oracle via
+  ``functions.determinism.spark_pct_sql`` (Spark-identical CASE
+  short-circuit in SQL); continuous full-precision inputs are audited
+  duplicate-bracket-free on the driver data
+  (tools/percentile_bracket_audit.py); p=0.5-only queries are safe
+  even on duplicates (dyadic frac: ``0.5*x + 0.5*x`` is exact).
 """
 
 from __future__ import annotations

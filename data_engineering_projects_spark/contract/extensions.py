@@ -27,7 +27,7 @@ from ..functions.text import (
     fingerprint, FINGERPRINT_SQL, LANG_MARKERS,
 )
 from ..functions.determinism import (DEC_AVG_SQL, FOLD_SUM_SQL, dec_avg,
-                                     fold_sum)
+                                     fold_sum, spark_pct_sql)
 from ..functions.vectors import cosine_similarity, cosine_sql
 from ..operators.clustering import (
     connected_components_star, min_label_sql, propagate_min_labels,
@@ -1174,10 +1174,13 @@ def docs_sample_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("hash_rank") <= 5))
 
 
-@query("docs_length_band", """
-WITH q AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
-                  quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
-           FROM documents)
+@query("docs_length_band", f"""
+WITH a AS (SELECT list_sort(list(CAST(n_chars AS DOUBLE))) AS l,
+                  COUNT(*) AS c
+           FROM documents),
+q AS (SELECT {spark_pct_sql('l', 'c', 0.05)} AS lo,
+             {spark_pct_sql('l', 'c', 0.95)} AS hi
+      FROM a)
 SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_total,
        CAST(SUM(CASE WHEN d.n_chars >= q.lo AND d.n_chars <= q.hi
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
@@ -1188,7 +1191,14 @@ def docs_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus): exact P5/P95 of n_chars as a 1-row relation, broadcast
     cross join against the corpus (the 3-sigma outlier shape — a
     single-row nested loop, no shuffle of the fact side), keep-rate
-    audited per source."""
+    audited per source.
+
+    The oracle renders the percentile via ``spark_pct_sql``, NOT
+    ``quantile_cont`` (round-8): n_chars is integer-valued, so the
+    interpolation bracket can land on DUPLICATE values, where DuckDB's
+    arithmetic drifts one ulp from Spark's stored-value short-circuit —
+    and a 1-ulp threshold drift below an integer would flip n_kept for
+    every row sitting exactly at the band edge."""
     d = widen(load_table(spark, sf_dir, "documents"))
     q = d.agg(F.percentile(F.col("n_chars").cast("double"), 0.05).alias("lo"),
               F.percentile(F.col("n_chars").cast("double"), 0.95).alias("hi"))

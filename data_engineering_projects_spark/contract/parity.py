@@ -21,7 +21,7 @@ from ..functions.temporal import period_bucket, PERIOD_BUCKET_SQL
 from ..functions import metrics as M
 from ..functions.determinism import (
     DEC_AVG_SQL, DEC_SUM_SQL, FOLD_AVG_SQL, FOLD_SUM_SQL,
-    dec_avg, dec_sum, fold_avg, fold_sum)
+    dec_avg, dec_sum, fold_avg, fold_sum, spark_pct_sql)
 from ..operators.topk import topk_limit, topk_keys_semijoin
 from ..operators.windows import lag_diff, pct_change
 from ..operators.pivot import pivot_agg
@@ -55,14 +55,28 @@ def _tti_per_key(spark, sf_dir, keys: list):
     )
 
 
+# Sorted non-NULL value list — feeds spark_pct_sql so every oracle
+# percentile mirrors Spark's duplicate-bracket short-circuit (round-8:
+# events.value is 2dp-QUANTIZED, so duplicate interpolation brackets do
+# occur — tools/percentile_bracket_audit.py found them at sf0.01 — and
+# quantile_cont's arithmetic can drift one ulp from Spark there).
+_VLIST = "list_sort(list(value) FILTER (WHERE value IS NOT NULL))"
+
+
+def _pct(p: float) -> str:
+    return spark_pct_sql("l", "len(l)", p)
+
+
 _TTI_CTE = f"""
 WITH ev AS ({EV}),
 d AS (SELECT user_id, value, {PERIOD} AS period FROM ev),
+ql AS (SELECT user_id, period, {_VLIST} AS l
+       FROM d WHERE period IS NOT NULL GROUP BY user_id, period),
 q AS (SELECT user_id, period,
-             quantile_cont(value, 0.50) AS tt50,
-             quantile_cont(value, 0.85) AS tt85,
-             quantile_cont(value, 0.95) AS tt95
-      FROM d WHERE period IS NOT NULL GROUP BY user_id, period)
+             {_pct(0.5)} AS tt50,
+             {_pct(0.85)} AS tt85,
+             {_pct(0.95)} AS tt95
+      FROM ql)
 """
 
 
@@ -101,11 +115,12 @@ def aws_pti_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("azure_severity_top10", f"""
 WITH ev AS ({EV}),
+ql AS (SELECT user_id, {_VLIST} AS l FROM ev GROUP BY user_id),
 q AS (SELECT user_id,
-             quantile_cont(value, 0.50) AS tt50,
-             quantile_cont(value, 0.85) AS tt85,
-             quantile_cont(value, 0.95) AS tt95
-      FROM ev GROUP BY user_id)
+             {_pct(0.5)} AS tt50,
+             {_pct(0.85)} AS tt85,
+             {_pct(0.95)} AS tt95
+      FROM ql)
 SELECT user_id, ROUND(tt85 / tt50, 6) AS tti, ROUND(tt95 / tt50, 6) AS pti,
        ROUND((tt85 / tt50 + tt95 / tt50) / 2, 6) AS severity
 FROM q ORDER BY (tt85 / tt50 + tt95 / tt50) / 2 DESC, user_id LIMIT 10
@@ -129,11 +144,13 @@ def azure_severity_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("azure_variability_top10", f"""
 WITH ev AS ({EV}),
-q AS (SELECT user_id, weekofyear(ts) AS wk,
-             quantile_cont(value, 0.50) AS tt50,
-             quantile_cont(value, 0.85) AS tt85,
-             quantile_cont(value, 0.95) AS tt95
-      FROM ev GROUP BY user_id, weekofyear(ts)),
+ql AS (SELECT user_id, weekofyear(ts) AS wk, {_VLIST} AS l
+       FROM ev GROUP BY user_id, weekofyear(ts)),
+q AS (SELECT user_id, wk,
+             {_pct(0.5)} AS tt50,
+             {_pct(0.85)} AS tt85,
+             {_pct(0.95)} AS tt95
+      FROM ql),
 vr AS (SELECT user_id, (tt95 / tt50) / (tt85 / tt50) AS variability FROM q),
 v AS (SELECT user_id,
              {FOLD_AVG_SQL.format(c='variability')} AS avg_variability
@@ -166,9 +183,11 @@ def azure_variability_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BQ_TTI_CTE = f"""
 WITH ev AS ({EV}),
 d AS (SELECT user_id, CAST(ts AS DATE) AS day, value, {PERIOD} AS period FROM ev),
+ql AS (SELECT user_id, day, period, {_VLIST} AS l
+       FROM d WHERE period IS NOT NULL GROUP BY user_id, day, period),
 q AS (SELECT user_id, day, period,
-             quantile_cont(value, 0.85) / quantile_cont(value, 0.50) AS tti
-      FROM d WHERE period IS NOT NULL GROUP BY user_id, day, period)
+             {_pct(0.85)} / {_pct(0.5)} AS tti
+      FROM ql)
 """
 
 
@@ -231,9 +250,11 @@ def bq_exceedance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOTTR_CTE = f"""
 WITH ev AS ({EV}),
 d AS (SELECT user_id, value, {PERIOD} AS period FROM ev),
+ql AS (SELECT user_id, period, {_VLIST} AS l
+       FROM d WHERE period IS NOT NULL GROUP BY user_id, period),
 q AS (SELECT user_id, period,
-             quantile_cont(value, 0.80) / quantile_cont(value, 0.50) AS lottr
-      FROM d WHERE period IS NOT NULL GROUP BY user_id, period)
+             {_pct(0.8)} / {_pct(0.5)} AS lottr
+      FROM ql)
 """
 
 
@@ -265,9 +286,12 @@ def snowflake_lottr_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("snowflake_lottr_trend", f"""
 WITH ev AS ({EV}),
 d AS (SELECT user_id, CAST(ts AS DATE) AS day, value, {PERIOD} AS period FROM ev),
-q AS (SELECT day, user_id, user_id % 64 AS bucket,
-             quantile_cont(value, 0.80) / quantile_cont(value, 0.50) AS lottr
-      FROM d WHERE period IS NOT NULL GROUP BY day, user_id, user_id % 64, period),
+ql AS (SELECT day, user_id, user_id % 64 AS bucket, {_VLIST} AS l
+       FROM d WHERE period IS NOT NULL
+       GROUP BY day, user_id, user_id % 64, period),
+q AS (SELECT day, user_id, bucket,
+             {_pct(0.8)} / {_pct(0.5)} AS lottr
+      FROM ql),
 b AS (SELECT day, bucket, {FOLD_SUM_SQL.format(c='lottr')} AS bsum,
              COUNT(lottr) AS bn
       FROM q WHERE lottr IS NOT NULL GROUP BY day, bucket),
@@ -384,11 +408,14 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("count_order")))
 
 
-@query("star_pricing_p95_approx", """
-SELECT l_returnflag,
-       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95_exact,
-       COUNT(*) AS n, TRUE AS within_bound
-FROM lineitem GROUP BY l_returnflag
+@query("star_pricing_p95_approx", f"""
+WITH a AS (SELECT l_returnflag,
+                  list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS l,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, {spark_pct_sql('l', 'n', 0.95)} AS p95_exact,
+       n, TRUE AS within_bound
+FROM a
 """)
 def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented 100 TB opt-in for A1-A3 (SURVEY §4.3): GK-sketch
@@ -427,12 +454,14 @@ def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("n_at_or_below")))
     lo_rank = F.floor((0.95 - eps) * F.col("n"))
     hi_rank = F.ceil((0.95 + eps) * F.col("n"))
-    # p95_exact is emitted UNROUNDED (round-5 ADVICE): Spark `percentile`
-    # and DuckDB `quantile_cont` interpolate identically (lower +
-    # (upper-lower)*frac over the same IEEE operands — verified bit-exact
-    # at sf0.01/sf0.1 across p in {.5,.8,.85,.95}), while ROUND of an
+    # p95_exact is emitted UNROUNDED (round-5 ADVICE): ROUND of an
     # interpolated double is the known half-boundary hash flake
-    # (functions/determinism.py).
+    # (functions/determinism.py). Both engines share the interpolation
+    # arithmetic (ceil(pos)-pos)*lo + (pos-floor(pos))*hi on DISTINCT
+    # brackets, but 2dp money duplicates, and on a duplicate bracket
+    # Spark short-circuits to the stored value while quantile_cont's
+    # arithmetic can drift one ulp (tests/test_round7.py) — so the
+    # oracle renders the percentile via spark_pct_sql (round-8).
     return agg.select(
         "l_returnflag", F.col("exact").alias("p95_exact"), "n",
         ((F.col("n_below") + 1 <= hi_rank)

@@ -1141,11 +1141,14 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast — one row per type) and takes the median of absolute
     deviations. Both medians are emitted UNROUNDED (round-5 ADVICE:
     ROUND of an interpolated double is the half-boundary hash-flake
-    class): Spark `percentile` and DuckDB `quantile_cont` interpolate
-    identically over identical IEEE operands, so the raw doubles are
-    bit-exact cross-engine; |x − m| is one IEEE subtract of identical
-    operands. At 100 TB both passes swap to approx_percentile under the
-    documented sketch-bound pattern, same plan shape."""
+    class): p=0.5 is DYADIC, so even on a duplicate interpolation
+    bracket [x, x] — where non-dyadic fractions make quantile_cont
+    drift one ulp from Spark's stored-value short-circuit
+    (tests/test_round7.py) — the arithmetic ``0.5*x + 0.5*x`` is exact
+    and both engines return the identical double; |x − m| is one IEEE
+    subtract of identical operands. At 100 TB both passes swap to
+    approx_percentile under the documented sketch-bound pattern, same
+    plan shape."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = (ev.groupBy("event_type")
            .agg(F.percentile("value", 0.5).alias("med")))

@@ -106,3 +106,40 @@ def fold_sum(col: Column) -> Column:
 
 #: DuckDB rendering of :func:`fold_sum`.
 FOLD_SUM_SQL = "SUM({c} ORDER BY {c})"
+
+
+def spark_pct_sql(lst: str, cnt: str, p: float) -> str:
+    """DuckDB SQL for an exact percentile that is bit-identical to
+    Spark ``F.percentile`` BY CONSTRUCTION — for use in oracles whose
+    raw-emitted percentiles range over DISCRETE data (integer counts,
+    2dp money), where duplicate values can land on the interpolation
+    bracket.
+
+    Round-8 finding (tests/test_round7.py pins it): Spark and DuckDB
+    share the interpolation arithmetic ``(ceil(pos)-pos)*lo +
+    (pos-floor(pos))*hi`` with ``pos = p*(n-1)`` — distinct brackets
+    are bit-identical cross-engine — but on a DUPLICATE bracket
+    ``[x, x]`` Spark short-circuits to the stored ``x`` while DuckDB's
+    ``quantile_cont`` runs the arithmetic, which drifts one ulp at
+    non-dyadic fractions (e.g. ``(1-f)*x + f*x != x`` for
+    ``x=1.19073486328125e-05, f=1/3``). Continuous full-precision
+    inputs never duplicate in practice (audited on the driver data by
+    ``tools/percentile_bracket_audit.py``), so their oracles keep
+    ``quantile_cont``; discrete inputs use this rendering instead.
+
+    ``lst`` must be a sorted DOUBLE list expression (``list_sort(
+    list(CAST(x AS DOUBLE)))``), ``cnt`` its element count. The CASE's
+    equal-value branch also covers an integral ``pos`` (lo == hi index
+    → same element). Oracle-side only: the list materializes one
+    group in memory, which is exactly what Spark's exact ``percentile``
+    buffer does too — the 100 TB path swaps both for the GK sketch."""
+    # CAST the fraction to DOUBLE: DuckDB parses a bare decimal literal
+    # as DECIMAL, making pos EXACT decimal arithmetic (1862.95) where
+    # Spark computes the double 1862.9499999999998 — the bracket frac
+    # must carry the same representation error on both engines.
+    pos = f"(CAST({p!r} AS DOUBLE) * ({cnt} - 1))"
+    lo = f"{lst}[CAST(FLOOR({pos}) AS BIGINT) + 1]"
+    hi = f"{lst}[CAST(CEIL({pos}) AS BIGINT) + 1]"
+    return (f"(CASE WHEN {lo} = {hi} THEN {lo} "
+            f"ELSE (CEIL({pos}) - {pos}) * {lo} "
+            f"+ ({pos} - FLOOR({pos})) * {hi} END)")

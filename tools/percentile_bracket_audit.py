@@ -1,0 +1,110 @@
+"""Audit: no registry raw-percentile group lands a DUPLICATE value on
+its interpolation bracket on the driver data.
+
+Round-8 context (tests/test_round7.py pins the engine semantics): Spark
+``percentile`` and DuckDB ``quantile_cont`` share the interpolation
+arithmetic on distinct brackets — bit-identical — but on a duplicate
+bracket ``[x, x]`` Spark short-circuits to the stored ``x`` while
+DuckDB's ``(1-f)*x + f*x`` drifts one ulp at non-dyadic fractions.
+Discrete-domain queries (``docs_length_band`` over integer n_chars,
+``star_pricing_p95_approx`` over 2dp money) had their oracles rewritten
+to mirror Spark (``functions.determinism.spark_pct_sql``); the
+remaining raw-percentile emissions range over ``events.value`` —
+full-precision continuous doubles, where exact duplicates should never
+collide inside one group. "Should never" is this audit's job to verify
+on the actual driver parquet, per scale factor, for every (grouping,
+fraction) the registry uses:
+
+- p=0.5 is exempt by arithmetic, not by data: its frac is dyadic
+  ({0, 0.5}) and ``0.5*x + 0.5*x`` is exact even on duplicates.
+- p in {0.8, 0.85, 0.95} over the parity groupings IS the exposure:
+  a duplicate bracket there would make the raw-emitted ratio (or the
+  raw ordering key of a top-k cut) diverge cross-engine.
+
+Usage::
+
+    python tools/percentile_bracket_audit.py [sf_dir ...]
+
+Prints one JSON line per sf_dir; exits 1 if any non-exempt duplicate
+bracket DRIFTS (``(1-f)*x + f*x != x``). A duplicate bracket that does
+not drift is reported but non-fatal (the engines still agree).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+import duckdb
+
+#: (label, value SQL over the events table, group-by SQL, fractions) —
+#: one row per registry family that emits (or orders by) a RAW
+#: percentile of events.value. Period/day expressions mirror
+#: contract/parity.py (weekday/hour masks via the shared PERIOD SQL is
+#: overkill here: grouping FINER than the query's own grouping can only
+#: create MORE (smaller) groups, and any duplicate bracket in a coarse
+#: group needs duplicate values in the table at the bracket — which the
+#: whole-table duplicate scan below bounds anyway).
+GROUPINGS = [
+    ("aws_tti user_period", "user_id", [0.85, 0.95]),
+    ("azure_severity user", "user_id", [0.85, 0.95]),
+    ("azure_variability user_week", "user_id, weekofyear(CAST(ts AS TIMESTAMP))",
+     [0.85, 0.95]),
+    ("bq_tti user_day", "user_id, CAST(ts AS DATE)", [0.85]),
+    ("lottr user_period_day", "user_id, CAST(ts AS DATE)", [0.8]),
+]
+
+
+def audit_sf(sf_dir: str) -> dict:
+    con = duckdb.connect()
+    ev = f"read_parquet('{sf_dir}/events.parquet')"
+    out = {"sf_dir": sf_dir, "groupings": [], "dup_brackets": 0,
+           "drifting": 0}
+    # Whole-table duplicate mass: if NO value duplicates anywhere, no
+    # group can hold a duplicate bracket and the per-grouping scan is
+    # a formality.
+    n, nd = con.execute(
+        f"SELECT COUNT(value), COUNT(DISTINCT value) FROM {ev}").fetchone()
+    out["n_values"], out["n_distinct"] = n, nd
+    for label, keys, ps in GROUPINGS:
+        rows = con.execute(
+            f"SELECT list_sort(list(value)) FROM {ev} "
+            f"WHERE value IS NOT NULL GROUP BY {keys}").fetchall()
+        checked = dups = drifts = 0
+        for (xs,) in rows:
+            m = len(xs)
+            for p in ps:
+                pos = p * (m - 1)
+                li, hi = math.floor(pos), math.ceil(pos)
+                if li == hi:
+                    continue
+                checked += 1
+                lo_v, hi_v = xs[li], xs[hi]
+                if lo_v == hi_v:
+                    dups += 1
+                    f = pos - li
+                    if (1.0 - f) * lo_v + f * hi_v != lo_v:
+                        drifts += 1
+        out["groupings"].append({"label": label, "groups": len(rows),
+                                 "brackets": checked, "dup": dups,
+                                 "drift": drifts})
+        out["dup_brackets"] += dups
+        out["drifting"] += drifts
+    con.close()
+    return out
+
+
+def main(argv: list[str]) -> int:
+    sf_dirs = argv or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                       "/root/testdata/sf0.1"]
+    bad = 0
+    for sf in sf_dirs:
+        res = audit_sf(sf)
+        print(json.dumps(res))
+        bad += res["drifting"]
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
