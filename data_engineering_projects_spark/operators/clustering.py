@@ -79,7 +79,8 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
 
 def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                               dst: str = "doc_b",
-                              max_iters: int = 30) -> DataFrame:
+                              max_iters: int = 30,
+                              stats: dict | None = None) -> DataFrame:
     """Exact connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC 2014) — the log-diameter upgrade over
@@ -100,7 +101,13 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     Both are one groupBy + one equi-join on the (shrinking) edge list;
     localCheckpoint truncates lineage per round. Convergence = the edge
     multiset stopped changing (count + exact anti-join emptiness, checked
-    on the materialized round output — no recompute)."""
+    on the materialized round output — no recompute).
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
+    contraction rounds executed until convergence. Used by
+    ``tools/stress_scale.py`` to demonstrate that data growth scales
+    per-round cost, not round count (rounds track log(diameter), which
+    replicated data does not change)."""
     e = (pairs.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .filter(F.col("u") != F.col("v"))
@@ -139,9 +146,11 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     # for the convergence test would spend one whole Spark job per round
     # on a number we computed last round
     prev_n = e.count()
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         new_e = small_star(large_star(e)).localCheckpoint()
         n = new_e.count()
+        if stats is not None:
+            stats["rounds"] = rounds
         if n == prev_n and new_e.exceptAll(e).take(1) == []:
             e = new_e
             break

@@ -273,13 +273,30 @@ def test_star_contraction_matches_union_find(spark, edges):
 
 def test_star_contraction_long_chain(spark):
     """A 60-node path (diameter 59) — far beyond propagate_min_labels'
-    default budget — must fully label in O(log d) star rounds."""
+    default budget — must fully label in O(log d) star rounds; the
+    ``stats`` out-param must report a round count in the log-diameter
+    regime (not the linear-propagation one), and REPLICATING the chain
+    (a second, disjoint id-shifted copy — the stress_scale.py fixture
+    shape) must not increase rounds: data growth scales per-round work,
+    never round count."""
     from data_engineering_projects_spark.operators.clustering import (
         connected_components_star)
     chain = [(i, i + 1) for i in range(60)]
+    stats: dict = {}
     pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
-    got = {r.id: r.label for r in connected_components_star(pairs).collect()}
+    got = {r.id: r.label
+           for r in connected_components_star(pairs, stats=stats).collect()}
     assert got == {i: 0 for i in range(61)}
+    assert 1 <= stats["rounds"] <= 12, stats  # log2(59)~6 plus slack
+
+    two = chain + [(i + 1000, i + 1001) for i in range(60)]
+    stats2: dict = {}
+    pairs2 = spark.createDataFrame(two, "doc_a bigint, doc_b bigint")
+    got2 = {r.id: r.label
+            for r in connected_components_star(pairs2, stats=stats2).collect()}
+    assert got2 == {**{i: 0 for i in range(61)},
+                    **{i + 1000: 1000 for i in range(61)}}
+    assert stats2["rounds"] <= stats["rounds"] + 1, (stats, stats2)
 
 
 @settings(max_examples=8, deadline=None)
