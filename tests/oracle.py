@@ -150,6 +150,79 @@ def _assert_temporal_kinds(spark_schema, duck_description) -> None:
         f"these; align the declared types (CAST ... AS DATE/TIMESTAMP)")
 
 
+def _assert_scalar_kinds(spark_schema, duck_describe_rows) -> None:
+    """Pin scalar column KINDS between the declared Spark schema and the
+    materialized oracle's ``DESCRIBE`` output (round-8, extending the
+    round-7 temporal check to every scalar kind).
+
+    The DB-API cursor description collapses every numeric to 'NUMBER',
+    so this check reads ``DESCRIBE __oracle`` instead — real DuckDB
+    types. Why it matters: both value canons can equate across kind
+    mismatches (python canon: int 500 == int 500 even if one side
+    declared DOUBLE but all values landed integral... the pandas canon
+    catches that one only when coercion differs, and NEITHER canon sees
+    a 0-row result). Declared-kind pinning fails loudly regardless of
+    data. HUGEINT is deliberately its OWN kind (never bucketed with
+    int): the repo rule is that oracle integer SUMs must
+    ``CAST(... AS BIGINT)``, and this turns a forgotten cast into a
+    schema error even on queries whose driver rows happen to hash
+    green at the tested SF."""
+    from pyspark.sql.types import (BooleanType, ByteType, DateType,
+                                   DecimalType, DoubleType, FloatType,
+                                   IntegerType, LongType, ShortType,
+                                   StringType, TimestampNTZType,
+                                   TimestampType)
+
+    def spark_kind(dtype) -> str:
+        if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+            return "int"
+        if isinstance(dtype, (FloatType, DoubleType)):
+            return "float"
+        if isinstance(dtype, DecimalType):
+            return "decimal"
+        if isinstance(dtype, BooleanType):
+            return "bool"
+        if isinstance(dtype, StringType):
+            return "string"
+        if isinstance(dtype, DateType):
+            return "date"
+        if isinstance(dtype, (TimestampType, TimestampNTZType)):
+            return "timestamp"
+        return ""
+
+    def duck_kind(t: str) -> str:
+        t = t.upper()
+        if t == "HUGEINT":
+            return "hugeint"
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                 "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if t in ("FLOAT", "DOUBLE"):
+            return "float"
+        if t.startswith("DECIMAL"):
+            return "decimal"
+        if t == "BOOLEAN":
+            return "bool"
+        if t == "VARCHAR":
+            return "string"
+        if t == "DATE":
+            return "date"
+        if t.startswith("TIMESTAMP"):
+            return "timestamp"
+        return ""
+
+    skinds = {f.name: spark_kind(f.dataType) for f in spark_schema.fields}
+    dkinds = {r[0]: duck_kind(r[1]) for r in duck_describe_rows}
+    bad = [(c, skinds[c], dkinds[c]) for c in skinds
+           if c in dkinds and (skinds[c] or dkinds[c])
+           and skinds[c] != dkinds[c]]
+    assert not bad, (
+        f"scalar column-kind mismatch (col, spark, oracle): {bad} — "
+        f"align the declared types (HUGEINT: CAST the oracle SUM to "
+        f"BIGINT; DECIMAL vs DOUBLE: add the explicit CAST the "
+        f"determinism builders use)")
+
+
 def assert_driver_hashable(spark_df) -> None:
     """The driver canonicalizes results via pandas ``sort_values``, which
     dies on unhashable cells (``TypeError: unhashable type:
@@ -186,9 +259,13 @@ def compare(spark_df, sql: str, sf_dir: str, pandas_canon: bool = True) -> None:
             # the fetchdf coercion the pandas mode exists to see is
             # unchanged) instead of re-executing the query
             con.execute(f"CREATE TEMP TABLE __oracle AS {sql}")
+            # DESCRIBE first: duckdb's execute() returns the connection
+            # itself, so a later statement would clobber a pending cursor
+            described = con.execute("DESCRIBE __oracle").fetchall()
             cur = con.execute("SELECT * FROM __oracle")
             want_cols = [d[0] for d in cur.description]
             _assert_temporal_kinds(spark_df.schema, cur.description)
+            _assert_scalar_kinds(spark_df.schema, described)
             want_rows = cur.fetchall()
             want_pdf = (con.execute("SELECT * FROM __oracle").fetchdf()
                         if pandas_canon else None)

@@ -77,14 +77,17 @@ def test_array_columns_rejected_before_driver_can_crash(spark):
     assert_driver_hashable(df.select("id"))
 
 
-def test_pandas_canon_catches_hugeint_coercion(spark, sf_dir):
+def test_hugeint_oracle_is_caught_at_declared_schema(spark, sf_dir):
     """The round-5 red row class (``docs_select_token_budget``): DuckDB's
     integer SUM returns HUGEINT (int128), which ``fetchdf`` coerces to
     float64, while Spark emits int64 — equal values, different driver
-    canon. The python-object mode (``fetchall`` → python int) is
-    structurally blind to this; the driver-style pandas mode must catch
-    it, and the repo rule CAST(SUM(...) AS BIGINT)
-    (``contract/__init__.py``) must make it pass both modes."""
+    canon. History of the guard: the driver-style pandas canon catches
+    it at the VALUE level (round 5); since round 8 the declared-schema
+    kind check (``_assert_scalar_kinds``, which keys HUGEINT as its own
+    kind) catches it EARLIER — in both canon modes, and even on a 0-row
+    result, where neither value canon has any evidence. The repo rule
+    CAST(SUM(...) AS BIGINT) (``contract/__init__.py``) must pass both
+    modes."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
@@ -95,11 +98,16 @@ def test_pandas_canon_catches_hugeint_coercion(spark, sf_dir):
     cast = ("SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source")
 
-    # python-object canon alone passes the uncast oracle — the blind spot
-    compare(df, uncast, sf_dir, pandas_canon=False)
-    # driver-style pandas canon must flag the HUGEINT→float64 coercion
-    with _pytest.raises(AssertionError, match="pandas-canon"):
+    # the declared-kind check flags the uncast oracle in EVERY mode —
+    # including the python-object mode that was value-blind to it
+    with _pytest.raises(AssertionError, match="scalar column-kind"):
+        compare(df, uncast, sf_dir, pandas_canon=False)
+    with _pytest.raises(AssertionError, match="scalar column-kind"):
         compare(df, uncast, sf_dir)
+    # ... and on an empty result, where no value canon could ever see it
+    with _pytest.raises(AssertionError, match="scalar column-kind"):
+        compare(df.filter(F.lit(False)), uncast + " HAVING COUNT(*) < 0",
+                sf_dir)
     # the repo's CAST rule makes both modes green
     compare(df, cast, sf_dir)
 

@@ -229,6 +229,45 @@ def test_percentile_negative_zero_bracket_agrees(spark):
         f"(spark={got!r} duckdb={want!r}): re-audit")
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_ELEM, min_size=1, max_size=40),
+                min_size=1, max_size=3),
+       st.sampled_from([0.05, 0.5, 0.8, 0.85, 0.95, 1.0 / 3.0]))
+def test_spark_pct_sql_matches_spark_percentile(spark, groups, p):
+    """The oracle-side rendering ``spark_pct_sql`` must equal Spark
+    ``F.percentile`` bit-exactly on ARBITRARY inputs — including the
+    duplicate brackets where quantile_cont diverges (that is the whole
+    reason the helper exists). Renders the same grouped shape the
+    rewritten contract oracles use: list_sort(list(..)) + len(l),
+    evaluated by DuckDB, repr-compared per group against Spark (zero
+    sign unpinned only for mixed-sign-zero groups, as above)."""
+    from data_engineering_projects_spark.functions.determinism import (
+        spark_pct_sql)
+
+    rows = [(gid, x) for gid, xs in enumerate(groups) for x in xs]
+    got = {
+        r["gid"]: r["q"]
+        for r in spark.createDataFrame(rows, "gid int, x double")
+        .groupBy("gid")
+        .agg(F.percentile("x", F.lit(p)).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("t", pd.DataFrame(rows, columns=["gid", "x"]))
+        expr = spark_pct_sql("l", "len(l)", p)
+        want = dict(con.execute(
+            f"SELECT gid, {expr} FROM (SELECT gid, "
+            f"list_sort(list(x) FILTER (WHERE x IS NOT NULL)) AS l "
+            f"FROM t GROUP BY gid)").fetchall())
+    finally:
+        con.close()
+    assert got.keys() == want.keys()
+    for gid, xs in enumerate(groups):
+        assert _pin(got[gid], xs) == _pin(want[gid], xs), (
+            f"gid={gid} p={p}: spark={got[gid]!r} "
+            f"spark_pct_sql={want[gid]!r} (inputs {xs!r})")
+
+
 def test_percentile_bracket_audit_clean_at_test_sf(sf_dir):
     """Run the registry percentile-bracket audit at the test SF: no
     raw-percentile grouping over events.value may hold a DRIFTING
