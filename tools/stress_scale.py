@@ -1,8 +1,10 @@
-"""Iterative-query stress at 2x-5x the largest driver fixture
-(round-6 VERDICT item #7).
+"""Scale stress at 2x-5x the largest driver fixture.
 
-Claim under test: the three slowest batch queries are iterative, and
-their cost at scale grows in PER-ROUND work (rows), not in ROUND COUNT:
+Two families, selected with ``--family``:
+
+``iterative`` (round-6 VERDICT item #7) — the three slowest batch
+queries are iterative, and their cost at scale grows in PER-ROUND work
+(rows), not in ROUND COUNT:
 
 - ``dedup_clusters_chain`` — star-contraction connected components over
   planted 64-id chains; rounds track log(diameter). Replicating the
@@ -12,20 +14,45 @@ their cost at scale grows in PER-ROUND work (rows), not in ROUND COUNT:
 - ``events_pagerank_types`` — 5 fixed PageRank rounds over the
   schema-bounded event-type node set.
 
+``candidates`` (round 8) — the dedup candidate generators and the IVF
+search must scale LINEARLY in corpus size, never quadratically:
+
+- ``dedup_minhash_lsh`` / ``dedup_ngram_jaccard`` — copy k of the
+  documents table gets every letter rotated by k within [a-z] (and
+  every digit within [0-9]) via ``translate``. A per-copy character
+  bijection maps tokens, and therefore 3-word shingles, bijectively:
+  each copy's shingle universe is disjoint from every other copy's
+  (up to 60-bit hash chance), intra-copy shingle document frequencies
+  are IDENTICAL to the base table's, and cross-copy verified Jaccard
+  is ~0 (only punctuation-only tokens survive rotation unchanged). So
+  the workload is exactly k independent instances of the 1x workload:
+  candidate pairs — and therefore output rows — must come out at
+  exactly k * rows(1x), and wall time ~linear in k. A super-linear
+  rows ratio would prove cross-copy candidate leakage; a super-linear
+  time ratio would expose an all-pairs step hiding behind the sf0.1
+  constants.
+- ``embed_knn_ivf`` — vectors copied verbatim under shifted vec_ids;
+  the 10 probe queries stay fixed (``vec_id < 10``), each label cell
+  grows k×, so per-query candidate cost (and wall time) must grow ~k —
+  the IVF cost model (cell size), never corpus pair count.
+
 Fixture: NOT driver data — a clearly-marked local derivation under
 /tmp. Each scaled table unions k id-shifted copies of the sf0.1
 parquet (ids offset by k * 10^9 per copy; the offset is a multiple of
 64, so the planted chain structure of ``dedup_clusters_chain`` repeats
-verbatim per copy and component diameters are unchanged). Timestamps,
-text, and vectors are copied as-is: the queries under test key on ids/
-types/dims, and value distributions are irrelevant to their plan shape.
+verbatim per copy and component diameters are unchanged). Outside the
+candidates-family documents rotation, timestamps, text, and vectors
+are copied as-is: the iterative queries key on ids/types/dims, and
+value distributions are irrelevant to their plan shape.
 
 Usage::
 
-    python tools/stress_scale.py [--mults 1,2,5] [--base /root/testdata/sf0.1]
+    python tools/stress_scale.py [--family iterative|candidates]
+                                 [--mults 1,2,5] [--base /root/testdata/sf0.1]
 
-Prints one JSON line per (multiplier, query) with wall seconds and, for
-the star-contraction query, the converged round count; plus a summary
+Prints one JSON line per (multiplier, query) with wall seconds, output
+rows, and, for the star-contraction query, the converged round count;
+plus a summary
 line. Results are recorded in SCALING.md.
 """
 
@@ -43,15 +70,35 @@ sys.path.insert(0, REPO)
 
 _OFFSET = 1_000_000_000  # multiple of 64: chain layout repeats per copy
 
-QUERIES = ["dedup_clusters_chain", "embed_top_eigenvector",
-           "events_pagerank_types"]
+FAMILIES = {
+    "iterative": ["dedup_clusters_chain", "embed_top_eigenvector",
+                  "events_pagerank_types"],
+    "candidates": ["dedup_minhash_lsh", "dedup_ngram_jaccard",
+                   "embed_knn_ivf"],
+}
 
 #: table -> id column to shift per copy (other tables are symlinked).
 SCALED = {"documents": "doc_id", "embeddings": "vec_id",
           "events": "event_id"}
 
+_LC = "abcdefghijklmnopqrstuvwxyz"
+_DG = "0123456789"
 
-def build_fixture(base: str, mult: int, out_dir: str) -> None:
+
+def _rotate_sql(col: str, i: int) -> str:
+    """Per-copy character bijection: letters rotate by i within [a-z]
+    (uppercase folds into the same rotated lowercase — normalize_text
+    lowercases anyway), digits rotate within [0-9]. Disjoint shingle
+    universes per copy; identical intra-copy shingle structure."""
+    lc = _LC[i % 26:] + _LC[:i % 26]
+    dg = _DG[i % 10:] + _DG[:i % 10]
+    src = _LC + _LC.upper() + _DG
+    dst = lc + lc + dg
+    return f"translate({col}, '{src}', '{dst}')"
+
+
+def build_fixture(base: str, mult: int, out_dir: str,
+                  rotate_docs: bool = False) -> None:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
@@ -65,9 +112,12 @@ def build_fixture(base: str, mult: int, out_dir: str) -> None:
             continue
         if name in SCALED and mult > 1:
             idc = SCALED[name]
-            copies = " UNION ALL ".join(
-                f"SELECT * REPLACE ({idc} + {i * _OFFSET} AS {idc}) "
-                f"FROM src" for i in range(mult))
+            def copy_sql(i: int) -> str:
+                repl = f"{idc} + {i * _OFFSET} AS {idc}"
+                if rotate_docs and name == "documents":
+                    repl += f", {_rotate_sql('text', i)} AS text"
+                return f"SELECT * REPLACE ({repl}) FROM src"
+            copies = " UNION ALL ".join(copy_sql(i) for i in range(mult))
             con.execute(f"CREATE OR REPLACE VIEW src AS "
                         f"SELECT * FROM '{base}/{t}'")
             con.execute(f"COPY ({copies}) TO '{dst}' (FORMAT PARQUET)")
@@ -78,10 +128,12 @@ def build_fixture(base: str, mult: int, out_dir: str) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="iterative", choices=sorted(FAMILIES))
     ap.add_argument("--mults", default="1,2,5")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--master", default="local[16]")
     args = ap.parse_args()
+    queries = FAMILIES[args.family]
 
     from data_engineering_projects_spark import contract
     from data_engineering_projects_spark.session import get_session
@@ -105,35 +157,54 @@ def main() -> int:
     ext.connected_components_star = ccs_with_stats
 
     # warm JIT/codegen on each query once (bench.py's discipline) so the
-    # mult=1 baseline is not inflated by first-run compilation.
-    for name in QUERIES:
+    # mult=1 baseline is not inflated by first-run compilation. The
+    # candidates family additionally warms per fixture (below) so every
+    # mult's timed run sees the same steady state: shared shingle sets
+    # persisted, codegen hot — the timed part is the candidate join +
+    # verify, the step whose scaling is under test.
+    for name in queries:
         contract.QUERIES[name](spark, args.base) \
             .write.format("noop").mode("overwrite").save()
 
+    count_rows = args.family == "candidates"
     results = []
     for mult in [int(m) for m in args.mults.split(",")]:
+        base_tag = os.path.basename(os.path.normpath(args.base))
         sf_dir = (args.base if mult == 1
-                  else f"/tmp/depa_stress_x{mult}")
+                  else f"/tmp/depa_stress_{base_tag}_{args.family}_x{mult}")
         if mult > 1:
-            build_fixture(args.base, mult, sf_dir)
-        for name in QUERIES:
+            build_fixture(args.base, mult, sf_dir,
+                          rotate_docs=count_rows)
+        for name in queries:
             rounds_box.clear()
+            if count_rows:
+                contract.QUERIES[name](spark, sf_dir) \
+                    .write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
-            contract.QUERIES[name](spark, sf_dir) \
-                .write.format("noop").mode("overwrite").save()
+            df = contract.QUERIES[name](spark, sf_dir)
+            rows = None
+            if count_rows:
+                rows = df.count()
+            else:
+                df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             rec = {"mult": mult, "query": name, "sec": round(dt, 2)}
+            if rows is not None:
+                rec["rows"] = rows
             if rounds_box:
                 rec["cc_rounds"] = rounds_box["rounds"]
             results.append(rec)
             print(json.dumps(rec), flush=True)
     summary = {}
-    for name in QUERIES:
+    for name in queries:
         rs = {r["mult"]: r for r in results if r["query"] == name}
-        base_t = rs[min(rs)]["sec"]
+        base = rs[min(rs)]
         summary[name] = {
             m: {"sec": rs[m]["sec"],
-                "time_ratio": round(rs[m]["sec"] / base_t, 2),
+                "time_ratio": round(rs[m]["sec"] / base["sec"], 2),
+                **({"rows": rs[m]["rows"],
+                    "rows_ratio": round(rs[m]["rows"] / max(base["rows"], 1), 2)}
+                   if "rows" in rs[m] else {}),
                 **({"cc_rounds": rs[m]["cc_rounds"]}
                    if "cc_rounds" in rs[m] else {})}
             for m in sorted(rs)}
