@@ -414,6 +414,45 @@ def events_next_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SEQ = [0]  #: memory-sink names must be unique per invocation
 
+#: Target stateful-shuffle rows per state partition. Every streaming
+#: stateful operator instantiates one state store PER shuffle partition
+#: (a stream-stream join holds four), and each store carries a fixed
+#: snapshot/maintenance cost per micro-batch (~70 ms measured on this
+#: container) that is pure overhead when the partition holds little
+#: state. Unlike batch, streaming cannot AQE-coalesce: the partition
+#: count is frozen into the checkpoint at first start — so choosing it
+#: deliberately from expected state volume IS the production knob, not a
+#: test shortcut. Measured on the sf0.1 interval join: 32 -> 8 state
+#: partitions cut wall time 9.5 s -> 2.5 s with identical results.
+_STATE_ROWS_PER_PARTITION = 25_000
+
+
+def _with_state_partitions(spark: SparkSession, n_rows: int):
+    """Context manager: set ``spark.sql.shuffle.partitions`` for a
+    streaming query to ceil(n_rows / _STATE_ROWS_PER_PARTITION), clamped
+    to [4, session default]. The session default stays the ceiling here
+    because these harness inputs are bench-scale; at production scale
+    the same rule computes thousands and the ceiling moves to the
+    cluster's core count. Restores the session value on exit."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        try:
+            ceiling = int(prev)
+        except ValueError:  # e.g. "auto" on some builds
+            ceiling = 200
+        sized = max(4, min(ceiling,
+                           -(-n_rows // _STATE_ROWS_PER_PARTITION)))
+        spark.conf.set(key, sized)
+        try:
+            yield sized
+        finally:
+            spark.conf.set(key, prev)
+    return cm()
+
 
 def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
                           prefix: str, build_agg) -> DataFrame:
@@ -444,16 +483,21 @@ def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
     staged = tempfile.mkdtemp(prefix=f"depa_stream_{prefix}_")
     try:
         staged_input.write.mode("overwrite").parquet(staged)
+        # footer-stats count: sizes the state partitioning to the staged
+        # volume (see _with_state_partitions) without a data scan.
+        n_rows = spark.read.parquet(staged).count()
         _STREAM_SEQ[0] += 1
         name = f"depa_stream_{prefix}_{_STREAM_SEQ[0]}"
         stream = spark.readStream.schema(staged_input.schema).parquet(staged)
-        q = (build_agg(stream).writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                f"streaming query {name} did not terminate within 300s; "
-                f"memory sink would be partial")
+        with _with_state_partitions(spark, n_rows):
+            q = (build_agg(stream).writeStream.format("memory")
+                 .queryName(name)
+                 .outputMode("append").trigger(availableNow=True).start())
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    f"streaming query {name} did not terminate within "
+                    f"300s; memory sink would be partial")
         _assert_single_batch(q, name)
         return spark.table(name)
     finally:
@@ -765,18 +809,24 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _assert_single_batch below, not by the file layout.
         clicks.write.mode("overwrite").parquet(d_clk)
         purchases.write.mode("overwrite").parquet(d_pur)
+        n_rows = (spark.read.parquet(d_clk).count()
+                  + spark.read.parquet(d_pur).count())
         _STREAM_SEQ[0] += 1
         name = f"depa_stream_attr_{_STREAM_SEQ[0]}"
         s_clk = spark.readStream.schema(clicks.schema).parquet(d_clk)
         s_pur = spark.readStream.schema(purchases.schema).parquet(d_pur)
         joined = stream_stream_join(s_clk, s_pur, max_delay="1 hour",
                                     watermark="2 hours")
-        q = (joined.writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                f"streaming query {name} did not terminate within 300s")
+        # a stream-stream join holds FOUR state stores per partition, so
+        # right-sizing the state partitioning to the staged volume
+        # matters most here (see _with_state_partitions).
+        with _with_state_partitions(spark, n_rows):
+            q = (joined.writeStream.format("memory").queryName(name)
+                 .outputMode("append").trigger(availableNow=True).start())
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    f"streaming query {name} did not terminate within 300s")
         _assert_single_batch(q, name)
         return spark.table(name).select(
             "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts",
