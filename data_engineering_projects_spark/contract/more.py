@@ -200,27 +200,22 @@ def dbt_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality.py expectations layer (dbt-test analog, SURVEY §5.1)
     as a driver-visible report: four checks from the reference's test
     suite shapes — not_null, unique, relationships (FK), accepted_range —
-    each a single distributed aggregate; only the per-check violation
-    COUNT reaches the driver, which then assembles the (tiny) report
-    relation. The oracle recomputes every count in plain SQL, so the
-    check implementations themselves are differential-tested, not just
+    composed by ``quality.report`` into ONE lazy union-of-aggregates
+    plan: the four checks run as four branches of a single job
+    (scheduled concurrently — dbt submits one warehouse query per test,
+    serially) and only four counter rows ever reach the driver. The
+    oracle recomputes every count in plain SQL, so the check
+    implementations themselves are differential-tested, not just
     exercised. (The raising gate variant is ``quality.run_checks`` —
     same Check objects, used by the model runner.)"""
-    from ..quality import (accepted_range, not_null, relationships, unique)
+    from ..quality import (accepted_range, not_null, relationships, report,
+                           unique)
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     checks = [not_null("value"), unique("event_id"),
               relationships("user_id", cust, "c_custkey"),
               accepted_range("value", 0, 500)]
-    names = ["not_null(value)", "unique(event_id)",
-             "relationships(user_id->c_custkey)",
-             "accepted_range(value in [0,500])"]
-    rows = []
-    for name, c in zip(names, checks):
-        r = c.run(ev, sample_rows=0)
-        rows.append((name, r.severity.value, r.violations))
-    return spark.createDataFrame(
-        rows, "check_name string, severity string, violations long")
+    return report(ev, checks)
 
 
 @query("dbt_model_dag_mart", f"""

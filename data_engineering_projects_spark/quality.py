@@ -136,18 +136,65 @@ def outlier_3sigma(column: str, threshold: int = 0,
     return Check(f"outlier_3sigma({column})", severity, threshold, violations)
 
 
+def report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """All checks as ONE lazy plan: each check's violation relation
+    collapses to a 1-row COUNT aggregate, unioned into a
+    (check_name, severity, violations) report relation.
+
+    This is the 100 TB shape dbt lacks: dbt submits one warehouse query
+    per test, serially paying a full scan + scheduler round-trip each;
+    here N checks are N branches of a single job, scheduled
+    concurrently across the cluster, and only N counter rows ever reach
+    the driver. Each branch keeps its own distributed shape (anti-join
+    for FK, groupBy for unique, scan-filter for the rest)."""
+    import functools
+
+    parts = [
+        c._violations(df)
+         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+         .select(F.lit(c.name).alias("check_name"),
+                 F.lit(c.severity.value).alias("severity"),
+                 "violations")
+        for c in checks]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
 def run_checks(df: DataFrame, checks: list[Check],
                fail_fast: bool = False) -> list[CheckResult]:
     """Evaluate checks; raise QualityError if any ERROR-severity check
     fails (WARN failures are reported but don't raise) — mirroring dbt
-    severity semantics (5_dbt/READ.md:322, :330)."""
-    results: list[CheckResult] = []
+    severity semantics (5_dbt/READ.md:322, :330).
+
+    ``fail_fast=False`` (the default) runs every check in one job via
+    ``report`` and fetches diagnostic samples only for the checks that
+    failed — 1 + #failures jobs instead of 2N. ``fail_fast=True`` keeps
+    the serial per-check path so the first ERROR failure stops work
+    before later checks execute at all."""
+    if fail_fast:
+        results: list[CheckResult] = []
+        for c in checks:
+            r = c.run(df)
+            results.append(r)
+            if not r.passed and r.severity == Severity.ERROR:
+                raise QualityError([r])
+        failures = [r for r in results
+                    if not r.passed and r.severity == Severity.ERROR]
+        if failures:
+            raise QualityError(failures)
+        return results
+
+    # bucket by name (not a flat dict): two checks may share a name
+    counts: dict[str, list[int]] = {}
+    for row in report(df, checks).collect():
+        counts.setdefault(row["check_name"], []).append(row["violations"])
+    results = []
     for c in checks:
-        r = c.run(df)
-        results.append(r)
-        if fail_fast and not r.passed and r.severity == Severity.ERROR:
-            raise QualityError([r])
-    failures = [r for r in results if not r.passed and r.severity == Severity.ERROR]
+        n = counts[c.name].pop(0)
+        sample = c._violations(df).limit(5).collect() if n else []
+        results.append(CheckResult(c.name, c.severity, n, c.threshold,
+                                   sample))
+    failures = [r for r in results
+                if not r.passed and r.severity == Severity.ERROR]
     if failures:
         raise QualityError(failures)
     return results
