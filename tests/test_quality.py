@@ -74,3 +74,36 @@ def test_run_checks_severity(dirty, locations):
     # ERROR failures raise QualityError
     with pytest.raises(Q.QualityError):
         Q.run_checks(dirty, [Q.not_null("location_id")])
+
+
+def test_report_single_plan(dirty, locations):
+    """report() = one lazy union plan whose rows carry every check's
+    violation count; collecting it equals running each check alone."""
+    checks = [Q.not_null("location_id"), Q.unique("location_id"),
+              Q.relationships("location_id", locations, "location_id"),
+              Q.accepted_range("speed", 0, 120)]
+    rep = Q.report(dirty, checks)
+    assert rep.columns == ["check_name", "severity", "violations"]
+    got = {r["check_name"]: r["violations"] for r in rep.collect()}
+    for c in checks:
+        assert got[c.name] == c.run(dirty, sample_rows=0).violations
+
+
+def test_run_checks_duplicate_names(dirty):
+    """Two checks sharing a name must each keep a count (the report
+    bucket is a list, not a flat dict)."""
+    checks = [Q.singular("same", F.col("cnt").isNull(), threshold=5),
+              Q.singular("same", F.col("speed") < 0, threshold=5)]
+    res = Q.run_checks(dirty, checks)
+    assert sorted(r.violations for r in res) == [1, 1]
+    assert all(r.passed for r in res)
+
+
+def test_run_checks_samples_only_failures(dirty):
+    """The single-pass path fetches samples only for failing checks."""
+    res = Q.run_checks(
+        dirty, [Q.accepted_range("speed", 0, 120, Q.Severity.WARN),
+                Q.singular("clean", F.col("id") < 0, threshold=0)])
+    failing, clean = res
+    assert not failing.passed and len(failing.sample) > 0
+    assert clean.passed and clean.sample == []

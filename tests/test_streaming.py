@@ -296,3 +296,35 @@ def test_hourly_congestion_stream_matches_batch_model(spark, tmp_path):
         | (F.abs(F.col("g.speed_ratio") - F.col("w.speed_ratio")) > 1e-9)
     ).count()
     assert mismatch == 0
+
+
+def test_state_partition_sizing(spark):
+    """The state-partition rule: ceil(rows/25k) clamped to [4, session
+    default]; session conf restored on exit (even on error)."""
+    from data_engineering_projects_spark.contract.sessions import (
+        _with_state_partitions)
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _with_state_partitions(spark, 1) as sized:
+        assert sized == 4  # floor
+        assert spark.conf.get(key) == "4"
+    assert spark.conf.get(key) == before
+    with _with_state_partitions(spark, 10**9) as sized:
+        assert sized == int(before)  # ceiling = session default
+    with _with_state_partitions(spark, 150_000) as sized:
+        assert sized == max(4, min(int(before), 6))  # ceil(150k/25k)
+    with pytest.raises(RuntimeError):
+        with _with_state_partitions(spark, 1):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+
+def test_streaming_query_restores_shuffle_partitions(spark):
+    """End-to-end: a streaming contract query must leave the session's
+    shuffle partitioning untouched for subsequent batch queries."""
+    from data_engineering_projects_spark import contract
+    contract.load_all()
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    contract.QUERIES["streaming_hourly_rollup"](spark, SF).count()
+    assert spark.conf.get(key) == before
