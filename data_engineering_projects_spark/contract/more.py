@@ -202,8 +202,8 @@ def dbt_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite shapes — not_null, unique, relationships (FK), accepted_range —
     composed by ``quality.report`` into ONE lazy union-of-aggregates
     plan: the four checks run as four branches of a single job
-    (scheduled concurrently — dbt submits one warehouse query per test,
-    serially) and only four counter rows ever reach the driver. The
+    (scheduled concurrently — dbt submits one warehouse query per test)
+    and only four counter rows ever reach the driver. The
     oracle recomputes every count in plain SQL, so the check
     implementations themselves are differential-tested, not just
     exercised. (The raising gate variant is ``quality.run_checks`` —

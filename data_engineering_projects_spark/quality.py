@@ -142,11 +142,12 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
     (check_name, severity, violations) report relation.
 
     This is the 100 TB shape dbt lacks: dbt submits one warehouse query
-    per test, serially paying a full scan + scheduler round-trip each;
-    here N checks are N branches of a single job, scheduled
-    concurrently across the cluster, and only N counter rows ever reach
-    the driver. Each branch keeps its own distributed shape (anti-join
-    for FK, groupBy for unique, scan-filter for the rest)."""
+    per test (its --threads only overlaps those separate queries), each
+    paying its own full scan and round-trip; here N checks are N
+    branches of a single job, scheduled concurrently across the
+    cluster, and only N counter rows ever reach the driver. Each branch
+    keeps its own distributed shape (anti-join for FK, groupBy for
+    unique, scan-filter for the rest)."""
     import functools
 
     parts = [
