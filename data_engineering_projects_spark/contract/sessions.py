@@ -428,30 +428,16 @@ _STATE_ROWS_PER_PARTITION = 25_000
 
 
 def _with_state_partitions(spark: SparkSession, n_rows: int):
-    """Context manager: set ``spark.sql.shuffle.partitions`` for a
-    streaming query to ceil(n_rows / _STATE_ROWS_PER_PARTITION), clamped
-    to [4, session default]. The session default stays the ceiling here
-    because these harness inputs are bench-scale; at production scale
-    the same rule computes thousands and the ceiling moves to the
-    cluster's core count. Restores the session value on exit."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def cm():
-        key = "spark.sql.shuffle.partitions"
-        prev = spark.conf.get(key)
-        try:
-            ceiling = int(prev)
-        except ValueError:  # e.g. "auto" on some builds
-            ceiling = 200
-        sized = max(4, min(ceiling,
-                           -(-n_rows // _STATE_ROWS_PER_PARTITION)))
-        spark.conf.set(key, sized)
-        try:
-            yield sized
-        finally:
-            spark.conf.set(key, prev)
-    return cm()
+    """Streaming alias of ``session.sized_shuffle_partitions``: set
+    ``spark.sql.shuffle.partitions`` to ceil(n_rows / 25k) clamped to
+    [4, session default] for the duration of a streaming query start,
+    restoring the session value on exit. See the shared helper for the
+    full rationale (state partition count is frozen into the checkpoint
+    at first start; the ceiling moves to cluster cores at production
+    scale)."""
+    from ..session import sized_shuffle_partitions
+    return sized_shuffle_partitions(spark, n_rows,
+                                    _STATE_ROWS_PER_PARTITION)
 
 
 def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,

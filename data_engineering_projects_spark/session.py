@@ -32,6 +32,52 @@ _RUNTIME_CONFS = {
 }
 
 
+#: Target shuffle rows per partition when a loop/job sizes its own
+#: shuffles (sized_shuffle_partitions). 25k rows keeps partitions far
+#: under executor memory at any realistic row width while bounding the
+#: per-partition fixed cost (task launch, state-store snapshot) paid on
+#: near-empty partitions.
+SHUFFLE_ROWS_PER_PARTITION = 25_000
+
+
+def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
+                             rows_per_partition: int =
+                             SHUFFLE_ROWS_PER_PARTITION):
+    """Context manager: set ``spark.sql.shuffle.partitions`` to
+    ceil(n_rows / rows_per_partition) clamped to [4, session default],
+    restoring the session value on exit.
+
+    For which work AQE cannot do this already: (a) streaming stateful
+    operators — the partition count is frozen into the checkpoint at
+    first start, one state store per partition, so it must be chosen
+    deliberately up front; (b) eager materializations inside iterative
+    loops (localCheckpoint per round) — AQE coalesces each job's
+    reducers, but map-side task counts and per-stage planning still
+    scale with the configured number, and a loop over a small shrinking
+    relation pays that fixed cost every round. The session default
+    stays the ceiling because harness inputs are bench-scale; at
+    production scale the same rule computes thousands and the ceiling
+    moves to cluster cores — the rule sizes work per partition, it does
+    not cap parallelism."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        try:
+            ceiling = int(prev)
+        except ValueError:  # e.g. "auto" on some builds
+            ceiling = 200
+        sized = max(4, min(ceiling, -(-n_rows // rows_per_partition)))
+        spark.conf.set(key, sized)
+        try:
+            yield sized
+        finally:
+            spark.conf.set(key, prev)
+    return cm()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-created session (e.g. the
     driver's); all keys used here are runtime-settable."""
