@@ -150,6 +150,9 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
     unique, scan-filter for the rest)."""
     import functools
 
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, severity string, violations long")
     parts = [
         c._violations(df)
          .agg(F.count(F.lit(1)).cast("long").alias("violations"))

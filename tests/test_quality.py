@@ -107,3 +107,10 @@ def test_run_checks_samples_only_failures(dirty):
     failing, clean = res
     assert not failing.passed and len(failing.sample) > 0
     assert clean.passed and clean.sample == []
+
+
+def test_report_empty_checks(dirty):
+    rep = Q.report(dirty, [])
+    assert rep.columns == ["check_name", "severity", "violations"]
+    assert rep.count() == 0
+    assert Q.run_checks(dirty, []) == []
