@@ -54,36 +54,31 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     twice, doubling the plan) and materializes the ``__improved`` flag so
     the convergence probe is a scan of the small cached label table, not
     a recompute of the join."""
-    from ..session import sized_shuffle_partitions
-
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
     # materialize once: the loop would otherwise replant the (possibly
-    # expensive) candidate-generation subtree into every iteration
+    # expensive) candidate-generation subtree into every iteration.
+    # Deliberately NOT wrapped in session.sized_shuffle_partitions: an
+    # A/B at sf0.1 showed AQE's runtime coalescing already absorbs the
+    # small-relation shuffle overhead in batch loops (sizing measured
+    # neutral-to-slower); the explicit rule only pays off for streaming
+    # state stores, whose partition count AQE cannot touch.
     edges = edges.localCheckpoint()
-    # size the per-round shuffles to the (fixed) edge count: AQE
-    # coalesces each round's reducers, but the loop's eager
-    # materializations re-pay map-task and planning cost at the
-    # configured width every round (see sized_shuffle_partitions)
-    spark = pairs.sparkSession
-    with sized_shuffle_partitions(spark, edges.count()):
-        labels = (edges.select(F.col("u").alias("id")).distinct()
-                  .withColumn("label", F.col("id")))
-        for _ in range(iters):
-            nb = (edges.join(labels.withColumnRenamed("id", "vid"),
-                             F.col("v") == F.col("vid"))
-                  .groupBy(F.col("u").alias("id"))
-                  .agg(F.min("label").alias("nb_min")))
-            upd = (labels.join(nb, "id")
-                   .select("id",
-                           F.least(F.col("label"),
-                                   F.col("nb_min")).alias("label"),
-                           (F.col("nb_min") < F.col("label"))
-                           .alias("__improved"))
-                   .localCheckpoint())
-            labels = upd.drop("__improved")
-            if upd.filter(F.col("__improved")).isEmpty():
-                break
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(iters):
+        nb = (edges.join(labels.withColumnRenamed("id", "vid"),
+                         F.col("v") == F.col("vid"))
+              .groupBy(F.col("u").alias("id"))
+              .agg(F.min("label").alias("nb_min")))
+        upd = (labels.join(nb, "id")
+               .select("id",
+                       F.least(F.col("label"), F.col("nb_min")).alias("label"),
+                       (F.col("nb_min") < F.col("label")).alias("__improved"))
+               .localCheckpoint())
+        labels = upd.drop("__improved")
+        if upd.filter(F.col("__improved")).isEmpty():
+            break
     return labels
 
 
@@ -156,22 +151,15 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     # for the convergence test would spend one whole Spark job per round
     # on a number we computed last round
     prev_n = e.count()
-    from ..session import sized_shuffle_partitions
-
-    # per-round shuffles sized to the initial edge count (the set only
-    # shrinks under contraction): AQE coalesces reducers per job, but
-    # every eager round re-pays map-task + planning cost at the
-    # configured width (see sized_shuffle_partitions)
-    with sized_shuffle_partitions(pairs.sparkSession, prev_n):
-        for rounds in range(1, max_iters + 1):
-            new_e = small_star(large_star(e)).localCheckpoint()
-            n = new_e.count()
-            if stats is not None:
-                stats["rounds"] = rounds
-            if n == prev_n and new_e.exceptAll(e).take(1) == []:
-                e = new_e
-                break
-            e, prev_n = new_e, n
+    for rounds in range(1, max_iters + 1):
+        new_e = small_star(large_star(e)).localCheckpoint()
+        n = new_e.count()
+        if stats is not None:
+            stats["rounds"] = rounds
+        if n == prev_n and new_e.exceptAll(e).take(1) == []:
+            e = new_e
+            break
+        e, prev_n = new_e, n
     # converged: every edge is (node, component_min); roots self-label
     return (e.select(F.col("u").alias("id"), F.col("v").alias("label"))
             .union(e.select(F.col("v").alias("id"), F.col("v").alias("label")))

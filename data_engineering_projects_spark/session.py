@@ -47,18 +47,17 @@ def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
     ceil(n_rows / rows_per_partition) clamped to [4, session default],
     restoring the session value on exit.
 
-    For which work AQE cannot do this already: (a) streaming stateful
-    operators — the partition count is frozen into the checkpoint at
-    first start, one state store per partition, so it must be chosen
-    deliberately up front; (b) eager materializations inside iterative
-    loops (localCheckpoint per round) — AQE coalesces each job's
-    reducers, but map-side task counts and per-stage planning still
-    scale with the configured number, and a loop over a small shrinking
-    relation pays that fixed cost every round. The session default
+    Exists for the work AQE cannot re-plan: streaming stateful
+    operators, whose partition count is frozen into the checkpoint at
+    first start with one state store per partition — it must be chosen
+    deliberately up front. Batch plans should NOT use this: an A/B on
+    the iterative CC loops at sf0.1 measured sizing neutral-to-slower
+    there, because AQE's runtime coalescing already absorbs
+    small-relation shuffle overhead in batch jobs. The session default
     stays the ceiling because harness inputs are bench-scale; at
     production scale the same rule computes thousands and the ceiling
-    moves to cluster cores — the rule sizes work per partition, it does
-    not cap parallelism."""
+    moves to cluster cores — the rule sizes state per partition, it
+    does not cap parallelism."""
     import contextlib
 
     @contextlib.contextmanager

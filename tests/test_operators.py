@@ -176,18 +176,3 @@ def test_max_concurrency_rejects_day_plus_durations(spark):
     # sub-day durations still build a plan
     out = max_concurrency_by_day(df, duration="INTERVAL 23 HOUR")
     assert out.columns == ["day", "max_concurrent"]
-
-
-def test_cc_loops_restore_shuffle_partitions(spark):
-    """Both CC operators size their loop shuffles (sized_shuffle_
-    partitions) and must restore the session conf afterwards."""
-    from data_engineering_projects_spark.operators.clustering import (
-        connected_components_star, propagate_min_labels)
-    key = "spark.sql.shuffle.partitions"
-    before = spark.conf.get(key)
-    pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
-    assert propagate_min_labels(pairs).count() > 0
-    assert spark.conf.get(key) == before
-    assert connected_components_star(pairs).count() > 0
-    assert spark.conf.get(key) == before
