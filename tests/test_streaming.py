@@ -328,3 +328,55 @@ def test_streaming_query_restores_shuffle_partitions(spark):
     before = spark.conf.get(key)
     contract.QUERIES["streaming_hourly_rollup"](spark, SF).count()
     assert spark.conf.get(key) == before
+
+
+def test_stream_stream_join_interval_boundaries(spark, tmp_path):
+    """The interval join's edges, pinned at microsecond resolution
+    against the equivalent batch join: both interval endpoints are
+    INCLUSIVE ([purchase_ts - 1h, purchase_ts]), 1 us outside either
+    endpoint is excluded, user equality is required, and multiple
+    in-window clicks each emit a row."""
+    import pandas as pd
+    from data_engineering_projects_spark.streaming.jobs import (
+        stream_stream_join)
+
+    t = pd.Timestamp("2024-03-01 12:00:00")
+    us = pd.Timedelta(microseconds=1)
+    h = pd.Timedelta(hours=1)
+    clicks = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": [t - h,            # exactly 1h before: inclusive -> match
+               t - h - us,       # 1 us too early -> excluded
+               t,                # equal ts: inclusive -> match
+               t + us,           # 1 us after purchase -> excluded
+               t - h,            # same ts as click 1, other user -> excluded
+               t - pd.Timedelta(minutes=30)],  # second in-window click
+        "user_id": [7, 7, 7, 7, 8, 7],
+        "value": [0.0] * 6,
+    })
+    purchases = pd.DataFrame({
+        "event_id": [100], "ts": [t], "user_id": [7], "value": [9.5]})
+    d_clk, d_pur = str(tmp_path / "clk"), str(tmp_path / "pur")
+    cdf = spark.createDataFrame(clicks)
+    pdf = spark.createDataFrame(purchases)
+    cdf.write.parquet(d_clk)
+    pdf.write.parquet(d_pur)
+    s_clk = spark.readStream.schema(cdf.schema).parquet(d_clk)
+    s_pur = spark.readStream.schema(pdf.schema).parquet(d_pur)
+    q = (stream_stream_join(s_clk, s_pur)
+         .writeStream.format("memory").queryName("ssj_bounds")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.purchase_id, r.click_id)
+           for r in spark.table("ssj_bounds").collect()}
+    assert got == {(100, 1), (100, 3), (100, 6)}
+    # batch replay of the same condition agrees exactly
+    want = {(r.purchase_id, r.click_id)
+            for r in pdf.alias("p").join(
+                cdf.alias("c"),
+                (F.col("c.user_id") == F.col("p.user_id"))
+                & (F.col("c.ts") <= F.col("p.ts"))
+                & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")))
+            .select(F.col("p.event_id").alias("purchase_id"),
+                    F.col("c.event_id").alias("click_id")).collect()}
+    assert got == want
