@@ -380,3 +380,80 @@ def test_stream_stream_join_interval_boundaries(spark, tmp_path):
             .select(F.col("p.event_id").alias("purchase_id"),
                     F.col("c.event_id").alias("click_id")).collect()}
     assert got == want
+
+
+def _stage_files(spark, base, rows_per_file, schema):
+    """Write each row-list as one single-file micro-batch with strictly
+    increasing mtimes so maxFilesPerTrigger=1 admits them in order."""
+    import os
+    import shutil
+
+    os.makedirs(base, exist_ok=True)
+    for i, rows in enumerate(rows_per_file):
+        tmp = os.path.join(base, f"_tmp{i}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = os.path.join(base, f"batch-{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+
+def test_stream_stream_join_split_admission_drops_late_rows(spark, tmp_path):
+    """The silent-row-loss mode _assert_single_batch exists to catch,
+    demonstrated: the SAME data admitted (a) in one availableNow batch
+    emits every batch-semantics pair, (b) split across micro-batches
+    (maxFilesPerTrigger=1) advances the watermark between batches, the
+    early click's buffered state is EVICTED once the watermark passes
+    its join bound, and a later late purchase finds nothing to join —
+    its pair is silently lost, not an error. (The watermark is an
+    eviction guarantee, not a strict input filter: a late row arriving
+    in the SAME batch the watermark advances can still join — the loss
+    needs the eviction to land one batch earlier, as staged here.)"""
+    from datetime import datetime, timedelta
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        stream_stream_join)
+
+    t = datetime(2024, 3, 1)
+    hr = timedelta(hours=1)
+    mi = timedelta(minutes=1)
+    sch = "event_id long, ts timestamp, user_id long, value double"
+    # all user 7; join window 1h, watermark 2h
+    c1 = (1, t, 7, 0.0)                 # early click
+    c2 = (2, t + 10 * hr, 7, 0.0)       # advances click-side max ts
+    pm = (100, t + 10 * hr, 7, 1.0)     # marker purchase, matches c2
+    pf = (101, t + 10 * hr + mi, 7, 2.0)  # filler, matches c2 too
+    # admitted in the batch whose END evicts c1 (watermark reached
+    # t+8h at the previous batch's close)
+    p_fill = (103, t + 10 * hr + 2 * mi, 7, 2.5)
+    # arrives AFTER eviction: matches c1 in batch semantics only
+    p_late = (102, t + 45 * mi, 7, 3.0)
+    clk, pur = str(tmp_path / "clk"), str(tmp_path / "pur")
+    _stage_files(spark, clk, [[c1], [c2]], sch)
+    _stage_files(spark, pur, [[pm], [pf], [p_fill], [p_late]], sch)
+
+    def run(name, max_files):
+        reader = spark.readStream.schema(
+            spark.read.parquet(clk).schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        s_clk = reader.parquet(clk)
+        reader = spark.readStream.schema(spark.read.parquet(pur).schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        s_pur = reader.parquet(pur)
+        q = (stream_stream_join(s_clk, s_pur)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return {(r.purchase_id, r.click_id)
+                for r in spark.table(name).collect()}
+
+    single = run("ssj_single", max_files=False)
+    split = run("ssj_split", max_files=True)
+    full = {(100, 2), (101, 2), (103, 2), (102, 1)}
+    assert single == full            # one batch: nothing evicted
+    assert split == full - {(102, 1)}  # split: c1 evicted, pair lost
