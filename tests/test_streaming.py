@@ -457,3 +457,37 @@ def test_stream_stream_join_split_admission_drops_late_rows(spark, tmp_path):
     full = {(100, 2), (101, 2), (103, 2), (102, 1)}
     assert single == full            # one batch: nothing evicted
     assert split == full - {(102, 1)}  # split: c1 evicted, pair lost
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """The session merge convention at the exact gap, pinned: two events
+    exactly 30 min apart MERGE into one session (the oracle's islands
+    replay flags a new session only on diff > gap); 30 min + 1 us
+    splits. Divergence here would silently double-count sessions."""
+    from datetime import datetime, timedelta
+
+    t = datetime(2024, 3, 1)
+    gap = timedelta(minutes=30)
+    us = timedelta(microseconds=1)
+    rows = [(t, 1, 1.0), (t + gap, 1, 1.0),          # exactly gap: merge
+            (t, 2, 1.0), (t + gap + us, 2, 1.0),     # gap + 1 us: split
+            (datetime(2024, 3, 3), 3, 0.0)]          # watermark advancer
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    d = str(tmp_path / "sess_gap")
+    df.write.parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    agg = (stream.withWatermark("ts", "30 minutes")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (agg.writeStream.format("memory").queryName("sess_gap")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.user_id, r.n_events)
+           for r in spark.table("sess_gap").collect()}
+    # user 1: one merged 2-event session; user 2: two 1-event sessions
+    assert (1, 2) in got
+    assert (2, 1) in got and (1, 1) not in got
+    n_user2 = sum(1 for r in spark.table("sess_gap").collect()
+                  if r.user_id == 2)
+    assert n_user2 == 2
