@@ -1175,11 +1175,11 @@ def docs_sample_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("docs_length_band", f"""
-WITH a AS (SELECT list_sort(list(CAST(n_chars AS DOUBLE))) AS l,
-                  COUNT(*) AS c
+WITH a AS (SELECT list_sort(list(CAST(n_chars AS DOUBLE))
+                            FILTER (WHERE n_chars IS NOT NULL)) AS l
            FROM documents),
-q AS (SELECT {spark_pct_sql('l', 'c', 0.05)} AS lo,
-             {spark_pct_sql('l', 'c', 0.95)} AS hi
+q AS (SELECT {spark_pct_sql('l', 'len(l)', 0.05)} AS lo,
+             {spark_pct_sql('l', 'len(l)', 0.95)} AS hi
       FROM a)
 SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_total,
        CAST(SUM(CASE WHEN d.n_chars >= q.lo AND d.n_chars <= q.hi

@@ -410,10 +410,11 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("star_pricing_p95_approx", f"""
 WITH a AS (SELECT l_returnflag,
-                  list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS l,
+                  list_sort(list(CAST(l_extendedprice AS DOUBLE))
+                            FILTER (WHERE l_extendedprice IS NOT NULL)) AS l,
                   COUNT(*) AS n
            FROM lineitem GROUP BY l_returnflag)
-SELECT l_returnflag, {spark_pct_sql('l', 'n', 0.95)} AS p95_exact,
+SELECT l_returnflag, {spark_pct_sql('l', 'len(l)', 0.95)} AS p95_exact,
        n, TRUE AS within_bound
 FROM a
 """)

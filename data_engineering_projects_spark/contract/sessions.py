@@ -414,30 +414,21 @@ def events_next_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SEQ = [0]  #: memory-sink names must be unique per invocation
 
-#: Target stateful-shuffle rows per state partition. Every streaming
-#: stateful operator instantiates one state store PER shuffle partition
-#: (a stream-stream join holds four), and each store carries a fixed
-#: snapshot/maintenance cost per micro-batch (~70 ms measured on this
-#: container) that is pure overhead when the partition holds little
-#: state. Unlike batch, streaming cannot AQE-coalesce: the partition
-#: count is frozen into the checkpoint at first start — so choosing it
-#: deliberately from expected state volume IS the production knob, not a
-#: test shortcut. Measured on the sf0.1 interval join: 32 -> 8 state
-#: partitions cut wall time 9.5 s -> 2.5 s with identical results.
-_STATE_ROWS_PER_PARTITION = 25_000
-
-
 def _with_state_partitions(spark: SparkSession, n_rows: int):
-    """Streaming alias of ``session.sized_shuffle_partitions``: set
-    ``spark.sql.shuffle.partitions`` to ceil(n_rows / 25k) clamped to
-    [4, session default] for the duration of a streaming query start,
-    restoring the session value on exit. See the shared helper for the
-    full rationale (state partition count is frozen into the checkpoint
-    at first start; the ceiling moves to cluster cores at production
-    scale)."""
+    """Streaming state-partition sizing via
+    ``session.sized_shuffle_partitions`` (one shared rows-per-partition
+    constant — see that module): every streaming stateful operator
+    instantiates one state store PER shuffle partition (a stream-stream
+    join holds four), each with a fixed per-micro-batch snapshot cost
+    (~70 ms measured on this container) that is pure overhead when the
+    partition holds little state, and unlike batch the count is frozen
+    into the checkpoint at first start — AQE can never coalesce it, so
+    it must be chosen deliberately from expected state volume. Measured
+    on the sf0.1 interval join: 32 -> 8 state partitions cut wall time
+    9.5 s -> 2.5 s with identical results. Restores the session value
+    on exit."""
     from ..session import sized_shuffle_partitions
-    return sized_shuffle_partitions(spark, n_rows,
-                                    _STATE_ROWS_PER_PARTITION)
+    return sized_shuffle_partitions(spark, n_rows)
 
 
 def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,

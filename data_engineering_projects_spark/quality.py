@@ -170,10 +170,11 @@ def run_checks(df: DataFrame, checks: list[Check],
     severity semantics (5_dbt/READ.md:322, :330).
 
     ``fail_fast=False`` (the default) runs every check in one job via
-    ``report`` and fetches diagnostic samples only for the checks that
-    failed — 1 + #failures jobs instead of 2N. ``fail_fast=True`` keeps
-    the serial per-check path so the first ERROR failure stops work
-    before later checks execute at all."""
+    the ``report`` plan and fetches diagnostic samples only for checks
+    with at least one violation — 1 + #checks-with-violations jobs
+    instead of 2N. ``fail_fast=True`` keeps the serial per-check path so
+    the first ERROR failure stops work before later checks execute at
+    all."""
     if fail_fast:
         results: list[CheckResult] = []
         for c in checks:
@@ -181,19 +182,25 @@ def run_checks(df: DataFrame, checks: list[Check],
             results.append(r)
             if not r.passed and r.severity == Severity.ERROR:
                 raise QualityError([r])
-        failures = [r for r in results
-                    if not r.passed and r.severity == Severity.ERROR]
-        if failures:
-            raise QualityError(failures)
         return results
 
-    # bucket by name (not a flat dict): two checks may share a name
-    counts: dict[str, list[int]] = {}
-    for row in report(df, checks).collect():
-        counts.setdefault(row["check_name"], []).append(row["violations"])
+    # the report plan, with a positional discriminator instead of the
+    # check name: collect() order across union branches is not a
+    # contract, and two checks may legitimately share a name
+    import functools
+
+    parts = [
+        c._violations(df)
+         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+         .select(F.lit(i).alias("__i"), "violations")
+        for i, c in enumerate(checks)]
+    counts: dict[int, int] = {}
+    if parts:
+        rows = functools.reduce(DataFrame.unionByName, parts).collect()
+        counts = {row["__i"]: row["violations"] for row in rows}
     results = []
-    for c in checks:
-        n = counts[c.name].pop(0)
+    for i, c in enumerate(checks):
+        n = counts[i]
         sample = c._violations(df).limit(5).collect() if n else []
         results.append(CheckResult(c.name, c.severity, n, c.threshold,
                                    sample))

@@ -68,7 +68,10 @@ def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
             ceiling = int(prev)
         except ValueError:  # e.g. "auto" on some builds
             ceiling = 200
-        sized = max(4, min(ceiling, -(-n_rows // rows_per_partition)))
+        # floor of 4, but never above a deliberately smaller session
+        # ceiling (e.g. shuffle.partitions=2 on tiny local runs)
+        sized = max(min(4, ceiling),
+                    min(ceiling, -(-n_rows // rows_per_partition)))
         spark.conf.set(key, sized)
         try:
             yield sized

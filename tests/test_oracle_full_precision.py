@@ -127,3 +127,24 @@ def test_no_registered_query_returns_complex_columns(spark, sf_dir):
         if name.startswith("streaming_"):
             continue
         assert_driver_hashable(fn(spark, sf_dir))
+
+
+def test_pandas_canon_value_layer_still_catches_hugeint(spark, sf_dir,
+                                                        monkeypatch):
+    """Layered-defense regression guard (round-8 review): the kind check
+    fires FIRST on a HUGEINT oracle, but the round-5 pandas-canon VALUE
+    guard must keep working independently — if the kind check is ever
+    relaxed (here: stubbed out), the value layer still reddens the
+    uncast oracle."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import tests.oracle as O
+
+    monkeypatch.setattr(O, "_assert_scalar_kinds", lambda *a, **k: None)
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .groupBy("source").agg(F.sum("n_chars").alias("total_chars")))
+    uncast = ("SELECT source, SUM(n_chars) AS total_chars "
+              "FROM documents GROUP BY source")
+    with _pytest.raises(AssertionError, match="pandas-canon"):
+        O.compare(df, uncast, sf_dir)

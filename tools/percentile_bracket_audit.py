@@ -34,25 +34,41 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
 import duckdb
 
-#: (label, value SQL over the events table, group-by SQL, fractions) —
-#: one row per registry family that emits (or orders by) a RAW
-#: percentile of events.value. Period/day expressions mirror
-#: contract/parity.py (weekday/hour masks via the shared PERIOD SQL is
-#: overkill here: grouping FINER than the query's own grouping can only
-#: create MORE (smaller) groups, and any duplicate bracket in a coarse
-#: group needs duplicate values in the table at the bracket — which the
-#: whole-table duplicate scan below bounds anyway).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineering_projects_spark.functions.temporal import (  # noqa: E402
+    PERIOD_BUCKET_SQL)
+
+#: The audit must replicate each query's EXACT grouping and population
+#: filter (round-8 review fix: an earlier version grouped COARSER than
+#: the queries — e.g. user_id instead of (user_id, period) — and a
+#: duplicate bracket in a fine group need not surface as one in the
+#: merged coarse group, so coarse auditing under-covers). The period
+#: expression is the same PERIOD_BUCKET_SQL the oracles render; ts is
+#: cast from TIMESTAMP_NS exactly like the EV CTE.
+_TS = "CAST(ts AS TIMESTAMP)"
+_PERIOD = PERIOD_BUCKET_SQL.format(ts=_TS)
+
+#: (label, group-by SQL, WHERE SQL or None, fractions) — one row per
+#: registry family that emits (or orders by) a RAW percentile of
+#: events.value, with the query's own grouping. bq_exceedance shares
+#: bq_tti's (user_id, day, period) grouping.
 GROUPINGS = [
-    ("aws_tti user_period", "user_id", [0.85, 0.95]),
-    ("azure_severity user", "user_id", [0.85, 0.95]),
-    ("azure_variability user_week", "user_id, weekofyear(CAST(ts AS TIMESTAMP))",
-     [0.85, 0.95]),
-    ("bq_tti user_day", "user_id, CAST(ts AS DATE)", [0.85]),
-    ("lottr user_period_day", "user_id, CAST(ts AS DATE)", [0.8]),
+    ("aws user_period", f"user_id, {_PERIOD}",
+     f"({_PERIOD}) IS NOT NULL", [0.85, 0.95]),
+    ("azure_severity user", "user_id", None, [0.85, 0.95]),
+    ("azure_variability user_week", f"user_id, weekofyear({_TS})",
+     None, [0.85, 0.95]),
+    ("bq_tti user_day_period",
+     f"user_id, CAST({_TS} AS DATE), {_PERIOD}",
+     f"({_PERIOD}) IS NOT NULL", [0.85]),
+    ("lottr user_period", f"user_id, {_PERIOD}",
+     f"({_PERIOD}) IS NOT NULL", [0.8]),
 ]
 
 
@@ -67,10 +83,11 @@ def audit_sf(sf_dir: str) -> dict:
     n, nd = con.execute(
         f"SELECT COUNT(value), COUNT(DISTINCT value) FROM {ev}").fetchone()
     out["n_values"], out["n_distinct"] = n, nd
-    for label, keys, ps in GROUPINGS:
+    for label, keys, where, ps in GROUPINGS:
+        conds = ["value IS NOT NULL"] + ([where] if where else [])
         rows = con.execute(
             f"SELECT list_sort(list(value)) FROM {ev} "
-            f"WHERE value IS NOT NULL GROUP BY {keys}").fetchall()
+            f"WHERE {' AND '.join(conds)} GROUP BY {keys}").fetchall()
         checked = dups = drifts = 0
         for (xs,) in rows:
             m = len(xs)

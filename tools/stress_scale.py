@@ -77,7 +77,7 @@ FAMILIES = {
                    "embed_knn_ivf"],
 }
 
-#: table -> id column to shift per copy (other tables are symlinked).
+#: table -> id column to shift per copy (other tables are copied as-is).
 SCALED = {"documents": "doc_id", "embeddings": "vec_id",
           "events": "event_id"}
 
@@ -120,7 +120,10 @@ def build_fixture(base: str, mult: int, out_dir: str,
             copies = " UNION ALL ".join(copy_sql(i) for i in range(mult))
             con.execute(f"CREATE OR REPLACE VIEW src AS "
                         f"SELECT * FROM '{base}/{t}'")
-            con.execute(f"COPY ({copies}) TO '{dst}' (FORMAT PARQUET)")
+            # write-then-rename: an interrupted COPY must never leave a
+            # partial parquet that a later run's exists-check reuses
+            con.execute(f"COPY ({copies}) TO '{dst}.tmp' (FORMAT PARQUET)")
+            os.replace(f"{dst}.tmp", dst)
         else:
             shutil.copyfile(os.path.join(base, t), dst)
     con.close()
