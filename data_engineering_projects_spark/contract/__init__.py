@@ -42,13 +42,15 @@ Conventions that make the order-insensitive value-hash comparison stable
   arithmetic ``(ceil(pos)-pos)*lo + (pos-floor(pos))*hi`` — bit-exact
   on distinct brackets — but on a DUPLICATE bracket ``[x, x]`` Spark
   short-circuits to the stored ``x`` while DuckDB's arithmetic drifts
-  one ulp at non-dyadic fractions. Raw percentiles over DISCRETE data
-  (integer counts, 2dp money) therefore render their oracle via
+  one ulp at non-dyadic fractions. EVERY oracle percentile at a
+  non-dyadic fraction therefore renders via
   ``functions.determinism.spark_pct_sql`` (Spark-identical CASE
-  short-circuit in SQL); continuous full-precision inputs are audited
-  duplicate-bracket-free on the driver data
-  (tools/percentile_bracket_audit.py); p=0.5-only queries are safe
-  even on duplicates (dyadic frac: ``0.5*x + 0.5*x`` is exact).
+  short-circuit in SQL) — events.value is 2dp-quantized and duplicate
+  brackets DO occur in the real groupings (none drifting; quantified
+  per SF by tools/percentile_bracket_audit.py, the monitor to re-run
+  before ever adding a raw ``quantile_cont`` oracle). p=0.5-only
+  queries keep ``quantile_cont``: safe even on duplicates (dyadic
+  frac: ``0.5*x + 0.5*x`` is exact).
 """
 
 from __future__ import annotations

@@ -122,10 +122,11 @@ def spark_pct_sql(lst: str, cnt: str, p: float) -> str:
     ``[x, x]`` Spark short-circuits to the stored ``x`` while DuckDB's
     ``quantile_cont`` runs the arithmetic, which drifts one ulp at
     non-dyadic fractions (e.g. ``(1-f)*x + f*x != x`` for
-    ``x=1.19073486328125e-05, f=1/3``). Continuous full-precision
-    inputs never duplicate in practice (audited on the driver data by
-    ``tools/percentile_bracket_audit.py``), so their oracles keep
-    ``quantile_cont``; discrete inputs use this rendering instead.
+    ``x=1.19073486328125e-05, f=1/3``). Duplicate brackets DO occur on
+    the driver data (events.value is 2dp-quantized — counted per SF by
+    ``tools/percentile_bracket_audit.py``), so every oracle percentile
+    at a non-dyadic fraction uses this rendering; only dyadic p=0.5
+    oracles keep ``quantile_cont`` (exact even on duplicates).
 
     ``lst`` must be a sorted DOUBLE list expression (``list_sort(
     list(CAST(x AS DOUBLE)))``), ``cnt`` its element count. The CASE's

@@ -136,6 +136,24 @@ def outlier_3sigma(column: str, threshold: int = 0,
     return Check(f"outlier_3sigma({column})", severity, threshold, violations)
 
 
+def _count_union(df: DataFrame, checks: list[Check],
+                 key_cols) -> DataFrame | None:
+    """The one union-of-aggregates plan both ``report`` and
+    ``run_checks`` execute: each check's violation relation collapses
+    to a 1-row COUNT, prefixed with ``key_cols(i, check)`` discriminator
+    columns. None when ``checks`` is empty."""
+    import functools
+
+    if not checks:
+        return None
+    parts = [
+        c._violations(df)
+         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+         .select(*key_cols(i, c), "violations")
+        for i, c in enumerate(checks)]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
 def report(df: DataFrame, checks: list[Check]) -> DataFrame:
     """All checks as ONE lazy plan: each check's violation relation
     collapses to a 1-row COUNT aggregate, unioned into a
@@ -148,19 +166,14 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
     cluster, and only N counter rows ever reach the driver. Each branch
     keeps its own distributed shape (anti-join for FK, groupBy for
     unique, scan-filter for the rest)."""
-    import functools
-
-    if not checks:
+    plan = _count_union(
+        df, checks,
+        lambda i, c: [F.lit(c.name).alias("check_name"),
+                      F.lit(c.severity.value).alias("severity")])
+    if plan is None:
         return df.sparkSession.createDataFrame(
             [], "check_name string, severity string, violations long")
-    parts = [
-        c._violations(df)
-         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
-         .select(F.lit(c.name).alias("check_name"),
-                 F.lit(c.severity.value).alias("severity"),
-                 "violations")
-        for c in checks]
-    return functools.reduce(DataFrame.unionByName, parts)
+    return plan
 
 
 def run_checks(df: DataFrame, checks: list[Check],
@@ -187,17 +200,11 @@ def run_checks(df: DataFrame, checks: list[Check],
     # the report plan, with a positional discriminator instead of the
     # check name: collect() order across union branches is not a
     # contract, and two checks may legitimately share a name
-    import functools
-
-    parts = [
-        c._violations(df)
-         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
-         .select(F.lit(i).alias("__i"), "violations")
-        for i, c in enumerate(checks)]
+    plan = _count_union(df, checks,
+                        lambda i, c: [F.lit(i).alias("__i")])
     counts: dict[int, int] = {}
-    if parts:
-        rows = functools.reduce(DataFrame.unionByName, parts).collect()
-        counts = {row["__i"]: row["violations"] for row in rows}
+    if plan is not None:
+        counts = {row["__i"]: row["violations"] for row in plan.collect()}
     results = []
     for i, c in enumerate(checks):
         n = counts[i]

@@ -10,6 +10,7 @@ semantics are deterministic regardless of cluster locale.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -40,6 +41,7 @@ _RUNTIME_CONFS = {
 SHUFFLE_ROWS_PER_PARTITION = 25_000
 
 
+@_contextmanager
 def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
                              rows_per_partition: int =
                              SHUFFLE_ROWS_PER_PARTITION):
@@ -58,26 +60,21 @@ def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
     production scale the same rule computes thousands and the ceiling
     moves to cluster cores — the rule sizes state per partition, it
     does not cap parallelism."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def cm():
-        key = "spark.sql.shuffle.partitions"
-        prev = spark.conf.get(key)
-        try:
-            ceiling = int(prev)
-        except ValueError:  # e.g. "auto" on some builds
-            ceiling = 200
-        # floor of 4, but never above a deliberately smaller session
-        # ceiling (e.g. shuffle.partitions=2 on tiny local runs)
-        sized = max(min(4, ceiling),
-                    min(ceiling, -(-n_rows // rows_per_partition)))
-        spark.conf.set(key, sized)
-        try:
-            yield sized
-        finally:
-            spark.conf.set(key, prev)
-    return cm()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        ceiling = int(prev)
+    except ValueError:  # e.g. "auto" on some builds
+        ceiling = 200
+    # floor of 4, but never above a deliberately smaller session
+    # ceiling (e.g. shuffle.partitions=2 on tiny local runs)
+    sized = max(min(4, ceiling),
+                min(ceiling, -(-n_rows // rows_per_partition)))
+    spark.conf.set(key, sized)
+    try:
+        yield sized
+    finally:
+        spark.conf.set(key, prev)
 
 
 def tune(spark: SparkSession) -> SparkSession:

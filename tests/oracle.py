@@ -72,8 +72,10 @@ def _canon_pd_cell(v) -> str:
 
     The midnight-timestamp→date collapse below cannot mask a genuine
     DATE-vs-TIMESTAMP schema divergence: :func:`compare` pins declared
-    column KINDS (Spark schema vs DuckDB cursor types) before any value
-    canon runs — see ``_assert_temporal_kinds`` (round-7 ADVICE)."""
+    column KINDS (Spark schema vs the oracle's DESCRIBE types) before any
+    value canon runs — see ``_assert_scalar_kinds`` (round-7 ADVICE,
+    generalized to every scalar kind in round 8; the round-7
+    cursor-description variant was removed as fully subsumed)."""
     import pandas as pd
 
     if v is None or v is pd.NaT or v is pd.NA:
@@ -105,49 +107,6 @@ def canon_pandas(pdf) -> list[tuple]:
     return sorted(
         tuple(_canon_pd_cell(t[i]) for i in order)
         for t in pdf.itertuples(index=False, name=None))
-
-
-def _assert_temporal_kinds(spark_schema, duck_description) -> None:
-    """Pin DATE vs TIMESTAMP column kinds between the two engines from
-    their DECLARED schemas (round-7 ADVICE on the midnight-collapse rule).
-
-    The pandas canon equates a tz-naive midnight timestamp with its date
-    (replaying the driver's observed behavior); the python-object canon
-    distinguishes them but only sees VALUES, so a 0-row result carries no
-    type evidence in either mode. This check reads Spark's schema and
-    DuckDB's cursor description directly, so a query whose Spark side
-    emits TIMESTAMP where the oracle emits DATE (or vice versa) fails
-    loudly even when every value lands on midnight or the result is
-    empty."""
-    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
-
-    def spark_kind(dtype) -> str:
-        if isinstance(dtype, DateType):
-            return "date"
-        if isinstance(dtype, (TimestampType, TimestampNTZType)):
-            return "timestamp"
-        return ""
-
-    def duck_kind(type_obj) -> str:
-        # THIS duckdb build's DB-API description[1] is a generic string:
-        # DATE -> 'Date', every timestamp flavor (TIMESTAMP/_NS/TZ) ->
-        # 'DATETIME' (probed against duckdb 1.0.0).
-        t = str(type_obj).upper()
-        if t == "DATE":
-            return "date"
-        if t == "DATETIME" or t.startswith("TIMESTAMP"):
-            return "timestamp"
-        return ""
-
-    skinds = {f.name: spark_kind(f.dataType) for f in spark_schema.fields}
-    dkinds = {d[0]: duck_kind(d[1]) for d in duck_description}
-    bad = [(c, skinds[c], dkinds[c]) for c in skinds
-           if c in dkinds and (skinds[c] or dkinds[c])
-           and skinds[c] != dkinds[c]]
-    assert not bad, (
-        f"temporal column-kind mismatch (col, spark, oracle): {bad} — "
-        f"the pandas canon's midnight collapse would silently equate "
-        f"these; align the declared types (CAST ... AS DATE/TIMESTAMP)")
 
 
 def _assert_scalar_kinds(spark_schema, duck_describe_rows) -> None:
@@ -264,7 +223,6 @@ def compare(spark_df, sql: str, sf_dir: str, pandas_canon: bool = True) -> None:
             described = con.execute("DESCRIBE __oracle").fetchall()
             cur = con.execute("SELECT * FROM __oracle")
             want_cols = [d[0] for d in cur.description]
-            _assert_temporal_kinds(spark_df.schema, cur.description)
             _assert_scalar_kinds(spark_df.schema, described)
             want_rows = cur.fetchall()
             want_pdf = (con.execute("SELECT * FROM __oracle").fetchdf()

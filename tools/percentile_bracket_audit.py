@@ -6,14 +6,17 @@ Round-8 context (tests/test_round7.py pins the engine semantics): Spark
 arithmetic on distinct brackets — bit-identical — but on a duplicate
 bracket ``[x, x]`` Spark short-circuits to the stored ``x`` while
 DuckDB's ``(1-f)*x + f*x`` drifts one ulp at non-dyadic fractions.
-Discrete-domain queries (``docs_length_band`` over integer n_chars,
-``star_pricing_p95_approx`` over 2dp money) had their oracles rewritten
-to mirror Spark (``functions.determinism.spark_pct_sql``); the
-remaining raw-percentile emissions range over ``events.value`` —
-full-precision continuous doubles, where exact duplicates should never
-collide inside one group. "Should never" is this audit's job to verify
-on the actual driver parquet, per scale factor, for every (grouping,
-fraction) the registry uses:
+Every registry oracle whose percentile uses a NON-dyadic fraction now
+renders via ``functions.determinism.spark_pct_sql`` (Spark-identical by
+construction — ``docs_length_band``, ``star_pricing_p95_approx``, and
+all six parity-family CTEs); the only remaining ``quantile_cont`` calls
+are p=0.5, exempt by arithmetic. So no CURRENT oracle can drift on a
+duplicate bracket. This audit is the data-side monitor behind that
+state: ``events.value`` is 2dp-quantized, duplicate brackets DO occur
+in the real query groupings (3 at sf0.01 and sf0.1 — none drifting),
+and the audit quantifies the exposure a raw ``quantile_cont`` oracle
+would reintroduce, per scale factor, for every (grouping, fraction)
+the registry uses:
 
 - p=0.5 is exempt by arithmetic, not by data: its frac is dyadic
   ({0, 0.5}) and ``0.5*x + 0.5*x`` is exact even on duplicates.
@@ -64,9 +67,12 @@ GROUPINGS = [
     ("azure_severity user", "user_id", None, [0.85, 0.95]),
     ("azure_variability user_week", f"user_id, weekofyear({_TS})",
      None, [0.85, 0.95]),
-    ("bq_tti user_day_period",
+    # bq_tti/bq_exceedance use p=.85, snowflake_lottr_trend p=.8, over
+    # the SAME (user_id, day, period) grouping (lottr_trend's bucket =
+    # user_id % 64 is derived from user_id and does not refine it)
+    ("bq_tti+lottr_trend user_day_period",
      f"user_id, CAST({_TS} AS DATE), {_PERIOD}",
-     f"({_PERIOD}) IS NOT NULL", [0.85]),
+     f"({_PERIOD}) IS NOT NULL", [0.8, 0.85]),
     ("lottr user_period", f"user_id, {_PERIOD}",
      f"({_PERIOD}) IS NOT NULL", [0.8]),
 ]
