@@ -36,6 +36,15 @@ search must scale LINEARLY in corpus size, never quadratically:
   grows k×, so per-query candidate cost (and wall time) must grow ~k —
   the IVF cost model (cell size), never corpus pair count.
 
+``streaming`` (round 8) — the watermarked rollups and the
+stream-stream join on k-fold events with SHIFTED user ids, so state
+keys (user x window/session) scale linearly with data — the state
+volume the partition-sizing rule (`contract/sessions.py::
+_with_state_partitions`) computes from. Output rows must scale ~k
+(per-user windows replicate under new users); wall time should grow
+sub-linearly while the rule raises the state partition count with the
+staged volume.
+
 Fixture: NOT driver data — a clearly-marked local derivation under
 /tmp. Each scaled table unions k id-shifted copies of the sf0.1
 parquet (ids offset by k * 10^9 per copy; the offset is a multiple of
@@ -75,6 +84,8 @@ FAMILIES = {
                   "events_pagerank_types"],
     "candidates": ["dedup_minhash_lsh", "dedup_ngram_jaccard",
                    "embed_knn_ivf"],
+    "streaming": ["streaming_hourly_rollup", "streaming_session_rollup",
+                  "streaming_click_attribution"],
 }
 
 #: table -> id column to shift per copy (other tables are copied as-is).
@@ -98,7 +109,8 @@ def _rotate_sql(col: str, i: int) -> str:
 
 
 def build_fixture(base: str, mult: int, out_dir: str,
-                  rotate_docs: bool = False) -> None:
+                  rotate_docs: bool = False,
+                  shift_users: bool = False) -> None:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
@@ -116,6 +128,11 @@ def build_fixture(base: str, mult: int, out_dir: str,
                 repl = f"{idc} + {i * _OFFSET} AS {idc}"
                 if rotate_docs and name == "documents":
                     repl += f", {_rotate_sql('text', i)} AS text"
+                if shift_users and name == "events":
+                    # each copy brings NEW users: streaming state keys
+                    # (user x window/session) scale linearly with data,
+                    # which is what the state-partition rule sizes
+                    repl += f", user_id + {i * _OFFSET} AS user_id"
                 return f"SELECT * REPLACE ({repl}) FROM src"
             copies = " UNION ALL ".join(copy_sql(i) for i in range(mult))
             con.execute(f"CREATE OR REPLACE VIEW src AS "
@@ -169,7 +186,7 @@ def main() -> int:
         contract.QUERIES[name](spark, args.base) \
             .write.format("noop").mode("overwrite").save()
 
-    count_rows = args.family == "candidates"
+    count_rows = args.family in ("candidates", "streaming")
     results = []
     for mult in [int(m) for m in args.mults.split(",")]:
         base_tag = os.path.basename(os.path.normpath(args.base))
@@ -177,7 +194,8 @@ def main() -> int:
                   else f"/tmp/depa_stress_{base_tag}_{args.family}_x{mult}")
         if mult > 1:
             build_fixture(args.base, mult, sf_dir,
-                          rotate_docs=count_rows)
+                          rotate_docs=args.family == "candidates",
+                          shift_users=args.family == "streaming")
         for name in queries:
             rounds_box.clear()
             if count_rows:
