@@ -491,3 +491,52 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
     n_user2 = sum(1 for r in spark.table("sess_gap").collect()
                   if r.user_id == 2)
     assert n_user2 == 2
+
+
+def test_state_partition_count_frozen_into_checkpoint(spark, tmp_path):
+    """The claim behind the sizing rule, pinned end-to-end: the count
+    chosen at FIRST start (under _with_state_partitions) reaches the
+    state operator, and a restart of the same checkpoint under a
+    different session conf keeps the frozen count — AQE/conf changes
+    can never re-partition existing state."""
+    from datetime import datetime
+
+    from data_engineering_projects_spark.contract.sessions import (
+        _with_state_partitions)
+
+    d = str(tmp_path)
+    rows = [(datetime(2024, 1, 1, h), h % 3, 1.0) for h in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    df.write.parquet(d + "/in")
+
+    def start(name):
+        s = spark.readStream.schema(df.schema).parquet(d + "/in")
+        agg = (s.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour"), "user_id")
+               .agg(F.count(F.lit(1)).alias("n")))
+        # file sink: the memory sink does not support checkpoint
+        # recovery, and recovery is exactly what this test exercises
+        q = (agg.writeStream.format("parquet")
+             .option("path", d + "/out")
+             .outputMode("append").option("checkpointLocation", d + "/ck")
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return q.recentProgress[-1]["stateOperators"][0]
+
+    with _with_state_partitions(spark, 10) as sized:
+        assert sized == 4
+        op1 = start("frozen1")
+    assert op1["numShufflePartitions"] == 4
+
+    # more input, restart the SAME checkpoint at a much larger conf
+    extra = [(datetime(2024, 1, 2, h), h % 3, 1.0) for h in range(5)]
+    spark.createDataFrame(extra, df.schema).write.mode("append") \
+        .parquet(d + "/in")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "32")
+    try:
+        op2 = start("frozen2")
+    finally:
+        spark.conf.set(key, prev)
+    assert op2["numShufflePartitions"] == 4  # frozen, not 32
