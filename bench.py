@@ -17,6 +17,22 @@ no-op through the identical staged-parquet/availableNow/memory-sink
 harness, best of two) so streaming_total decomposes into
 ~7 x fixed + data-proportional work.
 
+Variance control (round 9): per-round suite totals had been swinging
+98–132 s on identical-or-better code because each query was timed ONCE
+on a shared host. The harness now runs up to $SPARK_GRAFT_BENCH_REPS
+(default 3) full warmed passes over the registry and reports the
+per-query MEDIAN (min when only 2 reps fit, the single sample when 1);
+every raw sample lands in BENCH_detail.json under "spread" so a future
+regression call can see whether a number rides on one noisy rep. Passes
+after the first are skipped when the projected wall time would exceed
+$SPARK_GRAFT_BENCH_BUDGET seconds (default 1200) so the driver's
+timeout is never at risk — "reps_completed" records how many passes
+actually ran. A fixed-cost CALIBRATION query (count over the 5-row
+region table, best-of-2) is timed before the first pass and after the
+last; its drift within a run measures machine load independently of the
+engine, letting rounds normalize totals instead of guessing whether a
+swing is noise ("calibration": {"first", "last", "samples"}).
+
 Each query is fully executed through the noop sink (computes every row,
 writes nothing) so timings measure the real plan, not a count shortcut.
 """
@@ -70,17 +86,48 @@ def main() -> None:
             .mode("overwrite").save()
         return time.perf_counter() - t0
 
-    for name in sorted(contract.QUERIES):
-        timings[name] = round(run_once(name), 3)
-    # shared-host noise (CPU steal, GC pauses) can inflate a single run
-    # severalfold; re-run anything that looks slow and keep the better of
-    # the two so the recorded number reflects the engine, not the tenant.
-    # (threshold 1.0s: at sf0.1 nearly every query's true runtime is under
-    # a second, so anything above it is worth a confirmation run; total
-    # bench stays well inside the driver's timeout.)
-    for name, t in list(timings.items()):
-        if t > 1.0:
-            timings[name] = round(min(t, run_once(name)), 3)
+    # Fixed-cost calibration: a 1-row count over the 5-row region table.
+    # Its true cost is ~constant within a run, so first-vs-last drift
+    # measures machine load (CPU steal, co-tenant pressure) independently
+    # of any engine change. Best-of-2 per sample point to shed scheduler
+    # blips from the calibration itself.
+    def calibrate() -> float:
+        def once() -> float:
+            t0 = time.perf_counter()
+            spark.read.parquet(os.path.join(SF_DIR, "region.parquet")) \
+                .groupBy().count().write.format("noop") \
+                .mode("overwrite").save()
+            return time.perf_counter() - t0
+        return round(min(once(), once()), 4)
+
+    reps_target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
+    bench_t0 = time.perf_counter()
+    cal_samples = [calibrate()]
+    names = sorted(contract.QUERIES)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    reps_done = 0
+    for _ in range(reps_target):
+        # full pass per rep (not N back-to-back runs of one query): reps
+        # of the same query land minutes apart, so a transient load spike
+        # inflates at most one sample of each query instead of all three.
+        for name in names:
+            samples[name].append(run_once(name))
+        reps_done += 1
+        elapsed = time.perf_counter() - bench_t0
+        if reps_done < reps_target and \
+                elapsed + elapsed / reps_done > budget:
+            break  # projected next-pass time busts the budget
+    cal_samples.append(calibrate())
+
+    def robust(vals: list[float]) -> float:
+        vals = sorted(vals)
+        if len(vals) >= 3:
+            return vals[len(vals) // 2]  # median
+        return vals[0]  # 1–2 reps: best-of (noise only ever inflates)
+
+    for name in names:
+        timings[name] = round(robust(samples[name]), 3)
     total = round(sum(timings.values()), 3)
     # Fixed streaming overhead, measured explicitly (r6 verdict #3): a
     # 1-row no-op query through the SAME staged-parquet -> availableNow
@@ -110,6 +157,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": {n: [round(v, 3) for v in vs]
+                   for n, vs in samples.items()},
+        "reps_completed": reps_done,
+        "calibration": {"first": cal_samples[0], "last": cal_samples[-1],
+                        "samples": cal_samples},
         "streaming": streaming,
         "streaming_total": streaming_total,
         "streaming_fixed_overhead": streaming_fixed,
@@ -138,6 +190,8 @@ def main() -> None:
         "batch_total": full["batch_total"],
         "streaming_total": streaming_total,
         "streaming_fixed_overhead": streaming_fixed,
+        "reps": reps_done,
+        "cal": [cal_samples[0], cal_samples[-1]],
         "detail": "BENCH_detail.json",
         "queries": {},
     }
