@@ -313,18 +313,48 @@ class ModelGraph:
         (pinned byte-identical in tests/test_models.py). The merged
         relation is localCheckpoint'd first because Spark refuses to
         overwrite a path that is also an input of the running plan; the
-        materialized blocks are O(touched partitions), not O(table)."""
+        materialized blocks are O(touched partitions), not O(table).
+
+        The driver-side partition list is CAPPED (round-9 verdict #3):
+        with fine-grained partitioning (hourly × region at 100 TB) the
+        touched-tuple set can reach 10⁵⁺ rows, and an unbounded
+        ``collect()`` plus a 10⁵-term OR predicate would blow both driver
+        memory and the Catalyst expression tree. Past
+        ``$SPARK_GRAFT_MAX_TOUCHED_PARTITIONS`` (default 1000) distinct
+        tuples the merge switches to a JOIN-based prune: a broadcast
+        left-semi join of existing against the batch's distinct partition
+        tuples (null-safe, matching the literal path's ``eqNullSafe``).
+        Nothing but a cap-sized probe ever reaches the driver; the cost
+        is that file-level partition pruning then relies on runtime
+        dynamic partition pruning rather than a static predicate, so the
+        cap is set where the static OR is still comfortably cheap."""
+        import functools
+        import operator as _op
+
         pcols = list(m.partition_by)
-        touched = [r.asDict() for r in df.select(*pcols).distinct().collect()]
-        if not touched:
+        cap = int(os.environ.get("SPARK_GRAFT_MAX_TOUCHED_PARTITIONS",
+                                 "1000"))
+        touched_rel = df.select(*pcols).distinct()
+        probe = touched_rel.limit(cap + 1).collect()
+        if not probe:
             return  # empty batch: nothing to merge
-        pred = F.lit(False)
-        for t in touched:
-            conj = F.lit(True)
-            for c in pcols:
-                conj = conj & (F.col(c).eqNullSafe(F.lit(t[c])))
-            pred = pred | conj
-        existing = spark.read.parquet(path).filter(pred)
+        if len(probe) > cap:
+            # join-based prune: partition tuples never leave the cluster
+            ex = spark.read.parquet(path).alias("__ex")
+            tr = touched_rel.alias("__tr")
+            cond = functools.reduce(_op.and_, [
+                F.col(f"__ex.{c}").eqNullSafe(F.col(f"__tr.{c}"))
+                for c in pcols])
+            # left_semi output carries only the left side's columns
+            existing = ex.join(F.broadcast(tr), cond, "left_semi")
+        else:
+            pred = F.lit(False)
+            for t in (r.asDict() for r in probe):
+                conj = F.lit(True)
+                for c in pcols:
+                    conj = conj & (F.col(c).eqNullSafe(F.lit(t[c])))
+                pred = pred | conj
+            existing = spark.read.parquet(path).filter(pred)
         keys = df.select(*m.unique_key).distinct()
         merged = (existing.join(keys, list(m.unique_key), "left_anti")
                   .unionByName(df)

@@ -142,6 +142,51 @@ def test_incremental_merge_partition_pruned(spark, tmp_path):
     assert before == after  # untouched partition never rewritten
 
 
+def test_incremental_merge_partition_cap_join_fallback(spark, tmp_path,
+                                                       monkeypatch):
+    """Past $SPARK_GRAFT_MAX_TOUCHED_PARTITIONS distinct partition tuples
+    the pruned merge must switch to the broadcast-semi-join prune (no
+    driver-side partition list) and still produce identical upsert
+    results: untouched partitions byte-identical, touched partitions
+    upserted. Cap forced to 3 with a 6-partition batch to exercise the
+    fallback deterministically."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_TOUCHED_PARTITIONS", "3")
+    days = [f"d{i}" for i in range(8)]
+    batches = [
+        [(d, i, "a") for i, d in enumerate(days)],          # seed all 8
+        [(d, i, "b") for i, d in enumerate(days) if i >= 2]  # touch 6 > cap
+        + [("d2", 99, "new")],
+    ]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["day", "id"],
+             partition_by=["day"], incremental_strategy="merge")
+    def cap_events(spark, vars):
+        return spark.createDataFrame(
+            batches[state["i"]], "day string, id long, v string")
+
+    g.run(spark)
+    d0 = str(tmp_path / "cap_events" / "day=d0")
+    before = {f: (os.path.getsize(os.path.join(d0, f)),
+                  os.path.getmtime(os.path.join(d0, f)))
+              for f in os.listdir(d0)}
+    state["i"] = 1
+    out = g.run(spark)["cap_events"]
+    expect = sorted(
+        [("d0", 0, "a"), ("d1", 1, "a")]
+        + [(d, i, "b") for i, d in enumerate(days) if i >= 2]
+        + [("d2", 99, "new")])
+    assert sorted((r["day"], r["id"], r["v"]) for r in out.collect()) == \
+        expect
+    after = {f: (os.path.getsize(os.path.join(d0, f)),
+                 os.path.getmtime(os.path.join(d0, f)))
+             for f in os.listdir(d0)}
+    assert before == after  # untouched partition never rewritten
+
+
 def test_incremental_merge_partition_outside_key_full_rewrite(spark, tmp_path):
     """merge with a partition column NOT in unique_key cannot assume keys
     are partition-stable — it must fall back to the global-snapshot merge
