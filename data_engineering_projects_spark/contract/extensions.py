@@ -422,29 +422,75 @@ pairs AS MATERIALIZED (
         / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.1)""")
 
 
-@query("dedup_clusters", min_label_sql(_MH_PAIRS_CTE) + f"""
+#: quality_score as a SQL scalar over a ``toks`` list column — the exact
+#: expression ``text_quality`` emits (raw quotient chains over integer
+#: counts: bit-exact cross-engine, round-6 rule).
+_QUALITY_SCORE_SQL = f"""LEAST(len(toks) / 50.0, 1.0)
+             * (0.5 + 0.5 * LEAST(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+                                  / len(toks) / 0.1, 1.0))"""
+
+
+def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_score): the ``text_quality`` score alone, for
+    consumers that rank cluster members — same expression tree, so the
+    two queries can never drift apart numerically."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    d = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    sw = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS)))
+    quality = (F.least(n / F.lit(50.0), F.lit(1.0))
+               * (F.lit(0.5) + F.lit(0.5)
+                  * F.least(sw.cast("double") / n / 0.1, F.lit(1.0))))
+    return d.select("doc_id", quality.alias("quality_score"))
+
+
+@query("dedup_clusters", min_label_sql(_MH_PAIRS_CTE) + f""",
+q AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality_score
+      FROM (SELECT doc_id, {{tokens}} AS toks FROM documents))
 SELECT id AS doc_id, label AS cluster_id,
        CAST(id = label AS INT) AS is_canonical,
-       COUNT(*) OVER (PARTITION BY label) AS n_members
-FROM l{DEFAULT_CC_ITERS}
-""")
+       COUNT(*) OVER (PARTITION BY label) AS n_members,
+       FIRST_VALUE(id) OVER (PARTITION BY label
+                             ORDER BY quality_score DESC NULLS LAST, id)
+         AS keep_doc_id
+FROM l{DEFAULT_CC_ITERS} JOIN q ON id = q.doc_id
+""".replace("{tokens}", TOKENS_SQL.format(c='text')))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs -> transitive duplicate groups -> canonical id (the
     step after ``dedup_minhash_lsh`` that answers "which doc do I keep"):
     bounded minimum-label propagation over the pair graph assigns every
     involved doc its component's smallest doc_id as ``cluster_id``;
-    ``is_canonical`` marks the keeper (operators/clustering.py — iteration
-    count shared with the oracle for exact replay). Only docs appearing in
-    at least one near-dup pair are emitted; everything else is trivially
-    its own keeper."""
+    ``is_canonical`` marks the structural keeper (operators/clustering.py
+    — iteration count shared with the oracle for exact replay). Only docs
+    appearing in at least one near-dup pair are emitted; everything else
+    is trivially its own keeper.
+
+    ``keep_doc_id`` (round-9 verdict #4) is the QUALITY-AWARE keeper a
+    training-data pipeline actually retains: the cluster member with the
+    highest ``text_quality`` score (ties broken by smallest doc_id —
+    fully deterministic). min-doc_id canonicalization is a graph identity;
+    keep_doc_id is a curation decision, and they legitimately differ when
+    a later near-duplicate is the better-written copy. Landed as a
+    widened output of this query per the registry-freeze rule
+    (COVERAGE.md round-8 consolidation NO-GO: widening one query in place
+    is permitted when hash granularity is preserved — both engines emit
+    the identical extra column, so the value hash still covers every
+    cell)."""
     pairs = _mh_pairs(spark, sf_dir)
     labels = propagate_min_labels(pairs)
+    quality = _doc_quality_scores(spark, sf_dir)
+    labeled = labels.join(quality, labels["id"] == quality["doc_id"]) \
+                    .drop("doc_id")
     w = Window.partitionBy("label")
-    return (labels.withColumn("n_members", F.count(F.lit(1)).over(w))
+    wq = Window.partitionBy("label").orderBy(
+        F.desc_nulls_last("quality_score"), F.asc("id"))
+    return (labeled
+            .withColumn("n_members", F.count(F.lit(1)).over(w))
+            .withColumn("keep_doc_id", F.first("id").over(wq))
             .select(F.col("id").alias("doc_id"),
                     F.col("label").alias("cluster_id"),
                     (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
-                    "n_members"))
+                    "n_members", "keep_doc_id"))
 
 
 #: Memoized persisted relations shared across contract-query calls, keyed
