@@ -161,11 +161,16 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
 
     This is the 100 TB shape dbt lacks: dbt submits one warehouse query
     per test (its --threads only overlaps those separate queries), each
-    paying its own full scan and round-trip; here N checks are N
-    branches of a single job, scheduled concurrently across the
-    cluster, and only N counter rows ever reach the driver. Each branch
-    keeps its own distributed shape (anti-join for FK, groupBy for
-    unique, scan-filter for the rest)."""
+    paying its own driver round-trip; here N checks are N branches of a
+    single job, scheduled concurrently across the cluster, and only N
+    counter rows ever reach the driver. To be precise about what is
+    saved (round-8 ADVICE): Spark performs no common-subplan sharing
+    across union branches, so each branch still evaluates ``df``'s plan
+    — the win is ONE job / one round-trip with concurrent branch
+    scheduling, not one scan. When ``df`` is an expensive upstream plan,
+    ``df.persist()`` before calling makes the branches share the
+    materialized scan too. Each branch keeps its own distributed shape
+    (anti-join for FK, groupBy for unique, scan-filter for the rest)."""
     plan = _count_union(
         df, checks,
         lambda i, c: [F.lit(c.name).alias("check_name"),

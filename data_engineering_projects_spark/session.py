@@ -49,6 +49,15 @@ def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
     ceil(n_rows / rows_per_partition) clamped to [4, session default],
     restoring the session value on exit.
 
+    NOT thread-safe (round-8 ADVICE): the conf is session-global, so any
+    job submitted concurrently on the same session while the block is
+    open inherits the reduced count, and two overlapping uses from
+    different threads restore in the wrong order. Serial use — including
+    serial NESTING, which restores LIFO-correctly — is fine; that is the
+    contract harness's only usage. A concurrent-scheduler caller must
+    serialize entries itself or clone a session
+    (``spark.newSession()``) whose conf it owns.
+
     Exists for the work AQE cannot re-plan: streaming stateful
     operators, whose partition count is frozen into the checkpoint at
     first start with one state store per partition — it must be chosen

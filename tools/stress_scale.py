@@ -113,6 +113,16 @@ def build_fixture(base: str, mult: int, out_dir: str,
                   shift_users: bool = False) -> None:
     import duckdb
 
+    # Disjoint-shingle-universe invariant (round-8 ADVICE): digit-only
+    # tokens rotate mod 10, so copies i and i+10 collide and the
+    # linear-rows leakage witness would report false positives; letters
+    # repeat at mult 26. The bijection argument is only sound for
+    # mult <= 10.
+    if rotate_docs and mult > 10:
+        raise ValueError(
+            f"rotate_docs bijection requires mult <= 10 (digit rotation "
+            f"repeats at 10, letters at 26); got {mult}")
+
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for t in os.listdir(base):
