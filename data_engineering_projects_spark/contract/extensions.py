@@ -374,14 +374,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is proportional to candidate count, not to corpus pair count. Shingle
     sets are fixed 8-byte hashes, so the verify join moves kilobytes per
     doc regardless of document size."""
+    # read 3x (signatures + both verify sides): the shared memoized
+    # persisted copy — see dedup_ngram_jaccard.
+    sets = _shared_shingle_sets(spark, sf_dir)
+    return _mh_verify(sets, _mh_candidates(sets))
+
+
+def _mh_candidates(sets: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate generation over a (doc_id, shs) relation:
+    (doc_a, doc_b, n_shared_bands), PRE-verification. Split out of
+    ``dedup_minhash_lsh`` (round 9) so the end-to-end pipeline stress can
+    time candidate generation and verification as separate stages."""
     def perm(a, b):
         # must return a UNARY lambda: a second parameter would be bound to
         # the HOF's element-index argument by PySpark.
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
-    # read 3x (signatures + both verify sides): the shared memoized
-    # persisted copy — see dedup_ngram_jaccard.
-    sets = _shared_shingle_sets(spark, sf_dir)
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
@@ -393,12 +401,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_MINHASH)])).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
              .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+
+
+def _mh_verify(sets: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs via array_intersect
+    of the per-doc shingle sets; cost proportional to candidate count."""
     da = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
     db = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
     n_common = F.size(F.array_intersect("sa", "sb"))

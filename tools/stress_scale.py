@@ -86,6 +86,10 @@ FAMILIES = {
                    "embed_knn_ivf"],
     "streaming": ["streaming_hourly_rollup", "streaming_session_rollup",
                   "streaming_click_attribution"],
+    # special-cased in main(): the full dedup path run END-TO-END with
+    # per-stage wall + row counts (r8 verdict #5) — the other families
+    # cover candidate generation and CC separately; this chains them.
+    "pipeline": [],
 }
 
 #: table -> id column to shift per copy (other tables are copied as-is).
@@ -156,6 +160,57 @@ def build_fixture(base: str, mult: int, out_dir: str,
     con.close()
 
 
+def run_pipeline(spark, sf_dir: str) -> list[dict]:
+    """One end-to-end dedup pass, each stage persisted + counted so its
+    wall time and output cardinality are attributable: shingle sets ->
+    LSH band-bucket candidates -> exact-Jaccard verify -> connected
+    components (star contraction) -> quality-aware canonical keep.
+    Fresh persists per call (not the contract memo) so every multiplier
+    measures from cold relations."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import data_engineering_projects_spark.contract.extensions as ext
+    from data_engineering_projects_spark.operators.clustering import (
+        connected_components_star)
+
+    stages: list[dict] = []
+    persisted = []
+
+    def stage(name: str, build):
+        t0 = _t.perf_counter()
+        df = build().persist()
+        persisted.append(df)
+        rows = df.count()  # materializes the persist
+        stages.append({"stage": name, "rows": rows,
+                       "sec": round(_t.perf_counter() - t0, 2)})
+        return df
+
+    sets = stage("shingle_sets",
+                 lambda: ext._doc_shingle_sets(spark, sf_dir))
+    cand = stage("lsh_candidates", lambda: ext._mh_candidates(sets))
+    pairs = stage("verify",
+                  lambda: ext._mh_verify(sets, cand)
+                             .select("doc_a", "doc_b"))
+    labels = stage("cc_labels", lambda: connected_components_star(pairs))
+
+    def keep():
+        quality = ext._doc_quality_scores(spark, sf_dir)
+        wq = Window.partitionBy("label").orderBy(
+            F.desc_nulls_last("quality_score"), F.asc("id"))
+        return (labels.join(quality, labels["id"] == quality["doc_id"])
+                .withColumn("keep_doc_id", F.first("id").over(wq))
+                .select(F.col("label").alias("cluster_id"), "keep_doc_id")
+                .distinct())
+
+    stage("canonical_keep", keep)
+    for df in persisted:
+        df.unpersist()
+    return stages
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="iterative", choices=sorted(FAMILIES))
@@ -173,6 +228,34 @@ def main() -> int:
     spark = get_session("stress", master=args.master,
                         shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.family == "pipeline":
+        run_pipeline(spark, args.base)  # warm JIT/codegen, discard
+        results = []
+        for mult in [int(m) for m in args.mults.split(",")]:
+            base_tag = os.path.basename(os.path.normpath(args.base))
+            sf_dir = (args.base if mult == 1
+                      else f"/tmp/depa_stress_{base_tag}_pipeline_x{mult}")
+            if mult > 1:
+                build_fixture(args.base, mult, sf_dir, rotate_docs=True)
+            for s in run_pipeline(spark, sf_dir):
+                rec = {"mult": mult, **s}
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        summary = {}
+        for sname in [r["stage"] for r in results if r["mult"] ==
+                      min(r2["mult"] for r2 in results)]:
+            rs = {r["mult"]: r for r in results if r["stage"] == sname}
+            base = rs[min(rs)]
+            summary[sname] = {
+                m: {"sec": rs[m]["sec"],
+                    "time_ratio": round(rs[m]["sec"] / max(base["sec"], .01), 2),
+                    "rows": rs[m]["rows"],
+                    "rows_ratio": round(rs[m]["rows"] / max(base["rows"], 1), 2)}
+                for m in sorted(rs)}
+        print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
 
     # surface the star-contraction round count without changing the
     # contract query's signature: route the operator through a wrapper
