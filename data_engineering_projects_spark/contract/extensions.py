@@ -443,18 +443,28 @@ _QUALITY_SCORE_SQL = f"""LEAST(len(toks) / 50.0, 1.0)
                                   / len(toks) / 0.1, 1.0))"""
 
 
-def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, quality_score): the ``text_quality`` score alone, for
-    consumers that rank cluster members — same expression tree, so the
-    two queries can never drift apart numerically."""
-    d = widen(load_table(spark, sf_dir, "documents"))
-    d = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+def _quality_score_project(docs: DataFrame) -> DataFrame:
+    """Row-local (doc_id, quality_score) projection over a (doc_id,
+    text) relation: the ``text_quality`` score alone, same expression
+    tree, so consumers can never drift from that query numerically.
+    Taking the docs relation as input (rather than loading inside) lets
+    a caller semi-join documents down to the rows it will actually rank
+    BEFORE paying the tokenize — Catalyst does not push a left-semi
+    join below this projection on its own (verified against the
+    optimized plan in round 9), so the pruning must be structural."""
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     sw = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS)))
     quality = (F.least(n / F.lit(50.0), F.lit(1.0))
                * (F.lit(0.5) + F.lit(0.5)
                   * F.least(sw.cast("double") / n / 0.1, F.lit(1.0))))
     return d.select("doc_id", quality.alias("quality_score"))
+
+
+def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_score) for the whole corpus."""
+    return _quality_score_project(widen(load_table(spark, sf_dir,
+                                                   "documents")))
 
 
 @query("dedup_clusters", min_label_sql(_MH_PAIRS_CTE) + f""",
@@ -491,7 +501,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell)."""
     pairs = _mh_pairs(spark, sf_dir)
     labels = propagate_min_labels(pairs)
-    quality = _doc_quality_scores(spark, sf_dir)
+    # semi-join documents down to cluster members BEFORE the tokenize:
+    # only docs in at least one near-dup pair need a quality score
+    # (~1% of the corpus here), and Catalyst won't push the join below
+    # the tokenize projection itself — at 100 TB this is the difference
+    # between scoring the corpus and scoring the duplicates.
+    members = labels.select(F.col("id").alias("doc_id"))
+    docs = (widen(load_table(spark, sf_dir, "documents"))
+            .select("doc_id", "text")
+            .join(members, "doc_id", "left_semi"))
+    quality = _quality_score_project(docs)
     labeled = labels.join(quality, labels["id"] == quality["doc_id"]) \
                     .drop("doc_id")
     w = Window.partitionBy("label")

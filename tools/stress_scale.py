@@ -197,7 +197,13 @@ def run_pipeline(spark, sf_dir: str) -> list[dict]:
     labels = stage("cc_labels", lambda: connected_components_star(pairs))
 
     def keep():
-        quality = ext._doc_quality_scores(spark, sf_dir)
+        from data_engineering_projects_spark.sources import (load_table,
+                                                             widen)
+        members = labels.select(F.col("id").alias("doc_id"))
+        docs = (widen(load_table(spark, sf_dir, "documents"))
+                .select("doc_id", "text")
+                .join(members, "doc_id", "left_semi"))
+        quality = ext._quality_score_project(docs)
         wq = Window.partitionBy("label").orderBy(
             F.desc_nulls_last("quality_score"), F.asc("id"))
         return (labels.join(quality, labels["id"] == quality["doc_id"])
