@@ -25,9 +25,11 @@ per-query MEDIAN (min when only 2 reps fit, the single sample when 1);
 every raw sample lands in BENCH_detail.json under "spread" so a future
 regression call can see whether a number rides on one noisy rep. Passes
 after the first are skipped when the projected wall time would exceed
-$SPARK_GRAFT_BENCH_BUDGET seconds (default 1200) so the driver's
-timeout is never at risk — "reps_completed" records how many passes
-actually ran. A fixed-cost CALIBRATION query (count over the 5-row
+$SPARK_GRAFT_BENCH_BUDGET seconds (default 360 — chosen so budget +
+one straggler pass + warmups stays inside the external driver's ~580 s
+timeout; a loaded host degrades to 2 passes instead of being killed
+with no output) — "reps_completed" records how many passes actually
+ran. A fixed-cost CALIBRATION query (count over the 5-row
 region table, best-of-2) is timed before the first pass and after the
 last; its drift within a run measures machine load independently of the
 engine, letting rounds normalize totals instead of guessing whether a
@@ -100,8 +102,13 @@ def main() -> None:
             return time.perf_counter() - t0
         return round(min(once(), once()), 4)
 
+    # budget default 360s: the external driver (and the verify recipe)
+    # run bench.py under a ~580s timeout; 360 + one straggler pass
+    # (~150s on a loaded host) + warmups stays inside it. An idle host
+    # (~110s/pass) still fits 3 passes under 360; a loaded one degrades
+    # to 2 (min-of-2) instead of being killed with no output at all.
     reps_target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "360"))
     bench_t0 = time.perf_counter()
     cal_samples = [calibrate()]
     names = sorted(contract.QUERIES)
