@@ -49,7 +49,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineering_projects_spark import contract
-from data_engineering_projects_spark.session import get_session
+from data_engineering_projects_spark.session import (free_local_checkpoint,
+                                                     get_session)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -84,9 +85,18 @@ def main() -> None:
         .mode("overwrite").save()
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        contract.QUERIES[name](spark, SF_DIR).write.format("noop") \
-            .mode("overwrite").save()
-        return time.perf_counter() - t0
+        df = contract.QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        # some queries RETURN a localCheckpoint'd frame, and the
+        # iterative ones hold loop-invariant checkpoints (edge lists,
+        # base relations) as plan leaves; once timed and discarded their
+        # blocks would otherwise linger in the block manager until JVM
+        # GC and show up as a slowly rising floor across reps (the r9
+        # COVERAGE note) — free them eagerly. deep is safe here because
+        # the whole result tree is dead between reps.
+        free_local_checkpoint(df, deep=True)
+        return dt
 
     # Fixed-cost calibration: a 1-row count over the 5-row region table.
     # Its true cost is ~constant within a run, so first-vs-last drift

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import free_local_checkpoint
+
 #: Iterations used by the contract query and its DuckDB oracle — must match.
 DEFAULT_CC_ITERS = 8
 
@@ -66,6 +68,7 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     edges = edges.localCheckpoint()
     labels = (edges.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    prev_ck = None
     for _ in range(iters):
         nb = (edges.join(labels.withColumnRenamed("id", "vid"),
                          F.col("v") == F.col("vid"))
@@ -76,9 +79,20 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
                        F.least(F.col("label"), F.col("nb_min")).alias("label"),
                        (F.col("nb_min") < F.col("label")).alias("__improved"))
                .localCheckpoint())
+        # upd is materialized (eager), so the previous round's checkpoint
+        # blocks are now unreachable by any future computation — free them
+        # instead of letting them pile up until JVM GC (caps loop storage
+        # at ~2 rounds of labels instead of `iters` rounds).
+        if prev_ck is not None:
+            free_local_checkpoint(prev_ck)
+        prev_ck = upd
         labels = upd.drop("__improved")
         if upd.filter(F.col("__improved")).isEmpty():
             break
+    if prev_ck is not None:
+        # at least one round ran, so the returned labels derive from the
+        # last round's checkpoint alone — the edge checkpoint is dead too
+        free_local_checkpoint(edges)
     return labels
 
 
@@ -156,10 +170,14 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
         n = new_e.count()
         if stats is not None:
             stats["rounds"] = rounds
-        if n == prev_n and new_e.exceptAll(e).take(1) == []:
-            e = new_e
-            break
+        converged = n == prev_n and new_e.exceptAll(e).take(1) == []
+        # the convergence probe above was the last reader of the OLD
+        # edge set — free its checkpoint blocks before advancing (the
+        # propagate_min_labels discipline: storage stays ~2 rounds deep)
+        free_local_checkpoint(e)
         e, prev_n = new_e, n
+        if converged:
+            break
     # converged: every edge is (node, component_min); roots self-label
     return (e.select(F.col("u").alias("id"), F.col("v").alias("label"))
             .union(e.select(F.col("v").alias("id"), F.col("v").alias("label")))

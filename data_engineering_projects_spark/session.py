@@ -86,6 +86,54 @@ def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
         spark.conf.set(key, prev)
 
 
+def free_local_checkpoint(df, deep: bool = False) -> bool:
+    """Release the block-manager blocks behind a SUPERSEDED eager
+    ``localCheckpoint`` DataFrame. Returns True when blocks were freed.
+
+    Why this exists: ``localCheckpoint(eager=True)`` persists the
+    materialized rows as RDD blocks (MEMORY_AND_DISK) and truncates
+    lineage. Spark frees those blocks only when the JVM-side RDD
+    reference is garbage-collected (ContextCleaner), which for a py4j
+    handle means "eventually". An iterative loop that checkpoints per
+    round therefore accumulates every superseded round's blocks for the
+    life of the session — harmless at contract scale, but at 100 TB an
+    N-round CC loop would hold N× the edge list in executor storage
+    until GC. Freeing each round's predecessor caps storage at ~2
+    rounds' worth by construction.
+
+    Safety: ONLY call on a frame whose checkpoint (a) is already
+    materialized (eager — unpersisting a lazy checkpoint mark before
+    first computation would discard data the truncated lineage can no
+    longer rebuild) and (b) no live computation still needs. The
+    top-level plan of a checkpointed frame is ``LogicalRDD``; anything
+    else (e.g. a projection OVER a checkpoint, or a non-checkpointed
+    frame) is refused, so a caller cannot accidentally free a shared
+    upstream relation by passing a derived frame. Best-effort across
+    Spark versions: any internal-API drift degrades to the old
+    GC-eventually behavior, never to an error.
+
+    ``deep=True`` additionally frees every ``LogicalRDD`` LEAF of the
+    plan — for a harness that is discarding the ENTIRE result tree (the
+    bench loop between reps), where an iterative operator's
+    loop-invariant checkpoints (edge lists, base relations) sit below
+    projections and would otherwise survive every rep. Never use deep
+    on a frame whose upstream checkpoints something else still reads."""
+    freed = False
+    try:
+        plan = df._jdf.queryExecution().logical()
+        plans = [plan]
+        if deep:
+            leaves = plan.collectLeaves()
+            plans += [leaves.apply(i) for i in range(leaves.size())]
+        for p in plans:
+            if p.getClass().getSimpleName() == "LogicalRDD":
+                p.rdd().unpersist(False)
+                freed = True
+    except Exception:
+        pass
+    return freed
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-created session (e.g. the
     driver's); all keys used here are runtime-settable."""

@@ -176,3 +176,61 @@ def test_max_concurrency_rejects_day_plus_durations(spark):
     # sub-day durations still build a plan
     out = max_concurrency_by_day(df, duration="INTERVAL 23 HOUR")
     assert out.columns == ["day", "max_concurrent"]
+
+
+# ---------------------------------------------------------------------------
+# localCheckpoint hygiene (round 9): superseded iteration checkpoints must be
+# freed from the block manager, not left to JVM GC (at 100 TB an N-round CC
+# loop would otherwise hold N x the edge list in executor storage).
+
+def _stored_rdd_ids(spark) -> set[int]:
+    return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+
+def test_free_local_checkpoint_root_deep_and_refusal(spark):
+    from data_engineering_projects_spark.session import free_local_checkpoint
+
+    base = _stored_rdd_ids(spark)
+    ck = spark.range(1000).localCheckpoint()
+    derived = ck.selectExpr("id * 2 AS x")
+    # refuses a derived frame: the checkpoint below a projection might be
+    # shared, so non-deep must not touch it
+    assert free_local_checkpoint(derived) is False
+    assert len(_stored_rdd_ids(spark) - base) == 1
+    # deep mode walks plan leaves — for a tree the caller is discarding
+    assert free_local_checkpoint(derived, deep=True) is True
+    assert _stored_rdd_ids(spark) - base == set()
+    # root frame frees directly
+    ck2 = spark.range(10).localCheckpoint()
+    assert free_local_checkpoint(ck2) is True
+    assert _stored_rdd_ids(spark) - base == set()
+    # non-checkpointed frame: harmless no-op
+    assert free_local_checkpoint(spark.range(5)) is False
+
+
+def test_cc_loops_bound_block_manager_storage(spark):
+    """Both CC variants run multiple checkpointed rounds; afterwards at
+    most the FINAL round's checkpoint may remain stored — superseded
+    rounds and the loop-invariant edge checkpoint must be gone, while
+    the returned labels stay correct (i.e. nothing still-needed was
+    freed)."""
+    from data_engineering_projects_spark.operators.clustering import (
+        connected_components_star, propagate_min_labels)
+    from data_engineering_projects_spark.session import free_local_checkpoint
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # forces several rounds
+    pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+
+    base = _stored_rdd_ids(spark)
+    labels = propagate_min_labels(pairs)
+    assert len(_stored_rdd_ids(spark) - base) <= 1  # final round only
+    rows = labels.collect()  # result survives the freeing
+    assert {r.label for r in rows} == {1} and len(rows) == 8
+    free_local_checkpoint(labels, deep=True)
+
+    base = _stored_rdd_ids(spark)
+    labels2 = connected_components_star(pairs)
+    assert len(_stored_rdd_ids(spark) - base) <= 1
+    rows2 = labels2.collect()
+    assert {r.label for r in rows2} == {1} and len(rows2) == 8
+    free_local_checkpoint(labels2, deep=True)
