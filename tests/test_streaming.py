@@ -540,3 +540,90 @@ def test_state_partition_count_frozen_into_checkpoint(spark, tmp_path):
     finally:
         spark.conf.set(key, prev)
     assert op2["numShufflePartitions"] == 4  # frozen, not 32
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Output-level recovery semantics, pinned end-to-end for the file
+    sink: (1) a restart with no new input emits ZERO rows (idempotent —
+    no reprocessing of committed batches), (2) a restart with appended
+    input finalizes only newly-passed windows, never re-emitting rows a
+    previous run already committed, and (3) every emitted (window, user)
+    key appears exactly once across all runs with values matching the
+    batch ground truth over the full input."""
+    from datetime import datetime
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        hourly_rollup_stream)
+
+    src, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    schema = "ts timestamp, user_id long, value double"
+
+    def write_input(hours, mode):
+        rows = [(datetime(2024, 1, 1, h), 7, float(h)) for h in hours]
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (hourly_rollup_stream(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_input(range(10), "overwrite")       # hours 0..9
+    run()                                     # watermark 2h -> finalizes 0..6
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 7  # windows ending <= 09:00 - 2h = 07:00: hours 0..6
+
+    run()                                     # restart, nothing new
+    assert spark.read.parquet(out).count() == n1  # zero re-emission
+
+    write_input(range(10, 15), "append")      # hours 10..14
+    run()                                     # watermark -> 12:00
+    got = spark.read.parquet(out).collect()
+    keys = [(r["window_start"], r["user_id"]) for r in got]
+    assert len(keys) == len(set(keys))        # exactly-once per key
+    # finalized = windows ending <= 14:00 - 2h = 12:00: hours 0..11
+    assert len(got) == 12
+    by_hour = {r["window_start"].hour: r for r in got}
+    for h in range(12):
+        r = by_hour[h]
+        # one row per hour with value == hour: avg/min/max all equal h
+        assert (r["avg_value"], r["min_value"], r["max_value"],
+                r["n_events"]) == (float(h), float(h), float(h), 1)
+
+
+def test_dedup_stream_state_survives_restart(spark, tmp_path):
+    """The dedup state store must recover across a restart: a duplicate
+    fingerprint arriving in a LATER run (within the watermark) is still
+    suppressed by state built in the first run, and already-committed
+    rows are not re-emitted."""
+    from data_engineering_projects_spark.streaming.jobs import dedup_stream
+
+    src, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    schema = "ts timestamp, fp string, doc_id int"
+
+    def write_rows(rows, mode):
+        (spark.createDataFrame(rows, "ts string, fp string, doc_id int")
+         .select(F.to_timestamp("ts").alias("ts"), "fp", "doc_id")
+         .write.mode(mode).parquet(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (dedup_stream(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_rows([("2024-01-01 00:00:00", "fp_a", 1),
+                ("2024-01-01 00:10:00", "fp_b", 2)], "overwrite")
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # restart: fp_a again (cross-run dup, within 1h watermark) + new fp_c
+    write_rows([("2024-01-01 00:30:00", "fp_a", 3),
+                ("2024-01-01 00:40:00", "fp_c", 4)], "append")
+    run()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 3                      # fp_a dup suppressed
+    assert {r["fp"] for r in got} == {"fp_a", "fp_b", "fp_c"}
+    assert {r["doc_id"] for r in got} == {1, 2, 4}  # first arrivals only
