@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..quality import Check, CheckResult, run_checks
+from ..session import free_local_checkpoint
 
 
 class Materialization(str, Enum):
@@ -367,4 +368,6 @@ class ModelGraph:
              .partitionBy(*pcols).parquet(path))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            merged.unpersist()
+            # Dataset.unpersist() only touches cache-manager entries and
+            # is a no-op for localCheckpoint blocks — free them properly
+            free_local_checkpoint(merged)

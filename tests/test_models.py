@@ -256,3 +256,32 @@ def test_sql_model_literal_braces(spark):
     out = g.run(spark)["braced"]
     rows = out.collect()
     assert len(rows) == 8 and rows[0]["st"] is not None
+
+
+def test_incremental_merge_frees_checkpoint_blocks(spark, tmp_path):
+    """The pruned-merge path localCheckpoints the merged relation before
+    the in-place overwrite; Dataset.unpersist() is a no-op for those
+    blocks (cache-manager only), so the cleanup must go through
+    session.free_local_checkpoint — a daily incremental job on a shared
+    session must not leak one merged partition's blocks per run."""
+    def stored(s):
+        return len(s.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    batches = [
+        [("d1", 1, "a"), ("d2", 2, "b")],
+        [("d2", 2, "b2"), ("d2", 3, "c")],
+    ]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["day", "id"],
+             partition_by=["day"], incremental_strategy="merge")
+    def fr_events(spark, vars):
+        return spark.createDataFrame(
+            batches[state["i"]], "day string, id long, v string")
+
+    g.run(spark)
+    base = stored(spark)
+    state["i"] = 1
+    g.run(spark)  # merge path: checkpoint created and freed within
+    assert stored(spark) <= base
