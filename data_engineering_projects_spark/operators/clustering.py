@@ -166,7 +166,14 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     # on a number we computed last round
     prev_n = e.count()
     for rounds in range(1, max_iters + 1):
-        new_e = small_star(large_star(e)).localCheckpoint()
+        # LAZY checkpoint + full-scan count: the count's job computes the
+        # round AND materializes the checkpoint blocks in one pass (a
+        # full scan touches every partition, so nothing is left for a
+        # second materialization job) — one Spark job per round instead
+        # of eager-materialize + count. Only safe with a FULL action:
+        # a limit-style probe would checkpoint partial partitions and
+        # pay a second job anyway.
+        new_e = small_star(large_star(e)).localCheckpoint(eager=False)
         n = new_e.count()
         if stats is not None:
             stats["rounds"] = rounds
