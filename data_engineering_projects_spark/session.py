@@ -102,15 +102,23 @@ def free_local_checkpoint(df, deep: bool = False) -> bool:
     rounds' worth by construction.
 
     Safety: ONLY call on a frame whose checkpoint (a) is already
-    materialized (eager — unpersisting a lazy checkpoint mark before
-    first computation would discard data the truncated lineage can no
-    longer rebuild) and (b) no live computation still needs. The
-    top-level plan of a checkpointed frame is ``LogicalRDD``; anything
-    else (e.g. a projection OVER a checkpoint, or a non-checkpointed
-    frame) is refused, so a caller cannot accidentally free a shared
-    upstream relation by passing a derived frame. Best-effort across
-    Spark versions: any internal-API drift degrades to the old
-    GC-eventually behavior, never to an error.
+    materialized (unpersisting a lazy checkpoint mark before first
+    computation would discard data the truncated lineage can no longer
+    rebuild) and (b) no live computation still needs. Two stacked
+    guards enforce (a) and narrow the blast radius of a wrong call:
+    the plan root must be ``LogicalRDD`` (a projection OVER a
+    checkpoint is refused, so passing a derived frame cannot free the
+    checkpoint under it), and the backing RDD must report
+    ``isCheckpointed()`` — which is False both for a lazy checkpoint
+    that has not materialized yet AND for a generic RDD-backed frame
+    (``createDataFrame(rdd)``), so a caller-persisted source RDD the
+    helper does not own is never unpersisted, in root or deep mode.
+    The guards cannot know whether some OTHER live frame still
+    references this same checkpoint — condition (b) remains the
+    caller's contract (all in-repo callers free function-local frames
+    after their last reader). Best-effort across Spark versions: any
+    internal-API drift degrades to the old GC-eventually behavior,
+    never to an error.
 
     ``deep=True`` additionally frees every ``LogicalRDD`` LEAF of the
     plan — for a harness that is discarding the ENTIRE result tree (the
@@ -127,8 +135,10 @@ def free_local_checkpoint(df, deep: bool = False) -> bool:
             plans += [leaves.apply(i) for i in range(leaves.size())]
         for p in plans:
             if p.getClass().getSimpleName() == "LogicalRDD":
-                p.rdd().unpersist(False)
-                freed = True
+                r = p.rdd()
+                if r.isCheckpointed():
+                    r.unpersist(False)
+                    freed = True
     except Exception:
         pass
     return freed

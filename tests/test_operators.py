@@ -206,6 +206,24 @@ def test_free_local_checkpoint_root_deep_and_refusal(spark):
     assert _stored_rdd_ids(spark) - base == set()
     # non-checkpointed frame: harmless no-op
     assert free_local_checkpoint(spark.range(5)) is False
+    # lazy checkpoint, NOT yet materialized: refused (unpersisting the
+    # mark before first computation would lose data the truncated
+    # lineage can't rebuild) — and still computable afterwards
+    lazy = spark.range(100).localCheckpoint(eager=False)
+    assert free_local_checkpoint(lazy) is False
+    assert lazy.count() == 100
+    free_local_checkpoint(lazy)  # materialized now: freeable
+    # generic RDD-backed frame (createDataFrame from an RDD): also a
+    # LogicalRDD root, but NOT a checkpoint — the helper must not
+    # unpersist a caller-owned, possibly shared source RDD
+    rdd = spark.sparkContext.parallelize([(1,), (2,)]).persist()
+    from_rdd = spark.createDataFrame(rdd, "id long")
+    assert from_rdd.count() == 2  # materialize the persist
+    assert free_local_checkpoint(from_rdd) is False
+    assert free_local_checkpoint(from_rdd.selectExpr("id"),
+                                 deep=True) is False
+    assert rdd.getStorageLevel().useMemory  # still persisted
+    rdd.unpersist()
 
 
 def test_cc_loops_bound_block_manager_storage(spark):
