@@ -242,8 +242,18 @@ class ModelGraph:
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)
                 writer.parquet(tmp)
-                shutil.rmtree(path)
+                # swap via a retained backup so no crash point loses the
+                # table: after a crash either `path` is intact (old or
+                # new) or `path + __merge_bak` still holds the old table
+                # (rmtree-before-rename would have a window with NEITHER;
+                # on a real deployment this whole path is a lake-format
+                # commit — see the write-amplification ladder above)
+                bak = path + "__merge_bak"
+                if os.path.exists(bak):
+                    shutil.rmtree(bak)  # leftover from an earlier crash
+                os.rename(path, bak)
                 os.rename(tmp, path)
+                shutil.rmtree(bak)
         elif strategy == "insert_overwrite":
             # replace exactly the partitions present in this batch, leave
             # all others untouched (dynamic partition overwrite — the

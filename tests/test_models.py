@@ -285,3 +285,64 @@ def test_incremental_merge_frees_checkpoint_blocks(spark, tmp_path):
     state["i"] = 1
     g.run(spark)  # merge path: checkpoint created and freed within
     assert stored(spark) <= base
+
+
+def test_snapshot_merge_swap_never_loses_table(spark, tmp_path):
+    """The unpartitioned (full-snapshot) merge swaps via a retained
+    backup: rename old -> bak, rename tmp -> path, drop bak — so no
+    crash point leaves NEITHER a live table nor a backup (the previous
+    rmtree-then-rename order had exactly that window). Also proves a
+    stale backup from a simulated earlier crash is cleaned up, not
+    tripped over."""
+    import os
+
+    batches = [
+        [(1, "a"), (2, "b")],
+        [(2, "b2"), (3, "c")],
+    ]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["id"],
+             incremental_strategy="merge")  # no partition_by: snapshot path
+    def snap_events(spark, vars):
+        return spark.createDataFrame(batches[state["i"]], "id long, v string")
+
+    g.run(spark)
+    # simulate a crash that left a backup behind
+    path = str(tmp_path / "snap_events")
+    os.makedirs(path + "__merge_bak/garbage")
+    state["i"] = 1
+    out = g.run(spark)["snap_events"]
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == \
+        [(1, "a"), (2, "b2"), (3, "c")]
+    assert not os.path.exists(path + "__merge_bak")  # swap completed
+    assert not os.path.exists(path + "__merge_tmp")
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch exactly-once rests on the merge being idempotent
+    under batch REPLAY (a crash after commit-to-sink but before
+    checkpoint advance re-delivers the same batch): running the same
+    batch through the merge twice must leave the table identical."""
+    batch2 = [("p1", 2, "b2"), ("p2", 3, "c")]
+    feed = {"rows": [("p1", 1, "a"), ("p1", 2, "b")]}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["part", "id"],
+             partition_by=["part"], incremental_strategy="merge")
+    def rp_events(spark, vars):
+        return spark.createDataFrame(feed["rows"],
+                                     "part string, id long, v string")
+
+    g.run(spark)
+    feed["rows"] = batch2
+    g.run(spark)
+    once = sorted(tuple(r) for r in
+                  spark.read.parquet(str(tmp_path / "rp_events"))
+                  .select("part", "id", "v").collect())
+    g.run(spark)  # replay the SAME batch
+    twice = sorted(tuple(r) for r in
+                   spark.read.parquet(str(tmp_path / "rp_events"))
+                   .select("part", "id", "v").collect())
+    assert once == twice == [("p1", 1, "a"), ("p1", 2, "b2"), ("p2", 3, "c")]
