@@ -535,10 +535,33 @@ _SHARED_PERSISTED: dict[tuple, DataFrame] = {}
 
 def _shared_persist(spark: SparkSession, sf_dir: str, tag: str,
                     build) -> DataFrame:
+    """INVARIANT: memoized relations use ``.persist()`` and their plans
+    bottom out in parquet scans — NEVER ``localCheckpoint``. The bench
+    loop deep-frees every query result's ``LogicalRDD`` leaves between
+    reps (``free_local_checkpoint(df, deep=True)``); a memo built on a
+    localCheckpoint would have its blocks freed while the memo still
+    hands out the handle, and the truncated lineage could never
+    recompute them. ``.persist()`` is immune: deep-free unpersists only
+    LogicalRDD leaves, and an unpersisted parquet-rooted plan can always
+    recompute. The assertion makes a future violation loud at build
+    time instead of a cryptic missing-block error three queries later."""
     key = (spark, sf_dir, tag)
     df = _SHARED_PERSISTED.get(key)
     if df is None:
-        df = build().persist()
+        df = build()
+        try:  # best-effort across Spark versions (internal API)
+            leaves = df._jdf.queryExecution().logical().collectLeaves()
+            n = leaves.size() if hasattr(leaves, "size") else len(leaves)
+            for i in range(n):
+                leaf = leaves.apply(i) if hasattr(leaves, "apply") else leaves[i]
+                assert "LogicalRDD" not in leaf.getClass().getSimpleName(), (
+                    f"_shared_persist({tag!r}): plan has a LogicalRDD leaf "
+                    "(localCheckpoint?) — breaks the bench deep-free contract")
+        except AssertionError:
+            raise
+        except Exception:
+            pass
+        df = df.persist()
         _SHARED_PERSISTED[key] = df
     return df
 

@@ -175,6 +175,7 @@ class ModelGraph:
             df.createOrReplaceTempView(m.name)
             return df
         path = os.path.join(self.warehouse_dir, m.name)
+        self._recover_interrupted_swap(path)
         if m.materialization is Materialization.INCREMENTAL and os.path.exists(path):
             self._incremental(spark, m, df, path)
         else:
@@ -185,6 +186,23 @@ class ModelGraph:
         out = spark.read.parquet(path)
         out.createOrReplaceTempView(m.name)
         return out
+
+    @staticmethod
+    def _recover_interrupted_swap(path: str) -> None:
+        """Complete a merge swap interrupted between its two renames.
+
+        The snapshot-merge swap is ``rename(path, bak); rename(tmp,
+        path); rmtree(bak)``. A crash between the renames leaves
+        ``path`` absent with the old table only in ``bak``; without
+        this step the next run would see ``os.path.exists(path) ==
+        False``, silently reinitialize the table from the current
+        batch alone, and its later leftover-cleanup would rmtree the
+        only surviving copy. Restoring ``bak -> path`` first makes
+        every crash point recoverable: ``bak`` is only ever treated
+        as a deletable leftover when ``path`` exists."""
+        bak = path + "__merge_bak"
+        if os.path.exists(bak) and not os.path.exists(path):
+            os.rename(bak, path)
 
     def _incremental(self, spark: SparkSession, m: Model, df: DataFrame,
                      path: str) -> None:
@@ -244,13 +262,18 @@ class ModelGraph:
                 writer.parquet(tmp)
                 # swap via a retained backup so no crash point loses the
                 # table: after a crash either `path` is intact (old or
-                # new) or `path + __merge_bak` still holds the old table
-                # (rmtree-before-rename would have a window with NEITHER;
-                # on a real deployment this whole path is a lake-format
-                # commit — see the write-amplification ladder above)
+                # new) or `path + __merge_bak` still holds the old table,
+                # and _recover_interrupted_swap restores bak -> path when
+                # a crash landed between the two renames (rmtree-before-
+                # rename would have a window with NEITHER; on a real
+                # deployment this whole path is a lake-format commit —
+                # see the write-amplification ladder above)
                 bak = path + "__merge_bak"
-                if os.path.exists(bak):
-                    shutil.rmtree(bak)  # leftover from an earlier crash
+                if os.path.exists(bak) and os.path.exists(path):
+                    # leftover from a crash AFTER the swap completed;
+                    # when path is absent the bak IS the table and
+                    # _recover_interrupted_swap restores it instead
+                    shutil.rmtree(bak)
                 os.rename(path, bak)
                 os.rename(tmp, path)
                 shutil.rmtree(bak)

@@ -320,6 +320,69 @@ def test_snapshot_merge_swap_never_loses_table(spark, tmp_path):
     assert not os.path.exists(path + "__merge_tmp")
 
 
+def test_interrupted_swap_recovers_old_table(spark, tmp_path):
+    """A crash BETWEEN the swap's two renames leaves `path` absent with
+    the old table only in `__merge_bak`. The next run must restore
+    bak -> path before the incremental-vs-initial branch — otherwise it
+    would silently reinitialize from the current batch alone and the
+    following merge's leftover-cleanup would delete the only copy of
+    the old data (round-9 ADVICE, plans/models.py)."""
+    import os
+    import shutil
+
+    batches = [
+        [(1, "a"), (2, "b")],
+        [(2, "b2"), (3, "c")],
+    ]
+    state = {"i": 0}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["id"],
+             incremental_strategy="merge")
+    def crash_events(spark, vars):
+        return spark.createDataFrame(batches[state["i"]], "id long, v string")
+
+    g.run(spark)
+    # simulate the crash: rename(path, bak) happened, rename(tmp, path)
+    # did not — path is gone, bak holds the only copy of batch 0
+    path = str(tmp_path / "crash_events")
+    os.rename(path, path + "__merge_bak")
+    shutil.rmtree(path + "__merge_tmp", ignore_errors=True)
+    assert not os.path.exists(path)
+    state["i"] = 1
+    out = g.run(spark)["crash_events"]
+    # row (1, "a") exists ONLY in the recovered backup: its presence
+    # proves the old table was restored and merged, not reinitialized
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == \
+        [(1, "a"), (2, "b2"), (3, "c")]
+    assert not os.path.exists(path + "__merge_bak")
+    assert not os.path.exists(path + "__merge_tmp")
+
+
+def test_interrupted_swap_recovery_on_initial_branch(spark, tmp_path):
+    """Same crash window, but the recovery must fire even when the next
+    run would take the initial-write branch: a bak with no path is
+    restored (and then merged), never rmtree'd as leftover."""
+    import os
+
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+    feed = {"rows": [(1, "a")]}
+
+    @g.model(materialization="incremental", unique_key=["id"],
+             incremental_strategy="merge")
+    def init_events(spark, vars):
+        return spark.createDataFrame(feed["rows"], "id long, v string")
+
+    g.run(spark)
+    path = str(tmp_path / "init_events")
+    os.rename(path, path + "__merge_bak")
+    feed["rows"] = [(2, "b")]
+    out = g.run(spark)["init_events"]
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == \
+        [(1, "a"), (2, "b")]
+    assert not os.path.exists(path + "__merge_bak")
+
+
 def test_merge_replay_is_idempotent(spark, tmp_path):
     """foreachBatch exactly-once rests on the merge being idempotent
     under batch REPLAY (a crash after commit-to-sink but before

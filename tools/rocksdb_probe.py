@@ -81,7 +81,9 @@ def main() -> int:
         summary[name] = {
             "hdfs_sec": by["hdfs"]["sec"],
             "rocksdb_sec": by["rocksdb"]["sec"],
-            "ratio": round(by["rocksdb"]["sec"] / by["hdfs"]["sec"], 2),
+            # floor the denominator: a sub-10ms hdfs pass rounds to 0.0
+            # and would ZeroDivisionError away the whole summary line
+            "ratio": round(by["rocksdb"]["sec"] / max(by["hdfs"]["sec"], 0.01), 2),
             "rows_agree": agree}
     print(json.dumps({"summary": summary}))
     spark.stop()
