@@ -7,8 +7,12 @@ Scale design notes
 ------------------
 - All dedup operators use the inverted-index shape (explode shingles →
   equi-join on shingle/band) — never an O(n²) cross join. At 100 TB the
-  shingle join shuffles only (key, doc_id) pairs and AQE handles hot
-  shingles (stop-shingle skew).
+  shingle join shuffles only (key, doc_id) pairs. Skew is handled at TWO
+  levels: AQE splits hot shuffle partitions (rebalances work), while the
+  df-cap (stop-shingles) and the LSH band-bucket cap
+  (``_LSH_BUCKET_CAP``) bound the candidate OUTPUT cardinality itself —
+  the quadratic blowup a mega-dup cluster would otherwise emit, which no
+  shuffle-level mechanism can shrink.
 - All hashes are md5-derived (``functions.text.md5_hash64``) so the DuckDB
   oracle computes identical signatures — no engine-private hash functions.
 - Vector ops are JVM higher-order functions (zip_with/aggregate): no Python,
@@ -340,13 +344,38 @@ def _bands_cte_sql() -> str:
     return f"bands AS ({arms})"
 
 
+#: Band-bucket size cap for LSH candidate generation. A bucket of B
+#: colliding signatures emits B(B-1)/2 candidate pairs — quadratic in
+#: the bucket, and AQE's skew-join splitting only rebalances the
+#: SHUFFLE, it cannot shrink the output cardinality. At 100 TB, corpora
+#: always contain mega-dup clusters (empty documents, boilerplate
+#: headers, license text): one 10^6-doc cluster would emit 5*10^11
+#: pairs per band without a cap. Buckets above the cap are dropped from
+#: candidate generation entirely (the standard production mitigation —
+#: cf. the bucket caps in published web-scale dedup pipelines): their
+#: members are exact-or-near-identical en masse and are the job of the
+#: EXACT dedup pass (`dedup_exact` collapses verbatim copies first),
+#: and a capped pair can still surface via any other band below cap.
+#: Recall loss is confined to >cap mega-clusters by construction. The
+#: default is a deliberate no-op at every fixture/stress scale (max
+#: observed bucket: 6 at sf0.01, 20 at sf0.1, ~100 at the 5x stress)
+#: so the oracle contract pins the capped semantics without changing
+#: any fixture result.
+_LSH_BUCKET_CAP = 1000
+
+
 def _minhash_sql() -> str:
     return f"""
 {_mh_cte_sql()},
 {_bands_cte_sql()},
+bcap AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT doc_id, band, band_key,
+           COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM bands)
+  WHERE bn <= {_LSH_BUCKET_CAP}),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-  FROM bands a JOIN bands b
+  FROM bcap a JOIN bcap b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 """
@@ -373,18 +402,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — zero shuffle until the (tiny) band join — and verification cost
     is proportional to candidate count, not to corpus pair count. Shingle
     sets are fixed 8-byte hashes, so the verify join moves kilobytes per
-    doc regardless of document size."""
+    doc regardless of document size. Band buckets above
+    ``_LSH_BUCKET_CAP`` are excluded before the self-join (mirrored in
+    the oracle SQL), bounding candidate cardinality against mega-dup
+    clusters — see the cap's own doc for the recall contract."""
     # read 3x (signatures + both verify sides): the shared memoized
     # persisted copy — see dedup_ngram_jaccard.
     sets = _shared_shingle_sets(spark, sf_dir)
     return _mh_verify(sets, _mh_candidates(sets))
 
 
-def _mh_candidates(sets: DataFrame) -> DataFrame:
+def _mh_candidates(sets: DataFrame,
+                   bucket_cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     """LSH band-bucket candidate generation over a (doc_id, shs) relation:
     (doc_a, doc_b, n_shared_bands), PRE-verification. Split out of
     ``dedup_minhash_lsh`` (round 9) so the end-to-end pipeline stress can
-    time candidate generation and verification as separate stages."""
+    time candidate generation and verification as separate stages.
+
+    Buckets larger than ``bucket_cap`` are excluded BEFORE the self-join
+    (see ``_LSH_BUCKET_CAP``): without the cap a mega-dup cluster makes
+    the candidate list quadratic in the cluster, which no shuffle-level
+    skew handling can bound. The oversized-key list is tiny by nature
+    (each mega-cluster contributes at most ``_N_MINHASH`` keys), so it
+    rides a broadcast anti-join — the stop-shingle pattern from
+    ``dedup_ngram_jaccard``."""
     def perm(a, b):
         # must return a UNARY lambda: a second parameter would be bound to
         # the HOF's element-index argument by PySpark.
@@ -400,6 +441,11 @@ def _mh_candidates(sets: DataFrame) -> DataFrame:
             F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
             for i in range(_N_MINHASH)])).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
+    hot = (bands.groupBy("band", "band_key")
+           .agg(F.count(F.lit(1)).alias("bn"))
+           .filter(F.col("bn") > bucket_cap)
+           .select("band", "band_key"))
+    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -1636,7 +1682,10 @@ def dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One signature computation feeds every configuration (the band
     explosion is 8+4+2 structs per doc); candidates stay a band-bucket
-    equi-join per config, and only aggregate counts reach the driver."""
+    equi-join per config, and only aggregate counts reach the driver.
+    Deliberately UNCAPPED (unlike `_mh_candidates`): this query's whole
+    point is to measure raw candidate volume per configuration, and a
+    bucket cap would distort the measured S-curve knob."""
     def perm(a, b):
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
@@ -1733,11 +1782,16 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_incremental_ingest",
        _DOCS_CTE.rstrip() + ", " + _mh_cte_sql() + ", " + _bands_cte_sql()
-       + """,
+       + f""",
+bcap AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT doc_id, band, band_key,
+           COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM bands)
+  WHERE bn <= {_LSH_BUCKET_CAP}),
 inc AS (SELECT doc_id FROM docs WHERE doc_id % 10 >= 8),
 cand AS (
   SELECT i.doc_id AS inc_doc, e.doc_id AS ex_doc
-  FROM bands i JOIN bands e
+  FROM bcap i JOIN bcap e
     ON i.band = e.band AND i.band_key = e.band_key
    AND i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
   GROUP BY ALL),
@@ -1791,6 +1845,15 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
             for i in range(_N_MINHASH)])).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
+    # same mega-bucket cap as _mh_candidates: an oversized bucket on the
+    # EXISTING side would make every incoming doc that touches it emit
+    # bucket-size candidates; cap computed over both sides together so
+    # the maintained index and the batch see one consistent rule.
+    hot = (bands.groupBy("band", "band_key")
+           .agg(F.count(F.lit(1)).alias("bn"))
+           .filter(F.col("bn") > _LSH_BUCKET_CAP)
+           .select("band", "band_key"))
+    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     i_b = (bands.filter(F.col("doc_id") % 10 >= 8)
            .select(F.col("doc_id").alias("inc_doc"), "band", "band_key"))
     e_b = (bands.filter(F.col("doc_id") % 10 < 8)

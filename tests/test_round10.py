@@ -46,6 +46,50 @@ def test_shared_persist_rejects_localcheckpoint_root(spark, tmp_path):
     clear_shared_persisted()
 
 
+def test_lsh_bucket_cap_bounds_mega_cluster(spark):
+    """Round-10 scale hardening: a mega-dup cluster (every doc with the
+    SAME shingle set collides in ALL bands) must not emit quadratic
+    candidate pairs once its buckets exceed the cap — AQE can rebalance
+    the shuffle but cannot shrink output cardinality, so the bound has
+    to be structural. Planted: 40 identical docs (one bucket of 40 per
+    band) + 3 pairwise-overlapping distinct docs below the cap."""
+    from data_engineering_projects_spark.contract.extensions import (
+        _mh_candidates, _LSH_BUCKET_CAP)
+
+    mega = [(i, list(range(100, 130))) for i in range(40)]
+    normal = [(1000, [1, 2, 3, 4]), (1001, [1, 2, 3, 5]), (1002, [9, 10, 11])]
+    sets = spark.createDataFrame(mega + normal,
+                                 "doc_id long, shs array<long>")
+
+    capped = _mh_candidates(sets, bucket_cap=10).collect()
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # the 40-doc mega-cluster (780 pairs x 8 bands) is fully excluded...
+    assert all(a >= 1000 and b >= 1000 for a, b in capped_pairs)
+    # ...while sub-cap buckets still pair: 1000/1001 share minima in
+    # most bands (3 of 4 shingles common)
+    assert (1000, 1001) in capped_pairs
+
+    # the default cap is a no-op at this scale: mega pairs all present
+    full = _mh_candidates(sets, bucket_cap=_LSH_BUCKET_CAP)
+    n_mega = full.filter("doc_a < 1000").count()
+    assert n_mega == 40 * 39 // 2  # every identical pair, all bands
+
+
+def test_lsh_bucket_cap_noop_on_fixtures(spark):
+    """The shipped cap must not change any fixture result: capped and
+    uncapped candidate sets are identical at sf0.001 (max fixture bucket
+    is far below _LSH_BUCKET_CAP — measured 6 at sf0.01, 20 at sf0.1)."""
+    from data_engineering_projects_spark.contract.extensions import (
+        _mh_candidates, _shared_shingle_sets)
+
+    sets = _shared_shingle_sets(spark, "/root/testdata/sf0.001")
+    capped = _mh_candidates(sets)
+    uncapped = _mh_candidates(sets, bucket_cap=1 << 40)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+    assert capped.count() > 0
+
+
 def test_rocksdb_probe_ratio_floors_denominator():
     """Mirror of the probe's summary arithmetic: a 0.0-rounded hdfs
     sample must yield a finite ratio, not ZeroDivisionError."""
