@@ -882,7 +882,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index scale shape as MinHash-LSH: no all-pairs compare,
     shuffle keyed on the band value, verification cost proportional to
     candidate count. Completes the SimHash path to the same pair-level
-    output the Jaccard/MinHash routes produce."""
+    output the Jaccard/MinHash routes produce. Scale limitation (round
+    10): 8-bit band keys mean 256 structural buckets, so in-bucket pair
+    counts grow quadratically with the corpus — the production variant
+    is a 64-bit simhash banded into 4×16-bit keys (bucket occupancy
+    corpus/65536 per band, Hamming ≤ 3 guaranteed collision), same plan
+    shape; a bucket-size cap is NOT the tool here because all 256
+    buckets saturate together (cf. ``_LSH_BUCKET_CAP`` doc)."""
     sims = dedup_simhash(spark, sf_dir).persist()
     bands = sims.select(
         "doc_id", "simhash",
@@ -1117,7 +1123,15 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket with high probability, and candidate verification is an
     in-bucket self-join — ~|buckets|× fewer pairs than all-pairs. All JVM
     expressions; the only shuffle is the bucket equi-join, and AQE splits
-    any hot bucket. The 0.35 threshold is tuned to the synthetic corpus
+    a hot bucket's SHUFFLE partitions. Output cardinality is bounded by
+    the bit width, not a cap: 8 sign bits = 256 structural buckets, so
+    in-bucket pair count is ~(corpus/256)²/2 per bucket — fine at fixture
+    scale, quadratic at corpus scale. The production dial is MORE sign
+    bits (k ≈ log2(corpus / target_bucket_size) keeps buckets
+    constant-sized; multiple independent bit-tables recover the recall
+    each added bit costs) — a size cap like ``_LSH_BUCKET_CAP`` is wrong
+    here because every bucket saturates identically and a cap would drop
+    the whole corpus. The 0.35 threshold is tuned to the synthetic corpus
     (its cosine ceiling is ~0.5); production near-dup would use ~0.9."""
     e = widen(load_table(spark, sf_dir, "embeddings"))
     bucket = None
@@ -1494,11 +1508,24 @@ def docs_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("mean_token_p")))
 
 
+#: Blocking-key occupancy cap for the edit-distance near-dup query —
+#: the Levenshtein analog of ``_LSH_BUCKET_CAP``, and MORE critical
+#: there: each surviving pair pays an O(len²) dynamic program, so an
+#: uncapped mega-block (identical boilerplate docs share both the
+#: length band and the first word) is quadratic pairs × quadratic
+#: verify. Same recall contract (mega-blocks are exact-dedup's job;
+#: measured fixture max block: 4 at sf0.01, 14 at sf0.1 — the default
+#: is a no-op at every tested scale) and the same oracle mirroring.
+_LEV_BLOCK_CAP = 1000
+
 @query("docs_levenshtein_near", f"""
-WITH d AS (SELECT doc_id, text, n_chars // 16 AS band,
-                  split_part(text, ' ', 1) AS w1
-           FROM documents
-           WHERE regexp_matches(text, '^[\\t\\n\\r -~]*$'))
+WITH d0 AS (SELECT doc_id, text, n_chars // 16 AS band,
+                   split_part(text, ' ', 1) AS w1
+            FROM documents
+            WHERE regexp_matches(text, '^[\\t\\n\\r -~]*$')),
+d AS (SELECT doc_id, text, band, w1 FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, w1) AS bn FROM d0)
+      WHERE bn <= {_LEV_BLOCK_CAP})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
 FROM d a JOIN d b
@@ -1512,9 +1539,12 @@ def docs_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical blocking shape for metric dedup when shingle overlap
     is too coarse (near-identical docs differing by a few chars).
 
-    Never all-pairs: at 100 TB the block key bounds each join bucket
-    (AQE splits a hot band) and the quadratic verify touches only
-    same-block pairs. Edit distance is integer dynamic programming, BUT
+    Never all-pairs: at 100 TB the block key bounds each join bucket,
+    AQE splits a hot block's shuffle, and blocks above ``_LEV_BLOCK_CAP``
+    are excluded outright (broadcast anti-join, mirrored in the oracle) —
+    without that, identical boilerplate docs share one block and pay
+    quadratic pairs × O(len²) verify, which no shuffle-level mechanism
+    bounds. Edit distance is integer dynamic programming, BUT
     the unit differs cross-engine on non-ASCII text: Spark counts
     codepoint edits while DuckDB counts UTF-8 byte edits, so both sides
     restrict to ASCII-only documents (identical regex gate) where the
@@ -1527,6 +1557,9 @@ def docs_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(
         "doc_id", "text", F.expr("n_chars DIV 16").alias("band"),
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1")))
+    hot = (d.groupBy("band", "w1").agg(F.count(F.lit(1)).alias("bn"))
+           .filter(F.col("bn") > _LEV_BLOCK_CAP).select("band", "w1"))
+    d = d.join(F.broadcast(hot), ["band", "w1"], "left_anti")
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("t_a"),
                  "band", "w1")
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("t_b"),

@@ -90,6 +90,55 @@ def test_lsh_bucket_cap_noop_on_fixtures(spark):
     assert capped.count() > 0
 
 
+def test_levenshtein_block_cap_noop_on_fixture(spark):
+    """The Levenshtein blocking-key cap (_LEV_BLOCK_CAP) must be a no-op
+    at fixture scale (max block 4 at sf0.01): the capped query's pairs at
+    sf0.001 match a cap-free rebuild of the same blocking join."""
+    from pyspark.sql import functions as F
+    from data_engineering_projects_spark.contract.extensions import (
+        docs_levenshtein_near)
+    from data_engineering_projects_spark.sources import load_table, widen
+
+    sf = "/root/testdata/sf0.001"
+    got = docs_levenshtein_near(spark, sf)
+    d = (widen(load_table(spark, sf, "documents"))
+         .filter(F.col("text").rlike("^[\\t\\n\\r -~]*$"))
+         .select("doc_id", "text", F.expr("n_chars DIV 16").alias("band"),
+                 F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+                 .alias("w1")))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("t_a"),
+                 "band", "w1")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("t_b"),
+                 F.col("band").alias("band_b"), F.col("w1").alias("w1_b"))
+    want = (a.join(b, (F.col("band") == F.col("band_b"))
+                   & (F.col("w1") == F.col("w1_b"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .withColumn("edit_dist", F.levenshtein("t_a", "t_b").cast("bigint"))
+            .filter(F.col("edit_dist") <= 20)
+            .select("doc_a", "doc_b", "edit_dist"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_levenshtein_block_cap_excludes_mega_block(spark, tmp_path,
+                                                   monkeypatch):
+    """Drive the SHIPPED query over a planted fixture: a mega-block
+    (identical docs — same length band, same first word) above the cap
+    emits ZERO pairs, while a distinct sub-cap near-dup pair survives."""
+    from pyspark.sql import functions as F
+    from data_engineering_projects_spark.contract import extensions as X
+
+    rows = ([(i, "the same boilerplate text") for i in range(30)]
+            + [(100, "alpha beta gamma"), (101, "alpha beta gamme")])
+    docs = (spark.createDataFrame(rows, "doc_id long, text string")
+            .withColumn("n_chars", F.length("text").cast("int")))
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(X, "_LEV_BLOCK_CAP", 10)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in X.docs_levenshtein_near(spark, str(tmp_path)).collect()}
+    assert got == {(100, 101)}  # mega-block gone, near-dup pair intact
+
+
 def test_rocksdb_probe_ratio_floors_denominator():
     """Mirror of the probe's summary arithmetic: a 0.0-rounded hdfs
     sample must yield a finite ratio, not ZeroDivisionError."""

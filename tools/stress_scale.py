@@ -90,6 +90,12 @@ FAMILIES = {
     # per-stage wall + row counts (r8 verdict #5) — the other families
     # cover candidate generation and CC separately; this chains them.
     "pipeline": [],
+    # special-cased in main(): a planted mega-dup cluster (N identical
+    # docs — every band lands in ONE bucket) unioned with the real
+    # corpus; candidate rows/wall measured capped (_LSH_BUCKET_CAP,
+    # round 10) vs uncapped. Capped must stay FLAT as the cluster
+    # grows; uncapped grows ~N^2 — the quadratic term the cap removes.
+    "megabucket": [],
 }
 
 #: table -> id column to shift per copy (other tables are copied as-is).
@@ -217,6 +223,44 @@ def run_pipeline(spark, sf_dir: str) -> list[dict]:
     return stages
 
 
+def run_megabucket(spark, base: str, sizes: list[int]) -> list[dict]:
+    """Candidate generation with a planted mega-dup cluster of each size
+    unioned onto the real corpus's shingle sets: N identical shingle
+    sets share every MinHash band bucket, so the uncapped self-join
+    emits C(N,2) pairs while the capped path (bucket > _LSH_BUCKET_CAP
+    dropped) must hold candidate rows at the no-cluster baseline."""
+    from pyspark.sql import functions as F
+
+    import data_engineering_projects_spark.contract.extensions as ext
+
+    sets = ext._doc_shingle_sets(spark, base).persist()
+    sets.count()
+    # one fixed synthetic shingle set, disjoint from real md5-derived
+    # hashes with overwhelming probability
+    mega_shs = F.array(*[F.lit(1_000_000 + i).cast("long")
+                         for i in range(30)])
+    results = []
+    for n in sizes:
+        rel = sets
+        if n:
+            mega = (spark.range(n)
+                    .select((F.col("id") + 5_000_000_000).alias("doc_id"),
+                            mega_shs.alias("shs")))
+            rel = sets.unionByName(mega)
+        for label, cap in [("capped", ext._LSH_BUCKET_CAP),
+                           ("uncapped", 1 << 40)]:
+            # warm pass at n=0 happens implicitly: every (n, mode) run
+            # reuses the persisted sets and hot codegen from the prior
+            t0 = time.perf_counter()
+            rows = ext._mh_candidates(rel, bucket_cap=cap).count()
+            rec = {"cluster": n, "mode": label, "rows": rows,
+                   "sec": round(time.perf_counter() - t0, 2)}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    sets.unpersist()
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="iterative", choices=sorted(FAMILIES))
@@ -234,6 +278,24 @@ def main() -> int:
     spark = get_session("stress", master=args.master,
                         shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.family == "megabucket":
+        sizes = [0] + [int(m) for m in args.mults.split(",") if int(m) > 0]
+        results = run_megabucket(spark, args.base, sizes)
+        by = {(r["cluster"], r["mode"]): r for r in results}
+        base_rows = by[(0, "capped")]["rows"]
+        summary = {
+            str(n): {
+                "capped_rows_over_base":
+                    round(by[(n, "capped")]["rows"] / max(base_rows, 1), 4),
+                "uncapped_rows_over_base":
+                    round(by[(n, "uncapped")]["rows"] / max(base_rows, 1), 4),
+                "capped_sec": by[(n, "capped")]["sec"],
+                "uncapped_sec": by[(n, "uncapped")]["sec"]}
+            for n in sizes}
+        print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
 
     if args.family == "pipeline":
         run_pipeline(spark, args.base)  # warm JIT/codegen, discard
