@@ -91,10 +91,24 @@ def test_dedup_queries_never_cartesian(spark, sf_dir):
     would be fatal at corpus scale. embed_knn_brute is the deliberate
     exception (tiny broadcast query side)."""
     for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh",
-                 "dedup_embed_cosine", "dedup_exact", "dedup_simhash"]:
+                 "dedup_embed_cosine", "dedup_exact", "dedup_simhash",
+                 "docs_levenshtein_near", "dedup_incremental_ingest"]:
         p = plan(contract.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_cap_hot_lists_ride_broadcast_anti_joins(spark, sf_dir):
+    """The round-10 output-cardinality caps must not add a shuffled
+    join: the oversized-bucket / oversized-block exclusions are
+    BroadcastHashJoin LeftAnti (the hot list is tiny by nature — a
+    mega-cluster contributes <= 8 band keys / 1 block key)."""
+    import re
+    for name in ["dedup_minhash_lsh", "docs_levenshtein_near",
+                 "dedup_incremental_ingest"]:
+        p = plan(contract.QUERIES[name](spark, sf_dir))
+        anti = re.findall(r"(\w+Join) LeftAnti", p)
+        assert anti and all(j == "BroadcastHashJoin" for j in anti), (name, p)
 
 
 def test_knn_brute_broadcasts_query_side(spark, sf_dir):
