@@ -139,6 +139,39 @@ def test_levenshtein_block_cap_excludes_mega_block(spark, tmp_path,
     assert got == {(100, 101)}  # mega-block gone, near-dup pair intact
 
 
+from hypothesis import given, settings, strategies as st
+
+# small shingle universes force band collisions (distinct docs DO share
+# minima), exercising both capped and surviving buckets
+_SHS = st.lists(st.integers(min_value=1, max_value=12),
+                min_size=1, max_size=6, unique=True)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_SHS, min_size=2, max_size=14), st.integers(2, 6))
+def test_lsh_cap_containment_properties(spark, sets_data, cap):
+    """Two invariants of the bucket cap on ARBITRARY shingle sets:
+    (1) capped candidate pairs are a SUBSET of uncapped pairs, with
+        per-pair n_shared_bands <= the uncapped count (bands only ever
+        drop out, never appear); and
+    (2) with a cap no bucket exceeds, the two are IDENTICAL."""
+    from data_engineering_projects_spark.contract.extensions import (
+        _mh_candidates)
+
+    sets = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sets_data)],
+        "doc_id long, shs array<long>")
+    capped = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+              for r in _mh_candidates(sets, bucket_cap=cap).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+                for r in _mh_candidates(sets, bucket_cap=1 << 40).collect()}
+    assert set(capped) <= set(uncapped)
+    assert all(capped[k] <= uncapped[k] for k in capped)
+    big = _mh_candidates(sets, bucket_cap=len(sets_data))
+    assert {(r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+            for r in big.collect()} == uncapped
+
+
 def test_rocksdb_probe_ratio_floors_denominator():
     """Mirror of the probe's summary arithmetic: a 0.0-rounded hdfs
     sample must yield a finite ratio, not ZeroDivisionError."""
