@@ -431,10 +431,15 @@ def _mh_candidates(sets: DataFrame,
         # the HOF's element-index argument by PySpark.
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
+    # persist the signature relation: doc_id + 8 longs (fixed 72 bytes/doc
+    # at any corpus size). The shingle->minhash HOF transform is the
+    # expensive compute here, and it statically appears once per consumer
+    # — BOTH self-join sides plus (round 10) the hot-bucket list — so
+    # without the persist it would run 3x per query; with it, once.
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
-          for i, (a, b) in enumerate(_MH_AB)])
+          for i, (a, b) in enumerate(_MH_AB)]).persist()
     bands = mh.select(
         "doc_id",
         F.explode(F.array(*[
@@ -1723,10 +1728,11 @@ def dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
     sets = _shared_shingle_sets(spark, sf_dir)
+    # persisted: the signature transform feeds both self-join sides
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
-          for i, (a, b) in enumerate(_MH_AB)])
+          for i, (a, b) in enumerate(_MH_AB)]).persist()
     structs = []
     for nb, r in _MH_SWEEP:
         for i in range(nb):
@@ -1868,10 +1874,12 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def perm(a, b):
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
+    # persisted for the same reason as _mh_candidates: the signature
+    # transform statically feeds the hot list + both band-join sides
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
-          for i, (a, b) in enumerate(_MH_AB)])
+          for i, (a, b) in enumerate(_MH_AB)]).persist()
     bands = mh.select(
         "doc_id",
         F.explode(F.array(*[
