@@ -20,6 +20,7 @@ import pytest
 
 from data_engineering_projects_spark.contract.extensions import (
     _shared_persist, clear_shared_persisted)
+from data_engineering_projects_spark.plans.models import ModelGraph
 
 
 def test_shared_persist_accepts_scan_rooted_plan(spark, tmp_path):
@@ -170,6 +171,63 @@ def test_lsh_cap_containment_properties(spark, sets_data, cap):
     big = _mh_candidates(sets, bucket_cap=len(sets_data))
     assert {(r["doc_a"], r["doc_b"]): r["n_shared_bands"]
             for r in big.collect()} == uncapped
+
+
+def test_null_and_empty_text_through_dedup_path(spark):
+    """Real corpora carry NULL and empty documents; pin that the text
+    stack degrades cleanly instead of crashing or pairing garbage:
+    null text -> null fingerprint / empty shingles; empty or
+    whitespace-only text -> the md5('') fingerprint (all empty docs
+    collapse into ONE exact-dup group — exactly where the cap's recall
+    contract says mass-identical docs belong); both are structurally
+    excluded from LSH candidate generation (size(shs) > 0 gate)."""
+    from pyspark.sql import functions as F
+    from data_engineering_projects_spark.functions.text import (
+        fingerprint, shingles_from_tokens, tokens)
+    from data_engineering_projects_spark.contract.extensions import (
+        _mh_candidates)
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two three four"),
+         (5, "one two three four")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"),
+        shingles_from_tokens(tokens(F.col("text"))).alias("shs")).collect()}
+    assert rows[1]["fp"] is None and rows[1]["shs"] == []
+    assert rows[2]["fp"] == rows[3]["fp"] is not None  # md5('') group
+    assert rows[2]["shs"] == []
+    sets = df.select("doc_id", F.transform(
+        F.array_distinct(shingles_from_tokens(tokens(F.col("text")))),
+        lambda s: F.xxhash64(s)).alias("shs"))
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in _mh_candidates(sets).collect()}
+    assert cands == {(4, 5)}  # null/empty never pair; real dups do
+
+
+def test_incremental_append_replay_is_noop(spark, tmp_path):
+    """The append strategy's anti-join on unique_key makes replaying the
+    SAME batch a no-op — the append-mode counterpart of the pinned merge
+    replay idempotence (foreachBatch exactly-once rests on both)."""
+    feed = {"rows": [(1, "a"), (2, "b")]}
+    g = ModelGraph(warehouse_dir=str(tmp_path))
+
+    @g.model(materialization="incremental", unique_key=["id"],
+             incremental_strategy="append")
+    def ap_events(spark, vars):
+        return spark.createDataFrame(feed["rows"], "id long, v string")
+
+    g.run(spark)
+    feed["rows"] = [(2, "b-changed"), (3, "c")]
+    g.run(spark)
+    once = sorted(tuple(r) for r in
+                  spark.read.parquet(str(tmp_path / "ap_events")).collect())
+    g.run(spark)  # replay the same batch
+    twice = sorted(tuple(r) for r in
+                   spark.read.parquet(str(tmp_path / "ap_events")).collect())
+    # append keeps the FIRST version of a key (2,"b") — dbt append
+    # semantics: existing keys are never rewritten
+    assert once == twice == [(1, "a"), (2, "b"), (3, "c")]
 
 
 def test_rocksdb_probe_ratio_floors_denominator():
