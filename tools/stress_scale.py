@@ -96,6 +96,10 @@ FAMILIES = {
     # round 10) vs uncapped. Capped must stay FLAT as the cluster
     # grows; uncapped grows ~N^2 — the quadratic term the cap removes.
     "megabucket": [],
+    # same shape for the Levenshtein blocking key (_LEV_BLOCK_CAP): a
+    # planted block of N identical docs (same length band, same first
+    # word) where each uncapped pair ALSO pays the O(len^2) DP verify.
+    "megablock": [],
 }
 
 #: table -> id column to shift per copy (other tables are copied as-is).
@@ -261,6 +265,57 @@ def run_megabucket(spark, base: str, sizes: list[int]) -> list[dict]:
     return results
 
 
+def run_megablock(spark, base: str, sizes: list[int]) -> list[dict]:
+    """docs_levenshtein_near with a planted block of N identical docs
+    unioned onto the real documents table (via a temp parquet dir the
+    query loads like any sf_dir): capped pair rows must hold at the
+    no-block baseline; uncapped adds C(N,2) pairs, each paying the
+    O(len^2) edit-distance verify."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import data_engineering_projects_spark.contract.extensions as ext
+
+    results = []
+    for n in sizes:
+        work = tempfile.mkdtemp(prefix="depa_megablock_")
+        try:
+            docs = spark.read.parquet(os.path.join(base,
+                                                   "documents.parquet"))
+            if n:
+                planted = (spark.range(n)
+                           .select((F.col("id") + 5_000_000_000)
+                                   .alias("doc_id"),
+                                   F.lit("identical boilerplate text row")
+                                   .alias("text"))
+                           .withColumn("n_chars",
+                                       F.length("text").cast(
+                                           dict(docs.dtypes)["n_chars"])))
+                docs = docs.select("doc_id", "text", "n_chars").unionByName(
+                    planted)
+            else:
+                docs = docs.select("doc_id", "text", "n_chars")
+            docs.write.parquet(os.path.join(work, "documents.parquet"))
+            for label, cap in [("capped", ext._LEV_BLOCK_CAP),
+                               ("uncapped", 1 << 40)]:
+                orig = ext._LEV_BLOCK_CAP
+                ext._LEV_BLOCK_CAP = cap
+                try:
+                    t0 = time.perf_counter()
+                    rows = ext.docs_levenshtein_near(spark, work).count()
+                finally:
+                    ext._LEV_BLOCK_CAP = orig
+                rec = {"block": n, "mode": label, "rows": rows,
+                       "sec": round(time.perf_counter() - t0, 2)}
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="iterative", choices=sorted(FAMILIES))
@@ -278,6 +333,24 @@ def main() -> int:
     spark = get_session("stress", master=args.master,
                         shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.family == "megablock":
+        sizes = [0] + [int(m) for m in args.mults.split(",") if int(m) > 0]
+        results = run_megablock(spark, args.base, sizes)
+        by = {(r["block"], r["mode"]): r for r in results}
+        base_rows = by[(0, "capped")]["rows"]
+        summary = {
+            str(n): {
+                "capped_rows_over_base":
+                    round(by[(n, "capped")]["rows"] / max(base_rows, 1), 4),
+                "uncapped_rows_over_base":
+                    round(by[(n, "uncapped")]["rows"] / max(base_rows, 1), 4),
+                "capped_sec": by[(n, "capped")]["sec"],
+                "uncapped_sec": by[(n, "uncapped")]["sec"]}
+            for n in sizes}
+        print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
 
     if args.family == "megabucket":
         sizes = [0] + [int(m) for m in args.mults.split(",") if int(m) > 0]
