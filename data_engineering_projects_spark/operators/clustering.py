@@ -35,6 +35,20 @@ from ..session import free_local_checkpoint
 #: Iterations used by the contract query and its DuckDB oracle — must match.
 DEFAULT_CC_ITERS = 8
 
+#: Small-graph driver finish for star contraction: once the contracted,
+#: canonical edge list is at or under this many rows, every remaining
+#: O(log d) round is pure scheduler overhead (two tiny shuffles + a count
+#: job on a relation of a few thousand rows), so the component labels are
+#: finished with a driver-side union-find instead. 100k edges = two longs
+#: per row ≈ 1.6 MB collected — a deliberate, conservative bound (the
+#: broadcast-threshold discipline: SCALING.md "hot-list" entry). At 100 TB
+#: the contraction still runs distributed while the active edge set is
+#: large; the finish only replaces the geometric tail, where round count —
+#: not data volume — is the cost. Set ``local_finish_edges=0`` to force
+#: the fully-distributed loop (stress tooling does, to measure round
+#: scaling).
+CC_LOCAL_FINISH_EDGES = 100_000
+
 
 def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
@@ -96,10 +110,46 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     return labels
 
 
+def _local_min_labels(e: DataFrame) -> DataFrame:
+    """Driver-side finish for :func:`connected_components_star`: exact
+    union-find over a COLLECTED edge list -> (id, label=component min) for
+    every endpoint. Only called on a relation already proven to be at or
+    under ``CC_LOCAL_FINISH_EDGES`` rows (caller counts first); the output
+    is bit-identical to running the distributed contraction to convergence
+    — the same node set (the edge list's endpoints; star rounds preserve
+    it) with the same min-id labels (union always roots at the smaller
+    id). Returned as an Arrow-built local relation, small enough that
+    downstream joins broadcast it."""
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)  # root = component min
+    import pandas as pd
+    ids = sorted(parent)
+    out = pd.DataFrame({"id": ids, "label": [find(x) for x in ids]},
+                       dtype="int64")
+    return spark.createDataFrame(out)
+
+
 def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                               dst: str = "doc_b",
                               max_iters: int = 30,
-                              stats: dict | None = None) -> DataFrame:
+                              stats: dict | None = None,
+                              local_finish_edges: int = CC_LOCAL_FINISH_EDGES
+                              ) -> DataFrame:
     """Exact connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC 2014) — the log-diameter upgrade over
@@ -122,11 +172,19 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     multiset stopped changing (count + exact anti-join emptiness, checked
     on the materialized round output — no recompute).
 
-    ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
-    contraction rounds executed until convergence. Used by
-    ``tools/stress_scale.py`` to demonstrate that data growth scales
-    per-round cost, not round count (rounds track log(diameter), which
-    replicated data does not change)."""
+    ``stats`` (optional dict) receives ``{"rounds": n, "local_finish":
+    bool}`` — the number of DISTRIBUTED contraction rounds executed, and
+    whether the bounded driver finish completed the labeling. Used by
+    ``tools/stress_scale.py`` (which forces ``local_finish_edges=0``) to
+    demonstrate that data growth scales per-round cost, not round count
+    (rounds track log(diameter), which replicated data does not change).
+
+    ``local_finish_edges``: once the canonical edge list has at most this
+    many rows (checked before every round, including the first), the
+    labeling is finished by :func:`_local_min_labels` — an exact,
+    bit-identical union-find on the driver — instead of spending O(log d)
+    more rounds of fixed scheduler overhead on a few-MB relation. 0
+    disables (fully-distributed loop)."""
     e = (pairs.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .filter(F.col("u") != F.col("v"))
@@ -165,7 +223,22 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     # for the convergence test would spend one whole Spark job per round
     # on a number we computed last round
     prev_n = e.count()
-    for rounds in range(1, max_iters + 1):
+    rounds = 0
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["local_finish"] = False
+    while rounds < max_iters:
+        if local_finish_edges and prev_n <= local_finish_edges:
+            # the contracted graph fits the driver bound: every further
+            # round is fixed overhead, not data-parallel work — finish
+            # exactly with union-find (bit-identical labels, see
+            # _local_min_labels) and free the now-dead edge checkpoint
+            labels = _local_min_labels(e)
+            free_local_checkpoint(e)
+            if stats is not None:
+                stats["local_finish"] = True
+            return labels
+        rounds += 1
         # LAZY checkpoint + full-scan count: the count's job computes the
         # round AND materializes the checkpoint blocks in one pass (a
         # full scan touches every partition, so nothing is left for a

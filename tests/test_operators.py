@@ -252,3 +252,35 @@ def test_cc_loops_bound_block_manager_storage(spark):
     rows2 = labels2.collect()
     assert {r.label for r in rows2} == {1} and len(rows2) == 8
     free_local_checkpoint(labels2, deep=True)
+
+
+def test_cc_star_local_finish_cutover_and_parity(spark):
+    """The bounded driver finish must (a) cut over MID-loop once
+    contraction shrinks the canonical edge list under the cap — a
+    10-edge cap forces one distributed round on a 29-edge input before
+    the 8-edge contracted graph finishes locally; (b) return the exact
+    same (id, label) rows and column dtypes as the fully-distributed
+    loop; (c) leave no checkpoint blocks stored (the cutover frees the
+    edge checkpoint it collected from)."""
+    import itertools
+    from data_engineering_projects_spark.operators.clustering import (
+        connected_components_star)
+
+    clique = [(a, b) for a, b in itertools.combinations(range(8), 2)]
+    pairs = spark.createDataFrame(clique + [(100, 101)],
+                                  "doc_a bigint, doc_b bigint")
+
+    base = _stored_rdd_ids(spark)
+    stats: dict = {}
+    local = connected_components_star(pairs, stats=stats,
+                                      local_finish_edges=10)
+    rows_local = sorted((r.id, r.label) for r in local.collect())
+    assert stats == {"rounds": 1, "local_finish": True}
+    assert _stored_rdd_ids(spark) - base == set()  # nothing left stored
+
+    dist = connected_components_star(pairs, local_finish_edges=0)
+    rows_dist = sorted((r.id, r.label) for r in dist.collect())
+    assert rows_local == rows_dist
+    assert ([(f.name, f.dataType) for f in local.schema.fields]
+            == [(f.name, f.dataType) for f in dist.schema.fields])
+    assert rows_local[-1] == (101, 100) and rows_local[0] == (0, 0)

@@ -247,7 +247,10 @@ def test_round_of_derived_ratio_diverges_but_raw_quotient_matches(spark):
 def test_star_contraction_matches_union_find(spark, edges):
     """connected_components_star must agree with exact union-find on ANY
     graph (it is exact CC, no diameter bound) — including duplicate and
-    self-loop edges."""
+    self-loop edges — on BOTH execution paths: the fully-distributed
+    contraction loop (local_finish_edges=0) and the default bounded
+    driver finish (these fixtures sit under CC_LOCAL_FINISH_EDGES, so
+    the default exercises _local_min_labels end to end)."""
     from data_engineering_projects_spark.operators.clustering import (
         connected_components_star)
     parent = {}
@@ -266,9 +269,19 @@ def test_star_contraction_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
-    got = {r.id: r.label
-           for r in connected_components_star(pairs).collect()}
-    assert got == want
+    stats_d: dict = {}
+    distributed = {r.id: r.label
+                   for r in connected_components_star(
+                       pairs, stats=stats_d,
+                       local_finish_edges=0).collect()}
+    assert distributed == want
+    assert stats_d["local_finish"] is False
+    stats_l: dict = {}
+    local = {r.id: r.label
+             for r in connected_components_star(
+                 pairs, stats=stats_l).collect()}
+    assert local == want
+    assert stats_l["local_finish"] is True and stats_l["rounds"] == 0
 
 
 def test_star_contraction_long_chain(spark):
@@ -285,15 +298,18 @@ def test_star_contraction_long_chain(spark):
     stats: dict = {}
     pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
     got = {r.id: r.label
-           for r in connected_components_star(pairs, stats=stats).collect()}
+           for r in connected_components_star(
+               pairs, stats=stats, local_finish_edges=0).collect()}
     assert got == {i: 0 for i in range(61)}
     assert 1 <= stats["rounds"] <= 12, stats  # log2(59)~6 plus slack
+    assert stats["local_finish"] is False
 
     two = chain + [(i + 1000, i + 1001) for i in range(60)]
     stats2: dict = {}
     pairs2 = spark.createDataFrame(two, "doc_a bigint, doc_b bigint")
     got2 = {r.id: r.label
-            for r in connected_components_star(pairs2, stats=stats2).collect()}
+            for r in connected_components_star(
+                pairs2, stats=stats2, local_finish_edges=0).collect()}
     assert got2 == {**{i: 0 for i in range(61)},
                     **{i + 1000: 1000 for i in range(61)}}
     assert stats2["rounds"] <= stats["rounds"] + 1, (stats, stats2)

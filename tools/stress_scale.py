@@ -204,7 +204,14 @@ def run_pipeline(spark, sf_dir: str) -> list[dict]:
     pairs = stage("verify",
                   lambda: ext._mh_verify(sets, cand)
                              .select("doc_a", "doc_b"))
-    labels = stage("cc_labels", lambda: connected_components_star(pairs))
+    # local_finish_edges=0: this family measures how the DISTRIBUTED
+    # contraction's stage cost scales with data; the driver finish (on by
+    # default for production callers) would short-circuit it at these
+    # fixture sizes. Equivalence of the two paths is pinned in
+    # tests/test_operators.py / test_properties.py.
+    labels = stage("cc_labels",
+                   lambda: connected_components_star(
+                       pairs, local_finish_edges=0))
 
     def keep():
         from data_engineering_projects_spark.sources import (load_table,
@@ -401,11 +408,16 @@ def main() -> int:
     # surface the star-contraction round count without changing the
     # contract query's signature: route the operator through a wrapper
     # that records stats for the duration of the stress run.
+    # local_finish_edges=0: the iterative family's claim is that the
+    # DISTRIBUTED loop's round count stays flat under data growth — the
+    # driver finish (production default) would collapse rounds to 0 at
+    # fixture sizes and measure nothing.
     rounds_box: dict = {}
     orig_ccs = clustering.connected_components_star
 
     def ccs_with_stats(pairs, src="doc_a", dst="doc_b", max_iters=30):
-        return orig_ccs(pairs, src, dst, max_iters, stats=rounds_box)
+        return orig_ccs(pairs, src, dst, max_iters, stats=rounds_box,
+                        local_finish_edges=0)
 
     import data_engineering_projects_spark.contract.extensions as ext
     ext.connected_components_star = ccs_with_stats
