@@ -50,9 +50,47 @@ DEFAULT_CC_ITERS = 8
 CC_LOCAL_FINISH_EDGES = 100_000
 
 
+def _local_bounded_min_labels(edges: DataFrame, iters: int) -> DataFrame:
+    """Driver-side bypass for :func:`propagate_min_labels`: the SAME
+    bounded synchronous relaxation (each round every node takes the min
+    of itself and its neighbors' PREVIOUS-round labels, early exit at the
+    fixed point), run over the collected directed edge list. Bit-identical
+    to the distributed loop by construction — including the bounded-hop
+    semantics on graphs whose diameter exceeds ``iters`` (this is NOT a
+    full-CC shortcut; the registry oracle replays exactly k joins).
+    Output dtype mirrors the input id column so the bypass is invisible
+    to callers."""
+    spark = edges.sparkSession
+    pdf = edges.toPandas()
+    nbrs: dict = {}
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        nbrs.setdefault(u, []).append(v)
+    labels = {x: x for x in nbrs}
+    for _ in range(iters):
+        cur = labels
+        improved = False
+        nxt = {}
+        for node, ns in nbrs.items():
+            nb_min = min(cur[n] for n in ns)
+            lab = nb_min if nb_min < cur[node] else cur[node]
+            improved = improved or lab < cur[node]
+            nxt[node] = lab
+        labels = nxt
+        if not improved:
+            break
+    import pandas as pd
+    ids = sorted(labels)
+    out = pd.DataFrame({"id": ids, "label": [labels[x] for x in ids]},
+                       dtype="int64")
+    t = edges.schema["u"].dataType.simpleString()
+    return spark.createDataFrame(out, schema=f"id {t}, label {t}")
+
+
 def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         iters: int = DEFAULT_CC_ITERS) -> DataFrame:
+                         iters: int = DEFAULT_CC_ITERS,
+                         local_finish_edges: int = CC_LOCAL_FINISH_EDGES
+                         ) -> DataFrame:
     """(src, dst) undirected pair list -> (id, label) with label = min id
     within ``iters`` hops (= component minimum for diameter <= iters).
 
@@ -69,7 +107,12 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     lineage (an un-truncated iteration references the previous labels
     twice, doubling the plan) and materializes the ``__improved`` flag so
     the convergence probe is a scan of the small cached label table, not
-    a recompute of the join."""
+    a recompute of the join.
+
+    ``local_finish_edges``: when the directed edge list fits this driver
+    bound, the identical bounded relaxation runs locally
+    (:func:`_local_bounded_min_labels`) — same labels, same bounded-hop
+    semantics, none of the per-round scheduler overhead. 0 disables."""
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
     # materialize once: the loop would otherwise replant the (possibly
@@ -80,6 +123,15 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     # neutral-to-slower); the explicit rule only pays off for streaming
     # state stores, whose partition count AQE cannot touch.
     edges = edges.localCheckpoint()
+    if local_finish_edges and edges.count() <= local_finish_edges:
+        # small-graph bypass (the connected_components_star discipline):
+        # the relaxation rounds on a driver-bounded edge list are fixed
+        # scheduler overhead, not data-parallel work — run the identical
+        # bounded iteration locally. The count is a scan of the blocks
+        # the eager checkpoint just cached, not a recompute.
+        out = _local_bounded_min_labels(edges, iters)
+        free_local_checkpoint(edges)
+        return out
     labels = (edges.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     prev_ck = None

@@ -92,6 +92,26 @@ def test_propagate_min_labels_chain_within_bound(spark):
     assert len(labels) == 8
 
 
+def test_propagate_min_labels_bounded_hop_bypass_parity(spark):
+    """The driver bypass must reproduce the BOUNDED-hop semantics, not
+    full CC: on a 21-node chain with iters=4, both paths must agree
+    exactly AND differ from the component minimum (node 20 can only see
+    4 hops up, so its label is 16, not 0) — the registry oracle replays
+    exactly k joins, so a bypass that silently computed full CC would
+    hash-diverge on adversarial graphs."""
+    from data_engineering_projects_spark.operators.clustering import (
+        propagate_min_labels)
+    chain = [(i, i + 1) for i in range(20)]
+    pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    local = {(r.id, r.label)
+             for r in propagate_min_labels(pairs, iters=4).collect()}
+    dist = {(r.id, r.label)
+            for r in propagate_min_labels(
+                pairs, iters=4, local_finish_edges=0).collect()}
+    assert local == dist
+    assert (20, 16) in local and (4, 0) in local and (5, 1) in local
+
+
 def test_propagate_min_labels_empty(spark):
     from data_engineering_projects_spark.operators.clustering import (
         propagate_min_labels)

@@ -219,7 +219,11 @@ def test_min_label_propagation_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
     got = {r.id: r.label
            for r in propagate_min_labels(pairs, iters=26).collect()}
-    assert got == want
+    assert got == want  # default path: driver bypass at these sizes
+    got_dist = {r.id: r.label
+                for r in propagate_min_labels(
+                    pairs, iters=26, local_finish_edges=0).collect()}
+    assert got_dist == want  # forced-distributed loop agrees
 
 
 def test_round_of_derived_ratio_diverges_but_raw_quotient_matches(spark):
