@@ -29,16 +29,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.determinism import fold_sum
+from ..session import free_local_checkpoint
 
 #: Iteration count and damping shared with the contract oracle — the
 #: oracle unrolls exactly this many CTE rounds with the same constant.
 DEFAULT_PR_ITERS = 5
 DAMPING = 0.85
 
+#: Driver bypass bound (the clustering.CC_LOCAL_FINISH_EDGES discipline):
+#: when BOTH the node and edge relations fit under this many rows, the
+#: fixed-point float iteration runs locally — the graph here is an
+#: AGGREGATE (type-transition counts, cluster summaries), bounded by key
+#: cardinality², so at 100 TB the distributed work is building it, never
+#: iterating over a few-KB relation with per-round scheduler overhead.
+LOCAL_ITER_EDGES = 100_000
+
+
+def _local_pagerank(nodes: DataFrame, node_vals: list, edges: DataFrame,
+                    iters: int, damping: float) -> DataFrame:
+    """Driver-side replica of :func:`pagerank`'s iteration over COLLECTED
+    (already aggregated, driver-bounded) node/edge relations. Bit-identical
+    by construction: Python floats are IEEE doubles, each term w·r is the
+    same multiply of the same operands, per-destination mass folds from
+    0.0 over ascending-sorted terms exactly like ``fold_sum``/the oracle's
+    ``SUM(x ORDER BY x)``, and dangling mass is dropped the same way
+    (an edge src outside the rank table contributes nothing; m-rows for
+    a dst outside the node set are discarded by iterating nodes only).
+    ``node_vals`` is the already-collected node column (the caller's
+    take() probe doubles as the collection — no second pass over the
+    node derivation)."""
+    spark = nodes.sparkSession
+    edge_rows = [(row["src"], row["dst"], row["w"])
+                 for row in edges.collect()]
+    n = float(len(node_vals))
+    r = {x: 1.0 / n for x in node_vals}
+    for _ in range(iters):
+        terms: dict = {}
+        for s, d, w in edge_rows:
+            if s in r:
+                terms.setdefault(d, []).append(w * r[s])
+        m = {}
+        for d, ts in terms.items():
+            acc = 0.0
+            for t in sorted(ts):
+                acc = acc + t
+            m[d] = acc
+        r = {x: (1.0 - damping) / n + damping * m.get(x, 0.0)
+             for x in node_vals}
+    t = nodes.schema["node"].dataType.simpleString()
+    return spark.createDataFrame(sorted(r.items()),
+                                 schema=f"node {t}, r double")
+
 
 def pagerank(nodes: DataFrame, edges: DataFrame,
              iters: int = DEFAULT_PR_ITERS,
-             damping: float = DAMPING) -> DataFrame:
+             damping: float = DAMPING,
+             local_finish_edges: int = LOCAL_ITER_EDGES) -> DataFrame:
     """Fixed-iteration PageRank. ``nodes``: (node); ``edges``:
     (src, dst, w) with w = out-edge weight (rows of a src should sum to
     1; a src absent from ``edges`` is dangling and its mass is dropped,
@@ -46,7 +92,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     oracle). Returns (node, r) after exactly ``iters`` rounds from the
     uniform start r0 = 1/N — a deterministic function of the inputs:
     every term ``w·r`` is one IEEE multiply of identical operands on any
-    engine, and per-destination sums fold in sorted order."""
+    engine, and per-destination sums fold in sorted order.
+
+    ``local_finish_edges``: when both relations fit this driver bound
+    (checked on the materialized edge checkpoint — graphs here are
+    aggregates bounded by key cardinality²), the identical iteration
+    runs locally via :func:`_local_pagerank`. 0 disables."""
     # truncate lineage ONCE on the loop-invariant relations (the
     # clustering.py discipline): without this every iteration replants
     # the full node/edge derivation subtree into both sides of its join
@@ -55,6 +106,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     # linear plan. On a real cluster swap localCheckpoint for
     # fault-tolerant checkpoint(), as documented in clustering.py.
     edges = edges.localCheckpoint()
+    if local_finish_edges and edges.count() <= local_finish_edges:
+        # probe-and-collect in one pass: take(cap+1) either proves the
+        # node set exceeds the bound (fall through to the distributed
+        # loop) or IS the complete collected node column
+        probe = nodes.take(local_finish_edges + 1)
+        if len(probe) <= local_finish_edges:
+            out = _local_pagerank(nodes, [row["node"] for row in probe],
+                                  edges, iters, damping)
+            free_local_checkpoint(edges)
+            return out
     n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     base = nodes.crossJoin(F.broadcast(n)).localCheckpoint()
     r = base.select("node", (F.lit(1.0) / F.col("n")).alias("r"))

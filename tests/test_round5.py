@@ -103,6 +103,27 @@ def test_pagerank_sink_attracts_mass(spark):
     assert a[2] > a[0] and a[2] > a[1]
 
 
+def test_pagerank_local_bypass_bit_identical(spark):
+    """The driver bypass (graphs under LOCAL_ITER_EDGES iterate locally)
+    must be BIT-identical to the distributed fold path — same IEEE
+    multiplies, same ascending fold from 0.0 — on an asymmetric graph
+    with uneven weights, a dangling node (2: no out-edges, mass dropped)
+    and rank leakage; repr-compared so a single-ulp drift fails."""
+    from data_engineering_projects_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1, 0.7), (0, 2, 0.3), (1, 2, 0.9), (1, 3, 0.1),
+         (3, 0, 1.0), (4, 2, 1.0)],
+        "src long, dst long, w double")
+    local = {r["node"]: r["r"] for r in pagerank(nodes, edges).collect()}
+    dist = {r["node"]: r["r"]
+            for r in pagerank(nodes, edges, local_finish_edges=0).collect()}
+    assert {k: repr(v) for k, v in local.items()} \
+        == {k: repr(v) for k, v in dist.items()}
+    assert local[2] > local[0]  # hub attracts mass either way
+
+
 def test_hll_reach_bound_and_exactness(spark, queries):
     out = queries["events_user_reach_hll"](spark, SF_DIR).collect()
     assert len(out) > 0
