@@ -1572,10 +1572,16 @@ def docs_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, (F.col("band") == F.col("band_b"))
                    & (F.col("w1") == F.col("w1_b"))
                    & (F.col("doc_a") < F.col("doc_b")))
+            # threshold-bounded DP: Spark's 3-arg levenshtein early-exits
+            # once the running distance exceeds 20 (O(len·k) per pair,
+            # not O(len²)) and returns -1 for over-threshold pairs — the
+            # exact distance for kept pairs is unchanged, so the oracle's
+            # unbounded levenshtein(..) <= 20 filter selects the same
+            # rows with the same values
             .withColumn("edit_dist",
-                        F.levenshtein(F.col("t_a"), F.col("t_b"))
-                        .cast("bigint"))
-            .filter(F.col("edit_dist") <= 20)
+                        F.levenshtein(F.col("t_a"), F.col("t_b"),
+                                      20).cast("bigint"))
+            .filter(F.col("edit_dist") >= 0)
             .select("doc_a", "doc_b", "edit_dist"))
 
 
