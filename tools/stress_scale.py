@@ -422,6 +422,20 @@ def main() -> int:
     import data_engineering_projects_spark.contract.extensions as ext
     ext.connected_components_star = ccs_with_stats
 
+    # same for pagerank: the contract query does a call-time
+    # `from ..operators.graph import pagerank`, so patching the module
+    # attribute routes it; forcing the distributed rounds keeps this
+    # family measuring the loop the 100 TB path runs, not the driver
+    # bypass that fixture-sized aggregated graphs take by default.
+    from data_engineering_projects_spark.operators import graph as _graph
+    orig_pr = _graph.pagerank
+
+    def pr_distributed(nodes, edges, *a, **kw):
+        kw["local_finish_edges"] = 0
+        return orig_pr(nodes, edges, *a, **kw)
+
+    _graph.pagerank = pr_distributed
+
     # warm JIT/codegen on each query once (bench.py's discipline) so the
     # mult=1 baseline is not inflated by first-run compilation. The
     # candidates family additionally warms per fixture (below) so every
