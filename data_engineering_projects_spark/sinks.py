@@ -10,6 +10,12 @@ name. Parity testing sinks to parquet/saveAsTable (BASELINE.md).
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame
 
 
@@ -29,6 +35,87 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def estimate_parquet_bytes_per_row(df: DataFrame, sample_rows: int = 10_000,
+                                   tmp_dir: str | None = None) -> float:
+    """Measure COMPRESSED parquet bytes/row by writing a bounded sample.
+
+    Catalyst's ``sizeInBytes`` estimates the in-memory (uncompressed) width,
+    which over-counts parquet output by 3–10× for text-heavy tables — sizing
+    file counts off it yields pathologically small files. Writing
+    ``limit(sample_rows)`` once and measuring the actual footprint is one
+    bounded job (a few MB of IO regardless of table size) and is accurate
+    to within the sample's compressibility skew.
+
+    Returns bytes/row; 0.0 for an empty input (callers treat that as
+    "one file").
+    """
+    base = tmp_dir or tempfile.gettempdir()
+    probe = os.path.join(base, f"__compact_probe_{uuid.uuid4().hex}")
+    try:
+        import pyarrow.parquet as pq
+        sample = df.limit(sample_rows).coalesce(1)
+        sample.write.mode("overwrite").parquet(probe)
+        n = 0
+        size = 0
+        for root, _dirs, files in os.walk(probe):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    size += os.path.getsize(p)
+                    n += pq.read_metadata(p).num_rows
+        return (size / n) if n else 0.0
+    finally:
+        shutil.rmtree(probe, ignore_errors=True)
+
+
+def write_compacted(df: DataFrame, path: str,
+                    target_file_bytes: int = 128 << 20,
+                    layout_cols: list[str] | None = None,
+                    sample_rows: int = 10_000,
+                    mode: str = "overwrite",
+                    partition_by: list[str] | None = None,
+                    max_files: int = 100_000) -> int:
+    """Small-file-problem sink: write ``df`` as ~``target_file_bytes``
+    parquet files, optionally range-clustered on ``layout_cols``.
+
+    At 100 TB the two file-layout failure modes are (a) thousands of
+    KB-sized files per partition (NameNode/listing pressure, per-file open
+    cost dominates scans) and (b) one monster file per partition (no read
+    parallelism). Spark's default file count is whatever the last shuffle
+    produced — unrelated to output size. This sink sizes the file count
+    from MEASURED compressed bytes/row (one bounded sample job +
+    one count job), then:
+
+    - ``layout_cols`` given → ``repartitionByRange`` + ``sortWithinPartitions``
+      on those columns: every output file covers a disjoint key range, so
+      parquet min/max footer stats make downstream range predicates prune
+      whole files (the open-format analog of clustering/Z-order on one
+      sort axis).
+    - otherwise → round-robin ``repartition(n)``: uniform file sizes even
+      under upstream skew.
+
+    Returns the file count used. Caps at ``max_files`` (sizing noise on a
+    huge input should never schedule an absurd shuffle width).
+    """
+    rows = df.count()
+    if rows == 0:
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return 1
+    bpr = estimate_parquet_bytes_per_row(df, sample_rows=sample_rows)
+    n_files = max(1, min(max_files,
+                         math.ceil(rows * max(bpr, 1.0) / target_file_bytes)))
+    if layout_cols:
+        out = (df.repartitionByRange(n_files, *layout_cols)
+                 .sortWithinPartitions(*layout_cols))
+    else:
+        out = df.repartition(n_files)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n_files
 
 
 def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:

@@ -192,3 +192,92 @@ def test_read_jsonl_with_corrupt_quarantine(spark, tmp_path):
     bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
     assert sorted(good) == [(1, "hello world"), (2, "second doc")]
     assert bad == ["NOT VALID JSON"]
+
+
+# ---------------------------------------------------------------------------
+# write_compacted: size-targeted file layout (small-file-problem sink)
+# ---------------------------------------------------------------------------
+
+def _parquet_files(path):
+    import os
+    out = []
+    for root, _dirs, files in os.walk(str(path)):
+        out.extend(os.path.join(root, f) for f in files
+                   if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def test_write_compacted_sizes_files_from_measured_bytes(spark, tmp_path):
+    """File count must come from MEASURED compressed bytes/row x rows /
+    target, not from whatever partitioning the input happened to have."""
+    from data_engineering_projects_spark.sinks import (
+        estimate_parquet_bytes_per_row, write_compacted,
+    )
+    df = (spark.range(0, 20_000, 1, 16)
+          .withColumn("payload", F.sha2(F.col("id").cast("string"), 256)))
+    bpr = estimate_parquet_bytes_per_row(df, sample_rows=5_000)
+    assert bpr > 0
+    target = int(bpr * 20_000 / 4)  # aim for ~4 files
+    out = tmp_path / "compacted"
+    n = write_compacted(df, str(out), target_file_bytes=target)
+    files = _parquet_files(out)
+    assert n == len(files)
+    assert 2 <= n <= 8, n  # sizing noise tolerated, 16->~4 compaction real
+    # uniform layout: no file more than ~3x the smallest
+    import os
+    sizes = [os.path.getsize(f) for f in files]
+    assert max(sizes) <= 3 * min(sizes), sizes
+    got = spark.read.parquet(str(out))
+    assert got.count() == 20_000
+
+
+def test_write_compacted_range_layout_gives_disjoint_file_ranges(spark, tmp_path):
+    """layout_cols => repartitionByRange + sortWithinPartitions: parquet
+    footer min/max of the layout column must be non-overlapping across
+    files, so range predicates prune whole files."""
+    import pyarrow.parquet as pq
+    from data_engineering_projects_spark.sinks import write_compacted
+    df = (spark.range(0, 10_000, 1, 8)
+          .withColumn("k", (F.col("id") * 2654435761) % 10_000)
+          .withColumn("payload", F.sha2(F.col("k").cast("string"), 256)))
+    out = tmp_path / "ranged"
+    n = write_compacted(df, str(out), target_file_bytes=120_000,
+                        layout_cols=["k"])
+    files = _parquet_files(out)
+    assert n == len(files) and n >= 2
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("k")
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, spans
+
+
+def test_write_compacted_empty_input_single_file(spark, tmp_path):
+    from data_engineering_projects_spark.sinks import write_compacted
+    df = spark.range(0, 10).filter(F.col("id") < 0)
+    out = tmp_path / "empty"
+    assert write_compacted(df, str(out)) == 1
+    got = spark.read.parquet(str(out))
+    assert got.count() == 0 and got.columns == ["id"]
+
+
+def test_write_compacted_respects_partition_by_and_max_files(spark, tmp_path):
+    from data_engineering_projects_spark.sinks import write_compacted
+    df = (spark.range(0, 4_000, 1, 8)
+          .withColumn("day", (F.col("id") % 4).cast("int"))
+          .withColumn("payload", F.sha2(F.col("id").cast("string"), 256)))
+    out = tmp_path / "bydays"
+    n = write_compacted(df, str(out), target_file_bytes=1,  # absurd target
+                        partition_by=["day"], max_files=6)
+    assert n == 6  # cap engaged: tiny target never schedules huge shuffles
+    got = spark.read.parquet(str(out))
+    assert got.count() == 4_000
+    assert {r["day"] for r in got.select("day").distinct().collect()} \
+        == {0, 1, 2, 3}
