@@ -221,3 +221,116 @@ def ivf_search(queries: DataFrame, assigned_corpus: DataFrame,
                     cosine_similarity(F.col("q_emb"), F.col("c_emb"))
                     .alias("sim")))
     return _final_topk(sims, k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via centroid buckets + in-cell cosine pairs
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CELL_CAP = 10_000
+
+
+def _semdedup_pairs(assigned: DataFrame, threshold: float,
+                    cell_cap: int) -> DataFrame:
+    """In-cell duplicate candidate pairs: broadcast-anti-join away hot
+    cells (> ``cell_cap`` members), then a self EQUI-join on cell with
+    ``id_a < id_b`` and 9-decimal-rounded cosine >= ``threshold``. The
+    equi-join keeps the stage keyed (never cartesian); the round
+    stabilizes the threshold comparison across engines/fold orders."""
+    hot = (assigned.groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("cn"))
+           .filter(F.col("cn") > cell_cap)
+           .select("cell"))
+    pairable = assigned.join(F.broadcast(hot), ["cell"], "left_anti")
+    a = pairable.select(F.col("__sd_id").alias("id_a"),
+                        F.col("__sd_emb").alias("emb_a"), "cell")
+    b = pairable.select(F.col("__sd_id").alias("id_b"),
+                        F.col("__sd_emb").alias("emb_b"), "cell")
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.round(cosine_similarity(F.col("emb_a"),
+                                              F.col("emb_b")), 9)
+                    >= threshold)
+            .select("id_a", "id_b"))
+
+
+def semdedup(corpus: DataFrame, n_cells: int, threshold: float,
+             quality_col: str | None = None, n_iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cell_cap: int = SEMDEDUP_CELL_CAP) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, compare pairs
+    ONLY within a cluster, drop all but one member of each semantic-
+    duplicate group.
+
+    Why this scales where pairwise cosine doesn't: the all-pairs cosine
+    matrix is O(N²); restricting comparisons to k-means cells makes it
+    O(Σ|cell|²) ≈ O(N²/n_cells) — pick n_cells ∝ N and the expected
+    per-cell work stays constant. Every stage is a keyed shuffle:
+
+    1. :func:`ivf_train` / :func:`ivf_assign` — distributed Lloyd, then
+       a broadcast-NLJ nearest-centroid tag (the only non-equi join, and
+       its build side is the ``n_cells``-row centroid table).
+    2. In-cell candidate pairs — a self **equi-join on cell** with
+       ``id_a < id_b`` and ``cosine >= threshold``. Cells larger than
+       ``cell_cap`` are excluded from pairing via a broadcast anti-join
+       first (the LSH hot-bucket discipline, contract/extensions.py
+       ``dedup_minhash_lsh``): one degenerate cell must never schedule a
+       quadratic stage. At real scale a cell that big means n_cells is
+       undersized — raise it rather than the cap.
+    3. :func:`~..operators.clustering.propagate_min_labels` — bounded
+       min-label propagation groups transitive duplicates (A~B, B~C ⇒
+       one group even when cos(A,C) < threshold, matching the paper's
+       connected-component reading of "semantic duplicate set").
+    4. Keeper election — per group keep the max-``quality_col`` member
+       (ties → min id), else min id when no quality column is given.
+       One groupBy + one row_number window over groups, never over the
+       corpus.
+
+    Returns (``id_col``, ``sem_cluster``, ``keep``) — full assignment,
+    so callers can either semi-join the keepers or audit the drops.
+    ``sem_cluster`` is the group minimum id for duplicated docs and the
+    doc's own id for singletons (including members of capped cells,
+    which degrade to "kept, untouched" exactly like capped LSH buckets).
+
+    Reference note: the reference repo has no semantic dedup (SURVEY.md
+    §2 absence) — this is training-data-pipeline extension surface.
+    """
+    from .clustering import propagate_min_labels
+
+    centroids = ivf_train(corpus, n_cells, n_iters=n_iters,
+                          id_col=id_col, vec_col=vec_col)
+    assigned = (ivf_assign(corpus, centroids, id_col=id_col,
+                           vec_col=vec_col)
+                .select(F.col(id_col).alias("__sd_id"),
+                        F.col(vec_col).alias("__sd_emb"), "cell")
+                .localCheckpoint())  # pair join + labels reuse it; don't
+    # re-run Lloyd's assignment NLJ once per downstream consumer
+    pairs = _semdedup_pairs(assigned, threshold, cell_cap)
+    labels = propagate_min_labels(pairs, src="id_a", dst="id_b")
+    # propagate_min_labels eagerly checkpoints its edge list, so nothing
+    # downstream references `assigned` anymore (the keeper election and
+    # the final assignment both read `corpus`) — free the id+emb+cell
+    # blocks now instead of holding a corpus-sized relation until GC
+    from ..session import free_local_checkpoint
+    free_local_checkpoint(assigned)
+    # group -> keeper id; quality rides in via one equi-join on the
+    # (small) duplicated subset, not the whole corpus
+    if quality_col is not None:
+        q = corpus.select(F.col(id_col).alias("id"),
+                          F.col(quality_col).cast("double").alias("__sd_q"))
+        ranked = labels.join(q, "id")
+        w = Window.partitionBy("label").orderBy(F.desc("__sd_q"), "id")
+    else:
+        ranked = labels
+        w = Window.partitionBy("label").orderBy("id")
+    keepers = (ranked.withColumn("__sd_r", F.row_number().over(w))
+               .select(F.col("id"), F.col("label").alias("sem_cluster"),
+                       (F.col("__sd_r") == 1).alias("keep")))
+    out = (corpus.select(id_col)
+           .join(keepers.withColumnRenamed("id", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("sem_cluster", F.col(id_col))
+                   .alias("sem_cluster"),
+                   F.coalesce("keep", F.lit(True)).alias("keep")))
+    return out
