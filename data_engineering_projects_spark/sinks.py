@@ -157,3 +157,80 @@ def write_warehouse(df: DataFrame, fmt: str, table: str, mode: str = "append",
     connector format name; the connector jars are deploy-time concerns,
     the plan is identical."""
     df.write.format(fmt).options(**options).option("table", table).mode(mode).save()
+
+def zorder_code(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) key as a Catalyst expression: each column is
+    linearly scaled to a ``bits``-wide unsigned bucket against its
+    measured min/max (one bounded agg job — 2 scalars per column), then
+    the bucket bits are interleaved with a static shift/or expression
+    tree (``bits × len(cols)`` terms, all whole-stage-codegen'd).
+
+    Returns ``(code_column, stats)`` where stats maps col → (min, max)
+    so callers can persist the scaling used. Linear bucketing is
+    skew-sensitive by design — it keeps the key computation one cheap
+    pass; heavily-skewed layout columns should be pre-transformed
+    (log/rank) by the caller.
+    """
+    from pyspark.sql import functions as F
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    row = df.agg(*aggs).first()
+    stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    n = len(cols)
+    max_bucket = (1 << bits) - 1
+    code = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = stats[c]
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(max_bucket),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                    * F.lit(max_bucket + 1)).cast("long"))
+        bucket = F.greatest(F.lit(0).cast("long"), bucket)
+        for b in range(bits):
+            code = code.bitwiseOR(
+                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                            b * n + j))
+    return code, stats
+
+
+def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
+                   target_file_bytes: int = 128 << 20,
+                   bits: int = 16, sample_rows: int = 10_000,
+                   mode: str = "overwrite",
+                   max_files: int = 100_000) -> int:
+    """Z-order clustered parquet sink: multi-dimensional locality so
+    parquet min/max footer stats prune files for predicates on ANY of
+    the ``zorder_cols`` — the layout single-axis range clustering
+    (``write_compacted(layout_cols=...)``) can only give to its first
+    column.
+
+    Mechanics: interleave-bit morton code (:func:`zorder_code`) →
+    ``repartitionByRange`` on the code (each output file covers a
+    compact Z-curve segment, i.e. a small hyper-rectangle of the key
+    space) → sort within files by the code → drop the helper column.
+    File count is sized from measured compressed bytes/row exactly like
+    :func:`write_compacted`.
+
+    The scale story: a 100 TB events table queried by BOTH time range
+    and entity id can't be partitioned to serve either predicate well;
+    z-ordering the two keys lets footer stats skip most files for
+    either. Cost is one full shuffle at write time — the same price as
+    any clustering — plus one min/max agg and one sizing sample.
+    """
+    rows = df.count()
+    if rows == 0:
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return 1
+    bpr = estimate_parquet_bytes_per_row(df, sample_rows=sample_rows)
+    n_files = max(1, min(max_files,
+                         math.ceil(rows * max(bpr, 1.0) / target_file_bytes)))
+    code, _ = zorder_code(df, zorder_cols, bits=bits)
+    out = (df.withColumn("__zorder__", code)
+             .repartitionByRange(n_files, "__zorder__")
+             .sortWithinPartitions("__zorder__")
+             .drop("__zorder__"))
+    out.write.mode(mode).parquet(path)
+    return n_files

@@ -13,6 +13,7 @@ from pyspark.sql.types import (
 from data_engineering_projects_spark.sources import (
     load_table, read_csv_glob, register_views,
 )
+from data_engineering_projects_spark import sinks
 from data_engineering_projects_spark.sinks import write_parquet
 from data_engineering_projects_spark.plans.models import ModelGraph
 
@@ -281,3 +282,62 @@ def test_write_compacted_respects_partition_by_and_max_files(spark, tmp_path):
     assert got.count() == 4_000
     assert {r["day"] for r in got.select("day").distinct().collect()} \
         == {0, 1, 2, 3}
+
+
+class TestZorderedWrite:
+    """write_zordered: multi-dimensional file pruning via morton layout."""
+
+    @staticmethod
+    def _grid(spark, n=512):
+        return (spark.range(n * n)
+                .selectExpr(f"CAST(id % {n} AS LONG) AS x",
+                            f"CAST(id DIV {n} AS LONG) AS y",
+                            "id AS payload"))
+
+    @staticmethod
+    def _file_stats(spark, path):
+        df = spark.read.parquet(path)
+        return (df.groupBy(F.input_file_name().alias("f"))
+                  .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+                       F.min("y").alias("mny"), F.max("y").alias("mxy"))
+                  .collect())
+
+    def test_prunes_files_on_both_dimensions(self, spark, tmp_path):
+        """A y-range predicate must overlap only a fraction of z-ordered
+        files; under single-axis x range clustering the same predicate
+        overlaps EVERY file (each file spans all of y). That pruning gap
+        is the operator's whole reason to exist."""
+        df = self._grid(spark)
+        zp, rp = str(tmp_path / "z"), str(tmp_path / "r")
+        n_z = sinks.write_zordered(df, zp, ["x", "y"],
+                                   target_file_bytes=64 << 10)
+        assert n_z >= 8
+        sinks.write_compacted(df, rp, layout_cols=["x"],
+                              target_file_bytes=64 << 10)
+        zstats = self._file_stats(spark, zp)
+        rstats = self._file_stats(spark, rp)
+        assert len(zstats) == n_z
+        lo, hi = 0, 63  # a 1/8 slice of the y domain
+        z_hit = sum(1 for r in zstats if r["mny"] <= hi and r["mxy"] >= lo)
+        r_hit = sum(1 for r in rstats if r["mny"] <= hi and r["mxy"] >= lo)
+        assert r_hit == len(rstats)          # range-on-x: no y pruning
+        assert z_hit <= len(zstats) / 2      # z-order: most files skipped
+        # and x predicates still prune too (z-order serves BOTH dims)
+        zx_hit = sum(1 for r in zstats if r["mnx"] <= hi and r["mxx"] >= lo)
+        assert zx_hit <= len(zstats) / 2
+
+    def test_round_trips_rows_exactly(self, spark, tmp_path):
+        df = self._grid(spark, n=64)
+        p = str(tmp_path / "z2")
+        sinks.write_zordered(df, p, ["x", "y"], target_file_bytes=16 << 10)
+        back = spark.read.parquet(p)
+        assert back.count() == 64 * 64
+        assert back.agg(F.sum("payload")).first()[0] == \
+               df.agg(F.sum("payload")).first()[0]
+        assert "__zorder__" not in back.columns
+
+    def test_empty_input_single_file(self, spark, tmp_path):
+        df = self._grid(spark, n=8).filter("x < 0")
+        p = str(tmp_path / "z3")
+        assert sinks.write_zordered(df, p, ["x", "y"]) == 1
+        assert spark.read.parquet(p).count() == 0
