@@ -1,0 +1,183 @@
+"""End-to-end training-corpus preparation: scrub → quality gate → exact
+dedup → near dedup → split assign, as ONE composed pipeline with a
+single-pass audit report.
+
+Each stage is the already-contract-checked building block (PII scrub =
+``functions/pii.py``; quality = the ``text_quality`` expression via
+``_quality_score_project``; exact dedup = the ``dedup_exact`` fingerprint;
+near dedup = the ``dedup_minhash_lsh`` candidate/verify pair + the
+``dedup_clusters`` bounded min-label CC with quality-keeper canonical
+selection; split = the ``docs_split_assign`` deterministic hash) — this
+module contributes the COMPOSITION: stage ordering, the flag-column audit
+design, and the keep/drop wiring between stages.
+
+Audit design (the scale-relevant part): stage outcomes are computed as
+*flag columns on one wide per-doc frame* rather than materialized
+intermediate tables, so the full audit report — rows in/out per stage —
+is ONE aggregation over one persisted relation. A naive compose-and-count
+pipeline runs a count job per stage, each re-reading the corpus; here raw
+text is read once, the expensive projections (tokenize, shingle, minhash)
+run once, and only the near-dup join stage touches a second relation
+(the candidate pairs, which are bounded by the LSH bucket cap).
+
+Stage ordering is load-bearing and documented: scrub BEFORE dedup (the
+redacted text is the dedup identity — two docs differing only in an
+embedded email are duplicates), quality gate BEFORE near-dup (don't pay
+shingle/minhash for docs that will be dropped anyway; the keeper choice
+inside a cluster ranks by the SAME quality score so the gate cannot
+invert it), split LAST (splits must be over the final dedup survivors or
+leakage re-enters through dropped-but-similar docs).
+
+Reference note: the reference has no corpus-preparation pipeline (its
+five pipelines are warehouse ELT — SURVEY.md §2); this composes the
+training-data extension surface end-to-end (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..contract.extensions import (
+    _mh_candidates,
+    _mh_verify,
+    _quality_score_project,
+)
+from ..functions.pii import scrub_pii
+from ..functions.text import (
+    md5_hash64,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
+from ..operators.clustering import propagate_min_labels
+
+
+@dataclass
+class CorpusResult:
+    """``docs``: final corpus (doc_id, text, source, lang, quality_score,
+    split); ``report``: one row per stage (stage, docs_in, docs_out);
+    ``audit``: the wide per-doc flag frame (has_text / quality_ok /
+    exact_keep / near_keep) for drill-down; ``_persisted``: the cached
+    upstream relation — call :meth:`unpersist` when done."""
+    docs: DataFrame
+    report: DataFrame
+    audit: DataFrame
+    _persisted: DataFrame
+
+    def unpersist(self) -> None:
+        self._persisted.unpersist()
+
+
+def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
+                   jaccard_min: float = 0.5, shingle_k: int = 3,
+                   split_weights: dict[str, float] | None = None,
+                   split_seed: int = 42,
+                   cc_iters: int = 6) -> CorpusResult:
+    """Compose the corpus-prep stages over a (doc_id, text, source, lang)
+    relation. See module docstring for ordering rationale.
+
+    Keeper policy (exact and near tiers): highest quality score, ties by
+    lowest doc_id — deterministic, and the kept doc is the one the
+    quality gate already ranked best.
+    """
+    split_weights = split_weights or {"train": 0.9, "val": 0.05,
+                                      "test": 0.05}
+
+    scrubbed = docs.select(
+        "doc_id", "source", "lang",
+        scrub_pii(F.col("text")).alias("text"))
+
+    quality = _quality_score_project(scrubbed).withColumnRenamed(
+        "quality_score", "q")
+
+    base = (scrubbed.join(quality, "doc_id", "left")
+            .withColumn("has_text",
+                        F.col("text").isNotNull())
+            .withColumn("quality_ok",
+                        F.coalesce(F.col("q") >= quality_min,
+                                   F.lit(False))))
+
+    # exact dedup among quality survivors: best-quality doc per
+    # normalized-text fingerprint keeps; NULL text never enters (flag
+    # already false) — empty/whitespace docs share the md5('') group.
+    fp = md5_hash64(normalize_text(F.col("text")), seed=0)
+    alive = F.col("has_text") & F.col("quality_ok")
+    # dropped docs partition by their own doc_id (not one shared NULL
+    # key): a mostly-filtered corpus must not funnel every dropped row
+    # into a single window partition.
+    w = Window.partitionBy(
+        F.when(alive, fp).otherwise(F.col("doc_id"))).orderBy(
+        F.col("q").desc_nulls_last(), F.col("doc_id"))
+    persisted = base.withColumn(
+        "exact_keep", alive & (F.row_number().over(w) == 1)).persist()
+
+    # near dedup over exact survivors: LSH candidates -> exact-Jaccard
+    # verify -> bounded min-label CC -> quality keeper per cluster.
+    survivors = persisted.filter("exact_keep")
+    sets = survivors.select(
+        "doc_id", F.array_distinct(
+            F.transform(
+                shingles_from_tokens(tokens(F.col("text")), shingle_k),
+                lambda s: md5_hash64(s, seed=0))).alias("shs"))
+    pairs = (_mh_verify(sets, _mh_candidates(sets))
+             .filter(F.col("jaccard") >= jaccard_min)
+             .select("doc_a", "doc_b"))
+    labels = propagate_min_labels(pairs, iters=cc_iters)
+    clustered = (survivors.join(labels, survivors.doc_id == labels.id,
+                                "left")
+                 .withColumn("cluster",
+                             F.coalesce(F.col("label"), F.col("doc_id"))))
+    keep_w = Window.partitionBy("cluster").orderBy(
+        F.col("q").desc_nulls_last(), F.col("doc_id"))
+    kept = (clustered.withColumn("rn", F.row_number().over(keep_w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("doc_id").alias("keep_id")))
+
+    audit = persisted.join(
+        kept, persisted.doc_id == kept.keep_id, "left").withColumn(
+        "near_keep", F.col("exact_keep") & F.col("keep_id").isNotNull()
+    ).drop("keep_id")
+
+    # deterministic split over the FINAL survivors: hash-bucket against
+    # cumulative weight boundaries, first matching boundary wins
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(split_seed)), F.lit(10_000))
+    acc, cases = 0.0, []
+    for name, wgt in split_weights.items():
+        acc += wgt
+        cases.append((bucket < F.lit(int(round(acc * 10_000))), name))
+    out = F.lit(cases[-1][1])
+    for cond, name in reversed(cases[:-1]):
+        out = F.when(cond, name).otherwise(out)
+
+    final = (audit.filter("near_keep")
+             .select("doc_id", "text", "source", "lang",
+                     F.col("q").alias("quality_score"),
+                     out.alias("split")))
+
+    agg = audit.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("has_text").cast("long")).alias("with_text"),
+        F.sum((F.col("has_text") & F.col("quality_ok")).cast("long"))
+         .alias("quality_pass"),
+        F.sum(F.col("exact_keep").cast("long")).alias("exact_kept"),
+        F.sum(F.col("near_keep").cast("long")).alias("near_kept"))
+    report = agg.select(F.explode(F.array(
+        F.struct(F.lit("input").alias("stage"),
+                 F.col("total").alias("docs_in"),
+                 F.col("with_text").alias("docs_out")),
+        F.struct(F.lit("quality_gate").alias("stage"),
+                 F.col("with_text").alias("docs_in"),
+                 F.col("quality_pass").alias("docs_out")),
+        F.struct(F.lit("exact_dedup").alias("stage"),
+                 F.col("quality_pass").alias("docs_in"),
+                 F.col("exact_kept").alias("docs_out")),
+        F.struct(F.lit("near_dedup").alias("stage"),
+                 F.col("exact_kept").alias("docs_in"),
+                 F.col("near_kept").alias("docs_out")),
+    )).alias("s")).select("s.stage", "s.docs_in", "s.docs_out")
+
+    return CorpusResult(docs=final, report=report, audit=audit,
+                        _persisted=persisted)

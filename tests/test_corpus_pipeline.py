@@ -1,0 +1,103 @@
+"""End-to-end corpus preparation (pipelines/corpus.py): composition of
+the contract-checked stages, checked here on a planted corpus where
+every stage's keep/drop decision is known by construction, plus a
+full-fixture run for shape/determinism."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.pipelines.corpus import prepare_corpus
+
+
+def _words(n, tag):
+    # disjoint per-tag vocabulary: docs with different tags share ZERO
+    # shingles, so only the intended pairs can near-dup
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+PLANTED = [
+    # 1 & 2: identical AFTER pii scrub (differ only in embedded email) —
+    # exact dedup must collapse them, proving scrub-before-dedup ordering
+    (1, _words(60, "alpha") + " contact bob@x.com please", "web", "en"),
+    (2, _words(60, "alpha") + " contact eve@y.org please", "web", "en"),
+    # 3 & 4: near-dups (same prefix, doc 3 has a tail; equal capped
+    # quality => keeper is the min doc_id, 3)
+    (3, _words(64, "beta") + " extra tail words here", "web", "en"),
+    (4, _words(64, "beta"), "books", "en"),
+    # 5: too short — dropped at the quality gate
+    (5, "tiny doc only", "web", "en"),
+    # 6: NULL text — dropped at input
+    (6, None, "web", "en"),
+    # 7: unique good doc — kept
+    (7, _words(70, "gamma"), "books", "en"),
+]
+
+
+def _planted(spark):
+    return spark.createDataFrame(
+        PLANTED, "doc_id long, text string, source string, lang string")
+
+
+def test_planted_corpus_stage_decisions(spark):
+    res = prepare_corpus(_planted(spark), quality_min=0.2,
+                         jaccard_min=0.5)
+    try:
+        final = {r["doc_id"]: r for r in res.docs.collect()}
+        report = {r["stage"]: (r["docs_in"], r["docs_out"])
+                  for r in res.report.collect()}
+        # stage arithmetic, known by construction
+        assert report["input"] == (7, 6)            # null text dropped
+        assert report["quality_gate"] == (6, 5)     # tiny doc dropped
+        assert report["exact_dedup"] == (5, 4)      # email twins merge
+        assert report["near_dedup"] == (4, 3)       # beta pair merges
+        # keeper identities: both tiers tie on capped quality →
+        # min doc_id wins (1 for the email twins, 3 for the beta pair)
+        assert set(final) == {1, 3, 7}
+        # the kept text is the SCRUBBED form
+        assert "[EMAIL]" in final[1]["text"]
+        assert "bob@x.com" not in final[1]["text"]
+        # split column is one of the configured names
+        assert {r["split"] for r in final.values()} <= {"train", "val",
+                                                        "test"}
+        # audit drill-down agrees with the report
+        audit = {r["doc_id"]: r for r in res.audit.collect()}
+        assert audit[6]["has_text"] is False
+        assert audit[5]["quality_ok"] is False
+        assert audit[2]["exact_keep"] is False
+        assert audit[4]["near_keep"] is False and audit[4]["exact_keep"]
+    finally:
+        res.unpersist()
+
+
+def test_fixture_run_shape_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    res1 = prepare_corpus(docs)
+    try:
+        rep = {r["stage"]: (r["docs_in"], r["docs_out"])
+               for r in res1.report.collect()}
+        # monotone contraction, nothing lost to accounting
+        assert rep["input"][0] == docs.count()
+        chain = ["input", "quality_gate", "exact_dedup", "near_dedup"]
+        for a, b in zip(chain, chain[1:]):
+            assert rep[a][1] == rep[b][0]
+            assert rep[b][1] <= rep[b][0]
+        assert rep["near_dedup"][1] > 0
+        ids1 = sorted(r["doc_id"] for r in res1.docs.collect())
+    finally:
+        res1.unpersist()
+    res2 = prepare_corpus(docs)
+    try:
+        ids2 = sorted(r["doc_id"] for r in res2.docs.collect())
+        assert ids1 == ids2  # fully deterministic end-to-end
+        # split proportions near the configured weights
+        splits = dict(res2.docs.groupBy("split").count().collect())
+        total = sum(splits.values())
+        assert abs(splits.get("train", 0) / total - 0.9) < 0.05
+        # no Python-eval nodes anywhere in the final plan
+        plan = res2.docs._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    finally:
+        res2.unpersist()
