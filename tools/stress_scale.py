@@ -100,6 +100,13 @@ FAMILIES = {
     # planted block of N identical docs (same length band, same first
     # word) where each uncapped pair ALSO pays the O(len^2) DP verify.
     "megablock": [],
+    # special-cased in main(): the mergeable-sketch partition tier
+    # (operators/sketches.py). Claims under k-fold events with shifted
+    # users: build wall ~linear, sketch GRAIN flat (types x days — data
+    # volume must not widen the state table), per-row sketch bytes flat
+    # (KLL/HLL are fixed-size at saturation), rollup wall flat (merge
+    # cost rides grain, not raw rows), merged p85 stays in rank bound.
+    "sketches": [],
 }
 
 #: table -> id column to shift per copy (other tables are copied as-is).
@@ -323,6 +330,64 @@ def run_megablock(spark, base: str, sizes: list[int]) -> list[dict]:
     return results
 
 
+
+
+def run_sketches(spark, base: str, mults: list[int]) -> list[dict]:
+    """Per-mult: timed sketch build over k-fold events (shifted users),
+    grain/row-size stats, timed grain-only rollup, and a merged-p85
+    rank-error check against the exact rank on the same data."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.operators.sketches import (
+        build_sketch_partitions, kll_rank_error, rollup_sketch_partitions,
+        sketch_quantiles)
+    from data_engineering_projects_spark.sources import load_table
+
+    results = []
+    for mult in mults:
+        base_tag = os.path.basename(os.path.normpath(base))
+        sf_dir = (base if mult == 1
+                  else f"/tmp/depa_stress_{base_tag}_sketches_x{mult}")
+        if mult > 1:
+            build_fixture(base, mult, sf_dir, shift_users=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type", F.to_date("ts").alias("day"), "value", "user_id")
+
+        def build():
+            return build_sketch_partitions(
+                ev, ["event_type", "day"], ["value"],
+                distinct_col="user_id", kll_k=2048)
+
+        build().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        sk = build().persist()
+        grain = sk.count()
+        build_sec = time.perf_counter() - t0
+        szs = sk.select(
+            (F.octet_length("kll_value") + F.octet_length("hll_user_id"))
+            .alias("b")).agg(F.max("b").alias("mx")).first()
+        t1 = time.perf_counter()
+        merged = rollup_sketch_partitions(sk, [], ["value"],
+                                          distinct_col="user_id")
+        row = sketch_quantiles(merged, "value", {"p85": 0.85},
+                               distinct_col="user_id").first()
+        rollup_sec = time.perf_counter() - t1
+        total = ev.count()
+        below = ev.filter(F.col("value") <= row["p85"]).count()
+        err = abs(below / total - 0.85)
+        sk.unpersist()
+        rec = {"mult": mult, "grain_rows": grain,
+               "build_sec": round(build_sec, 2),
+               "rollup_sec": round(rollup_sec, 2),
+               "max_sketch_bytes": szs["mx"],
+               "p85_rank_err": round(err, 5),
+               "rank_bound": round(kll_rank_error(2048) * 1.5, 5),
+               "distinct_users_est": row["distinct_user_id"]}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="iterative", choices=sorted(FAMILIES))
@@ -340,6 +405,30 @@ def main() -> int:
     spark = get_session("stress", master=args.master,
                         shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.family == "sketches":
+        mults = [int(m) for m in args.mults.split(",")]
+        results = run_sketches(spark, args.base, mults)
+        base_r = results[0]
+        summary = {
+            str(r["mult"]): {
+                "build_time_ratio":
+                    round(r["build_sec"] / max(base_r["build_sec"], .01), 2),
+                "grain_ratio":
+                    round(r["grain_rows"] / max(base_r["grain_rows"], 1), 2),
+                "rollup_time_ratio":
+                    round(r["rollup_sec"] / max(base_r["rollup_sec"], .01), 2),
+                "sketch_bytes_ratio":
+                    round(r["max_sketch_bytes"]
+                          / max(base_r["max_sketch_bytes"], 1), 2),
+                "p85_in_bound": r["p85_rank_err"] <= r["rank_bound"],
+                "users_ratio":
+                    round(r["distinct_users_est"]
+                          / max(base_r["distinct_users_est"], 1), 2)}
+            for r in results}
+        print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
 
     if args.family == "megablock":
         sizes = [0] + [int(m) for m in args.mults.split(",") if int(m) > 0]
