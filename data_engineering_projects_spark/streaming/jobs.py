@@ -236,3 +236,68 @@ def hourly_congestion_stream(speed_events: DataFrame, dim_loc: DataFrame,
         M.congestion_index(F.col("avg_speed"), F.lit(0),
                            F.col("speed_limit"), F.col("lanes"))
          .alias("congestion_index_novolume"))
+
+
+def sketch_rollup_stream(events: DataFrame, state_path: str,
+                         checkpoint: str, part_cols: list[str],
+                         value_cols: list[str],
+                         distinct_col: str | None = None,
+                         kll_k: int = 2048):
+    """Incremental sketch maintenance from a stream: each micro-batch is
+    sketched (``build_sketch_partitions``) and merged into the persisted
+    sketch partition table (``upsert_sketch_partitions``) — the streaming
+    entry point of the mergeable-sketch tier (operators/sketches.py).
+    Downstream percentile/distinct queries read ``state_path`` and merge
+    O(partitions) sketch rows; raw events are never rescanned.
+
+    Semantics under retries: ``foreachBatch`` is at-least-once, and the
+    merge is NOT idempotent (a replayed batch would double its rows into
+    n/sum and bias the sketches), so each applied batch id is recorded as
+    a marker file and replays are skipped — the standard batch-id
+    dedup for non-idempotent foreachBatch sinks. Single-writer per
+    ``state_path`` is assumed (same contract as any incremental model).
+
+    The swap is crash-safe with the interrupted-rename recovery protocol
+    of ``plans/models.py``: state → ``__bak``, tmp → state, then marker +
+    bak cleanup; a crash between the renames is healed by restoring
+    ``__bak`` before the next merge.
+
+    State size: one row per partition tuple (a few KB each — see
+    SCALING.md "sketches" stress), so the whole state table stays
+    broadcast-tiny even at 100 TB/day input; the per-batch cost is one
+    map-side-combined groupBy of the batch plus a merge over the grain.
+    """
+    import os
+    import shutil
+
+    from ..operators.sketches import (build_sketch_partitions,
+                                      upsert_sketch_partitions)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = state_path + f"__applied_{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed batch: already merged
+        spark = batch_df.sparkSession
+        bak, tmp = state_path + "__bak", state_path + "__tmp"
+        # heal an interrupted swap: bak exists but state vanished
+        if os.path.exists(bak) and not os.path.exists(state_path):
+            os.rename(bak, state_path)
+        fresh = build_sketch_partitions(batch_df, part_cols, value_cols,
+                                        distinct_col=distinct_col,
+                                        kll_k=kll_k)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            merged = upsert_sketch_partitions(old, fresh, part_cols,
+                                              value_cols, distinct_col)
+        else:
+            merged = fresh
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, bak)
+        os.rename(tmp, state_path)
+        open(marker, "w").close()
+        shutil.rmtree(bak, ignore_errors=True)
+
+    return (events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint).start())
