@@ -1,0 +1,231 @@
+"""Product quantization (PQ) for embedding compression + ADC search —
+the memory half of the IVF-PQ index family (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+At 100 TB an embedding column dominates storage: 1 B vectors × 64 float32
+dims = 256 GB that every ANN scan must read. PQ splits each vector into
+``m`` subvectors, k-means-quantizes each subspace to ``k`` centroids, and
+stores only the m one-byte-ish codes (64× compression at m=8 over 64
+float dims) plus an m×k codebook measured in kilobytes. Search uses
+asymmetric distance computation (ADC): the query stays exact, a per-query
+(m × k) table of subspace distances is built once against the codebook,
+and each corpus vector's approximate distance is m table lookups — no
+float vector is ever read at scan time.
+
+Spark-first shape:
+
+- **Training** runs all m subspace k-means in ONE distributed loop: the
+  corpus explodes to (vec_id, sub, subvec) rows once per iteration,
+  assignment is a broadcast join against the (m × k)-row codebook, and
+  centroid recompute is the same posexplode/groupBy-avg as
+  :func:`similarity.ivf_train` — shuffles keyed by (sub, code, dim),
+  no vector data on the driver.
+- **Encoding** is the assignment join + a pivot-free sort-collect to an
+  ``array<int>`` of m codes per vector.
+- **ADC search** broadcasts the per-query distance tables (built
+  distributed, collected only as part of the broadcast relation) and
+  evaluates ``aggregate(transform(codes, (c, i) -> tables[i][c]))`` —
+  a whole-stage-codegen'd expression over the codes column; shuffle is
+  the final per-query top-k only.
+
+Distance space: squared L2 (the PQ-standard). For L2-normalized
+embeddings L2 ranking equals cosine ranking, so recall is comparable to
+the cosine operators; ADC values are approximations BY DESIGN — the
+exactness contract (pinned in tests) is that ADC distance equals the
+true squared L2 to the RECONSTRUCTED (quantized) vector, bit-for-bit
+modulo float association.
+
+Reference note: the reference repo has no vector search at all (SURVEY.md
+§2 — absence); this extends the similarity-search surface
+(``embed_knn_*``) with the compressed tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pq_train", "pq_encode", "pq_reconstruct", "pq_adc_topk",
+           "pq_search_rerank"]
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _subvectors(df: DataFrame, m: int, id_col: str, vec_col: str,
+                d_sub: int) -> DataFrame:
+    """(id, sub, subvec): one row per vector per subspace, built from a
+    single static explode (no per-subspace scans)."""
+    parts = F.array(*[
+        F.struct(F.lit(s).alias("sub"),
+                 F.slice(F.col(vec_col).cast("array<double>"),
+                         s * d_sub + 1, d_sub).alias("subvec"))
+        for s in range(m)])
+    return df.select(F.col(id_col), F.explode(parts).alias("p")) \
+             .select(id_col, "p.sub", "p.subvec")
+
+
+def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, n_iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
+    """Learn the (sub, code, centroid) codebook: independent k-means per
+    subspace, all m run in the same distributed Lloyd loop.
+
+    Deterministic init (the ivf_train discipline): subspace s's initial
+    centroids are the subvectors of the k smallest ids. Returns
+    (sub int, code int, centroid array<double>) — m × k rows, kilobytes
+    at any corpus size."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m == 0, (dim, m)
+    d_sub = dim // m
+    sv = _subvectors(corpus, m, id_col, vec_col, d_sub)
+    wn = Window.partitionBy("sub").orderBy(id_col)
+    codebook = (sv.withColumn("rn", F.row_number().over(wn))
+                .filter(F.col("rn") <= k)
+                .select("sub", (F.col("rn") - 1).cast("int").alias("code"),
+                        F.col("subvec").alias("centroid")))
+    for _ in range(n_iters):
+        assigned = _assign(sv, codebook)
+        codebook = (assigned
+                    .select("sub", "code",
+                            F.posexplode("subvec").alias("dim", "val"))
+                    .groupBy("sub", "code", "dim")
+                    .agg(F.avg("val").alias("mean"))
+                    .groupBy("sub", "code")
+                    .agg(F.array_sort(F.collect_list(
+                        F.struct("dim", "mean"))).alias("dm"))
+                    .select("sub", "code",
+                            F.transform("dm", lambda s: s["mean"])
+                             .alias("centroid")))
+    return codebook
+
+
+def _assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment per (id, sub): broadcast join on sub
+    (k rows per subspace), rank by rounded distance with code tiebreak —
+    the ivf_assign determinism discipline."""
+    id_col = sv.columns[0]
+    d = _l2sq(F.col("subvec"), F.col("centroid"))
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.round(d, 9).asc(), F.col("code"))
+    return (sv.join(F.broadcast(codebook), "sub")
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(id_col, "sub", "code", "subvec"))
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, m: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int | None = None) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus: m small ints per
+    vector (one byte each at k ≤ 256 in any columnar encoding)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    sv = _subvectors(corpus, m, id_col, vec_col, dim // m)
+    assigned = _assign(sv, codebook)
+    return (assigned.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("sub", "code"))).alias("sc"))
+            .select(id_col,
+                    F.transform("sc", lambda s: s["code"]).alias("codes")))
+
+
+def pq_reconstruct(codes: DataFrame, codebook: DataFrame,
+                   id_col: str = "vec_id") -> DataFrame:
+    """(id, vec) — decode codes back to the quantized vectors (test /
+    debugging tier; production search never materializes this)."""
+    ex = codes.select(id_col, F.posexplode("codes").alias("sub", "code"))
+    joined = ex.join(F.broadcast(codebook), ["sub", "code"])
+    return (joined.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("sub", "centroid"))).alias("sc"))
+            .select(id_col,
+                    F.flatten(F.transform("sc", lambda s: s["centroid"]))
+                     .alias("vec")))
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+                k: int, m: int = 8, n_codes: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist),
+    RANK semantics on the rounded distance (ties all kept, the
+    ``cosine_topk_hof`` discipline).
+
+    The per-query distance tables are built DISTRIBUTED (queries ×
+    broadcast codebook → (query, sub, code, d2) → collected into an
+    array<array<double>> per query row) and then broadcast against the
+    codes relation; the scan-side work per corpus row is
+    ``aggregate(transform(codes, (c, i) -> tables[i][c]))`` — m array
+    lookups, no float vectors touched."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    sv = _subvectors(queries, m, id_col, vec_col, dim // m)
+    tbl = (sv.join(F.broadcast(codebook), "sub")
+           .select(F.col(id_col).alias("query_id"), "sub", "code",
+                   _l2sq(F.col("subvec"), F.col("centroid")).alias("d2")))
+    tables = (tbl.groupBy("query_id", "sub")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("code", "d2"))).alias("cd"))
+              .select("query_id", "sub",
+                      F.transform("cd", lambda s: s["d2"]).alias("row"))
+              .groupBy("query_id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("sub", "row"))).alias("sr"))
+              .select("query_id",
+                      F.transform("sr", lambda s: s["row"])
+                       .alias("tables")))
+    c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    dist = F.aggregate(
+        F.transform("codes",
+                    lambda code, i: F.get(F.get("tables", i), code)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    sims = (c.join(F.broadcast(tables),
+                   F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", dist.alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("adc_dist", 9).asc(), F.col("neighbor_id"))
+    return (sims.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("adc_dist", 6).alias("adc_dist")))
+
+
+def pq_search_rerank(queries: DataFrame, codes: DataFrame,
+                     codebook: DataFrame, corpus: DataFrame, k: int,
+                     overfetch: int = 5, m: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int | None = None) -> DataFrame:
+    """Two-stage PQ search — the production shape: ADC over the
+    compressed codes shortlists ``k × overfetch`` candidates per query
+    (cheap scan, no float vectors), then ONLY the shortlist joins back to
+    the raw embeddings for exact squared-L2 rerank. Returns
+    (query_id, neighbor_id, dist) — exact distances, RANK top-k.
+
+    Recall equals the shortlist's containment of the true top-k (raise
+    ``overfetch`` or codebook resolution to trade scan cost for recall);
+    everything the shortlist contains is ordered EXACTLY. At 100 TB the
+    rerank join touches ``queries × k × overfetch`` corpus rows — an
+    equi-join on ids against a shortlist that is many orders of magnitude
+    smaller than the corpus."""
+    short = pq_adc_topk(queries, codes, codebook, k * overfetch, m=m,
+                        id_col=id_col, vec_col=vec_col, dim=dim)
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("q"))
+    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("c"))
+    exact = (short.select("query_id", "neighbor_id")
+             .join(cs, "neighbor_id")
+             .join(F.broadcast(qs), "query_id")
+             .select("query_id", "neighbor_id",
+                     _l2sq(F.col("q"), F.col("c")).alias("dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 9).asc(), F.col("neighbor_id"))
+    return (exact.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("dist", 6).alias("dist")))

@@ -1,0 +1,129 @@
+"""Product quantization (operators/pq.py).
+
+Tier split (module docstring): ADC-vs-reconstruction equality is an
+EXACT contract (pinned to 1e-6 after the shared ROUND); recall against
+brute force is a bound contract (quantization loses information by
+design — the fixture embeddings are random, PQ's worst case, so the
+floor is deliberately below the measured 0.82)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_reconstruct,
+    pq_search_rerank,
+    pq_train,
+)
+
+M, K, ITERS = 16, 32, 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df.persist(); df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def trained(emb):
+    cb = pq_train(emb, m=M, k=K, n_iters=ITERS)
+    cb.persist(); cb.count()
+    codes = pq_encode(emb, cb, m=M)
+    codes.persist(); codes.count()
+    yield cb, codes
+    cb.unpersist(); codes.unpersist()
+
+
+def _l2(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _brute_top10(emb, queries):
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("q"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").cast("array<double>").alias("c"))
+    d = (q.crossJoin(c).filter("query_id != neighbor_id")
+         .select("query_id", "neighbor_id", _l2("q", "c").alias("d")))
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(),
+                                               "neighbor_id")
+    return d.withColumn("r", F.row_number().over(w)).filter("r <= 10")
+
+
+def test_codebook_and_codes_shape(trained, emb):
+    cb, codes = trained
+    assert cb.count() == M * K
+    assert cb.select("sub").distinct().count() == M
+    first = codes.first()
+    assert len(first["codes"]) == M
+    rng = codes.select(F.explode("codes").alias("c")).agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx")).first()
+    assert rng["mn"] >= 0 and rng["mx"] < K
+    assert codes.count() == emb.count()
+
+
+def test_adc_equals_reconstructed_distance(spark, emb, trained):
+    """The ADC exactness contract: the table-lookup distance must equal
+    the direct squared L2 between the query and the RECONSTRUCTED
+    (quantized) neighbor — table build and lookup introduce no error
+    beyond float association."""
+    cb, codes = trained
+    queries = emb.filter("vec_id < 5")
+    top = pq_adc_topk(queries, codes, cb, k=10, m=M)
+    rec = pq_reconstruct(codes, cb).withColumnRenamed("vec_id",
+                                                      "neighbor_id")
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("q"))
+    chk = (top.join(rec, "neighbor_id").join(q, "query_id")
+           .select("adc_dist", F.round(_l2("q", "vec"), 6).alias("direct")))
+    bad = chk.filter(
+        F.abs(F.col("adc_dist") - F.col("direct")) > 1e-6).count()
+    assert bad == 0
+    assert top.groupBy("query_id").count().agg(
+        F.min("count")).first()[0] >= 10
+
+
+def test_rerank_recall_and_exact_distances(spark, emb, trained):
+    """Two-stage search: shortlist recall of the true top-10 ≥ 0.7 on
+    PQ's worst-case (random) embeddings at m=16/k=32/overfetch=5, and
+    every returned distance equals the true squared L2 (the rerank is
+    exact on the shortlist)."""
+    cb, codes = trained
+    queries = emb.filter("vec_id < 5")
+    got = pq_search_rerank(queries, codes, cb, emb, k=10, overfetch=5,
+                           m=M)
+    truth = _brute_top10(emb, queries)
+    tset = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    gset = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(tset & gset) / len(tset)
+    assert recall >= 0.7, recall
+    # distances exact: compare against the brute-force distance per pair
+    tr = truth.select("query_id", "neighbor_id",
+                      F.round("d", 6).alias("true_d"))
+    joined = got.join(tr, ["query_id", "neighbor_id"])
+    bad = joined.filter(
+        F.abs(F.col("dist") - F.col("true_d")) > 1e-6).count()
+    assert bad == 0
+
+
+def test_compression_ratio_and_pure_catalyst(emb, trained):
+    """Scale contract: the encoded relation carries m ints (bytes at
+    k≤256 in storage) instead of 64 floats, and the whole train/encode/
+    search path is JVM-only (no Python eval nodes)."""
+    cb, codes = trained
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert dict(codes.dtypes)["codes"] == "array<int>"
+    top = pq_adc_topk(emb.filter("vec_id < 2"), codes, cb, k=5, m=M)
+    plan2 = top._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2 and "ArrowEval" not in plan2
