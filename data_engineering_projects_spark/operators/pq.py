@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pq_train", "pq_encode", "pq_reconstruct", "pq_adc_topk",
-           "pq_search_rerank"]
+           "pq_search_rerank", "ivf_pq_search"]
 
 
 def _l2sq(a, b):
@@ -226,6 +226,88 @@ def pq_search_rerank(queries: DataFrame, codes: DataFrame,
     w = Window.partitionBy("query_id").orderBy(
         F.round("dist", 9).asc(), F.col("neighbor_id"))
     return (exact.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("dist", 6).alias("dist")))
+
+
+def ivf_pq_search(queries: DataFrame, assigned_codes: DataFrame,
+                  centroids: DataFrame, codebook: DataFrame,
+                  corpus: DataFrame, k: int, nprobe: int = 2,
+                  overfetch: int = 5, m: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int | None = None) -> DataFrame:
+    """The composed 100 TB search shape: IVF bounds WHICH vectors a query
+    touches (codes restricted to the query's ``nprobe`` nearest cells),
+    PQ-ADC bounds the BYTES per touched vector, and the exact rerank
+    bounds the error — ``similarity.ivf_search``'s cell-restricted
+    equi-join with the scan side reading codes instead of float vectors.
+
+    ``assigned_codes``: (id, cell, codes) — ``similarity.ivf_assign``
+    output joined with :func:`pq_encode` (built once at index time).
+    ``centroids``: the IVF cell centroids; ``codebook``: the PQ codebook;
+    ``corpus``: raw embeddings, touched ONLY by the shortlist rerank.
+
+    With ``nprobe`` ≥ the cell count this degrades gracefully to plain
+    ADC-over-everything + rerank (pinned in tests); at production cell
+    counts the scan cost is corpus/n_cells × nprobe rows × m byte
+    lookups."""
+    from .similarity import cosine_similarity  # re-exported there
+
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc(F.round(sim, 9)), "cell")
+    probes = (queries.crossJoin(F.broadcast(centroids))
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= nprobe)
+              .select(F.col(id_col).alias("query_id"), "cell"))
+
+    sv = _subvectors(queries, m, id_col, vec_col, dim // m)
+    tbl = (sv.join(F.broadcast(codebook), "sub")
+           .select(F.col(id_col).alias("query_id"), "sub", "code",
+                   _l2sq(F.col("subvec"), F.col("centroid")).alias("d2")))
+    tables = (tbl.groupBy("query_id", "sub")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("code", "d2"))).alias("cd"))
+              .select("query_id", "sub",
+                      F.transform("cd", lambda s: s["d2"]).alias("row"))
+              .groupBy("query_id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("sub", "row"))).alias("sr"))
+              .select("query_id",
+                      F.transform("sr", lambda s: s["row"])
+                       .alias("tables")))
+    probe_tables = probes.join(tables, "query_id")
+
+    c = assigned_codes.select(F.col(id_col).alias("neighbor_id"),
+                              "cell", "codes")
+    dist = F.aggregate(
+        F.transform("codes",
+                    lambda code, i: F.get(F.get("tables", i), code)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    short = (c.join(F.broadcast(probe_tables), "cell")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", dist.alias("adc_dist")))
+    sw = Window.partitionBy("query_id").orderBy(
+        F.round("adc_dist", 9).asc(), F.col("neighbor_id"))
+    short = (short.withColumn("rk", F.rank().over(sw))
+             .filter(F.col("rk") <= k * overfetch)
+             .select("query_id", "neighbor_id")
+             # a vector in 2+ probed cells must rerank once, not twice
+             .distinct())
+
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("q"))
+    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("c"))
+    exact = (short.join(cs, "neighbor_id")
+             .join(F.broadcast(qs), "query_id")
+             .select("query_id", "neighbor_id",
+                     _l2sq(F.col("q"), F.col("c")).alias("dist")))
+    fw = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 9).asc(), F.col("neighbor_id"))
+    return (exact.withColumn("rk", F.rank().over(fw))
             .filter(F.col("rk") <= k)
             .select("query_id", "neighbor_id",
                     F.round("dist", 6).alias("dist")))

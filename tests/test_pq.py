@@ -127,3 +127,50 @@ def test_compression_ratio_and_pure_catalyst(emb, trained):
     top = pq_adc_topk(emb.filter("vec_id < 2"), codes, cb, k=5, m=M)
     plan2 = top._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2 and "ArrowEval" not in plan2
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark, emb, trained):
+    """Degradation contract: probing EVERY cell makes IVF-PQ return the
+    same result set as plain two-stage PQ search (the cell restriction
+    is the only approximation IVF adds)."""
+    from data_engineering_projects_spark.operators.pq import ivf_pq_search
+    from data_engineering_projects_spark.operators.similarity import (
+        ivf_assign, ivf_train)
+
+    cb, codes = trained
+    n_cells = 4
+    cents = ivf_train(emb, n_cells=n_cells, n_iters=2)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cell") \
+        .join(codes, "vec_id")
+    queries = emb.filter("vec_id < 5")
+    full = ivf_pq_search(queries, assigned, cents, cb, emb, k=10,
+                         nprobe=n_cells, overfetch=5, m=M)
+    plain = pq_search_rerank(queries, codes, cb, emb, k=10, overfetch=5,
+                             m=M)
+    a = {(r["query_id"], r["neighbor_id"], r["dist"])
+         for r in full.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["dist"])
+         for r in plain.collect()}
+    assert a == b
+
+
+def test_ivf_pq_partial_probe_recall_floor(spark, emb, trained):
+    """nprobe=2 of 4 cells on worst-case random embeddings must still
+    find at least half of the true top-10 (cell restriction + coarse
+    codes compound; the floor is a regression bound, measured above
+    it)."""
+    from data_engineering_projects_spark.operators.pq import ivf_pq_search
+    from data_engineering_projects_spark.operators.similarity import (
+        ivf_assign, ivf_train)
+
+    cb, codes = trained
+    cents = ivf_train(emb, n_cells=4, n_iters=2)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cell") \
+        .join(codes, "vec_id")
+    queries = emb.filter("vec_id < 5")
+    got = ivf_pq_search(queries, assigned, cents, cb, emb, k=10,
+                        nprobe=2, overfetch=5, m=M)
+    truth = _brute_top10(emb, queries)
+    tset = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    gset = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert len(tset & gset) / len(tset) >= 0.5
