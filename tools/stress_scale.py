@@ -100,6 +100,13 @@ FAMILIES = {
     # planted block of N identical docs (same length band, same first
     # word) where each uncapped pair ALSO pays the O(len^2) DP verify.
     "megablock": [],
+    # special-cased in main(): PQ encode + ADC search (operators/pq.py)
+    # under k-fold embeddings (vectors verbatim, ids shifted; codebook
+    # trained ONCE on the 1x corpus — index params are fixed at build
+    # time in production). Claims: code rows exactly linear, encode and
+    # ADC-scan wall ~linear, shortlist size per query FLAT (k x
+    # overfetch regardless of corpus size).
+    "pq": [],
     # special-cased in main(): the mergeable-sketch partition tier
     # (operators/sketches.py). Claims under k-fold events with shifted
     # users: build wall ~linear, sketch GRAIN flat (types x days — data
@@ -332,6 +339,52 @@ def run_megablock(spark, base: str, sizes: list[int]) -> list[dict]:
 
 
 
+
+
+def run_pq(spark, base: str, mults: list[int]) -> list[dict]:
+    """PQ encode + ADC-shortlist scaling under k-fold embeddings."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.operators.pq import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    emb1 = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    codebook = pq_train(emb1, m=16, k=32, n_iters=2).persist()
+    codebook.count()
+    queries = emb1.filter("vec_id < 10").persist()
+    queries.count()
+    results = []
+    for mult in mults:
+        base_tag = os.path.basename(os.path.normpath(base))
+        sf_dir = (base if mult == 1
+                  else f"/tmp/depa_stress_{base_tag}_pq_x{mult}")
+        if mult > 1:
+            build_fixture(base, mult, sf_dir)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        pq_encode(emb, codebook, m=16) \
+            .write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        codes = pq_encode(emb, codebook, m=16).persist()
+        n_codes = codes.count()
+        enc_sec = time.perf_counter() - t0
+        pq_adc_topk(queries, codes, codebook, k=50, m=16) \
+            .write.format("noop").mode("overwrite").save()  # warm
+        t1 = time.perf_counter()
+        short = pq_adc_topk(queries, codes, codebook, k=50, m=16)
+        short_rows = short.count()
+        search_sec = time.perf_counter() - t1
+        codes.unpersist()
+        rec = {"mult": mult, "code_rows": n_codes,
+               "encode_sec": round(enc_sec, 2),
+               "search_sec": round(search_sec, 2),
+               "shortlist_rows": short_rows}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    codebook.unpersist()
+    queries.unpersist()
+    return results
+
+
 def run_sketches(spark, base: str, mults: list[int]) -> list[dict]:
     """Per-mult: timed sketch build over k-fold events (shifted users),
     grain/row-size stats, timed grain-only rollup, and a merged-p85
@@ -405,6 +458,24 @@ def main() -> int:
     spark = get_session("stress", master=args.master,
                         shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.family == "pq":
+        mults = [int(m) for m in args.mults.split(",")]
+        results = run_pq(spark, args.base, mults)
+        b = results[0]
+        summary = {
+            str(r["mult"]): {
+                "code_rows_ratio":
+                    round(r["code_rows"] / max(b["code_rows"], 1), 2),
+                "encode_time_ratio":
+                    round(r["encode_sec"] / max(b["encode_sec"], .01), 2),
+                "search_time_ratio":
+                    round(r["search_sec"] / max(b["search_sec"], .01), 2),
+                "shortlist_rows": r["shortlist_rows"]}
+            for r in results}
+        print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
 
     if args.family == "sketches":
         mults = [int(m) for m in args.mults.split(",")]
