@@ -53,6 +53,7 @@ __all__ = [
     "rollup_sketch_partitions",
     "sketch_quantiles",
     "upsert_sketch_partitions",
+    "sketch_drift",
 ]
 
 
@@ -170,3 +171,44 @@ def upsert_sketch_partitions(existing: DataFrame | None, fresh: DataFrame,
     both = existing.unionByName(fresh)
     return rollup_sketch_partitions(both, part_cols, value_cols,
                                     distinct_col)
+
+
+def sketch_drift(sk: DataFrame, group_cols: list[str], day_col: str,
+                 value_col: str, prob: float = 0.5,
+                 window_days: int = 7) -> DataFrame:
+    """Distribution-drift report from the sketch partition table alone:
+    for every (group, day), the day's quantile vs the same quantile of
+    the merged trailing ``window_days`` sketches, plus the day-over-
+    baseline delta. The monitoring query a percentile state table exists
+    for — and it touches ZERO raw rows: the self-join is sketch-grain ×
+    window_days (KBs), so it runs at this cost at any corpus size.
+
+    Returns (group..., day, day_q, baseline_q, drift, n_rows,
+    baseline_days); days with no complete trailing window (fewer than
+    ``window_days`` prior days present) are omitted — a drift against a
+    partial baseline is noise, not signal."""
+    kll = _kll_col(value_col)
+    cur = sk.select(*group_cols, F.col(day_col).alias("__day"),
+                    F.col(kll).alias("__cur"),
+                    F.col("n_rows").alias("__n"))
+    hist = sk.select(*[F.col(c).alias(f"__h_{c}") for c in group_cols],
+                     F.col(day_col).alias("__h_day"),
+                     F.col(kll).alias("__h_kll"))
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"__h_{c}"))
+    cond = cond & (F.col("__h_day") >= F.date_sub("__day", window_days)) \
+                & (F.col("__h_day") < F.col("__day"))
+    joined = cur.join(hist, cond)
+    merged = (joined.groupBy(*group_cols, "__day", "__cur", "__n")
+              .agg(merge_kll("__h_kll").alias("__base"),
+                   F.countDistinct("__h_day").alias("baseline_days"))
+              .filter(F.col("baseline_days") == window_days))
+    p = F.lit(float(prob))
+    day_q = F.kll_sketch_get_quantile_double("__cur", p)
+    base_q = F.kll_sketch_get_quantile_double("__base", p)
+    return merged.select(
+        *group_cols, F.col("__day").alias(day_col),
+        day_q.alias("day_q"), base_q.alias("baseline_q"),
+        (day_q - base_q).alias("drift"),
+        F.col("__n").alias("n_rows"), "baseline_days")

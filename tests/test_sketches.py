@@ -238,3 +238,38 @@ def test_sketch_rollup_stream_matches_batch_and_skips_replays(
     q2.processAllAvailable(); q2.stop()
     after = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert after == before
+
+
+def test_sketch_drift_detects_planted_shift(spark):
+    """Drift report from sketches alone: 8 days of a stable distribution
+    per group, day 8 shifted +100 in group 'b' only — drift must surface
+    ~+100 for ('b', day 8), ~0 for ('a', day 8), and no row may exist
+    for days without a complete 7-day trailing window."""
+    from datetime import date
+
+    from data_engineering_projects_spark.operators.sketches import (
+        sketch_drift)
+
+    rows = []
+    for day in range(1, 9):
+        for grp in ("a", "b"):
+            shift = 100.0 if (grp == "b" and day == 8) else 0.0
+            for i in range(400):
+                # deterministic spread in [0, 10)
+                rows.append((grp, date(2026, 1, day),
+                             (i % 100) / 10.0 + shift, i))
+    df = spark.createDataFrame(
+        rows, "event_type string, day date, value double, user_id long")
+    sk = build_sketch_partitions(df, PART, VALUE_COLS,
+                                 distinct_col="user_id", kll_k=KLL_K)
+    rep = sketch_drift(sk, ["event_type"], "day", "value", prob=0.5,
+                       window_days=7)
+    got = {(r["event_type"], r["day"].day): r for r in rep.collect()}
+    # only day 8 has 7 complete prior days
+    assert set(got) == {("a", 8), ("b", 8)}
+    assert abs(got[("a", 8)]["drift"]) < 0.5
+    assert abs(got[("b", 8)]["drift"] - 100.0) < 0.5
+    assert got[("b", 8)]["baseline_days"] == 7
+    # the report plan reads only the sketch relation (grain^2-bounded
+    # self-join), never the raw rows: n_rows carried from the sketch
+    assert got[("b", 8)]["n_rows"] == 400
