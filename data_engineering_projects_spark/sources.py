@@ -151,3 +151,31 @@ def read_jsonl(spark: SparkSession, paths: list[str] | str, schema=None,
         reader = (reader.schema(schema)
                   .option("columnNameOfCorruptRecord", corrupt_col))
     return reader.json(paths)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str, schema=None,
+                         merge_schema: bool = False) -> DataFrame:
+    """Schema-evolution-tolerant parquet reader for long-lived append
+    tables (a corpus directory written over months gains columns).
+
+    Two strategies, chosen by whether the TARGET schema is known:
+
+    - ``schema`` given (the production path): read with the declared
+      schema — files missing a column yield NULLs for it, extra columns
+      in newer files are pruned, and NO footer pass happens. O(0) planning
+      cost at any file count; this is the 100 TB default.
+    - ``merge_schema=True`` (the exploration path): ``mergeSchema``
+      unions every file footer's schema. Correct, but the planning cost
+      is a footer read per file — O(files), noticeable at 10⁵+ files —
+      so it is opt-in, never the default.
+
+    Incompatible evolutions (same column, different type) fail loudly in
+    both modes — parquet cannot reconcile them at read time; that class
+    needs a rewrite migration.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)

@@ -7,9 +7,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, IntegerType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
+from data_engineering_projects_spark.sources import read_parquet_evolved
 from data_engineering_projects_spark.sources import (
     load_table, read_csv_glob, register_views,
 )
@@ -341,3 +342,40 @@ class TestZorderedWrite:
         p = str(tmp_path / "z3")
         assert sinks.write_zordered(df, p, ["x", "y"]) == 1
         assert spark.read.parquet(p).count() == 0
+
+
+class TestSchemaEvolution:
+    """read_parquet_evolved: appended files gained a column."""
+
+    @staticmethod
+    def _write_two_generations(spark, path):
+        (spark.range(5).selectExpr("id AS doc_id", "'v1' AS text")
+         .write.mode("overwrite").parquet(path))
+        (spark.range(5, 10).selectExpr("id AS doc_id", "'v2' AS text",
+                                       "CAST(id AS DOUBLE) AS quality")
+         .write.mode("append").parquet(path))
+
+    def test_declared_schema_nulls_missing_column(self, spark, tmp_path):
+        p = str(tmp_path / "evo")
+        self._write_two_generations(spark, p)
+        target = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("quality", DoubleType()),
+        ])
+        df = read_parquet_evolved(spark, p, schema=target)
+        assert df.count() == 10
+        assert df.filter("quality IS NULL").count() == 5   # v1 files
+        assert df.filter("quality IS NOT NULL").count() == 5
+        assert [f.name for f in df.schema.fields] == \
+               ["doc_id", "text", "quality"]
+
+    def test_merge_schema_unions_footers(self, spark, tmp_path):
+        p = str(tmp_path / "evo2")
+        self._write_two_generations(spark, p)
+        df = read_parquet_evolved(spark, p, merge_schema=True)
+        assert set(c for c in df.columns) == {"doc_id", "text", "quality"}
+        assert df.count() == 10
+        # default (no schema, no merge) may miss the evolved column
+        plain = read_parquet_evolved(spark, p)
+        assert plain.count() == 10
