@@ -100,6 +100,11 @@ FAMILIES = {
     # planted block of N identical docs (same length band, same first
     # word) where each uncapped pair ALSO pays the O(len^2) DP verify.
     "megablock": [],
+    # special-cased in main(): the COMPOSED corpus-prep pipeline
+    # (pipelines/corpus.py) on rotated documents: final rows and every
+    # stage count must scale exactly linearly (per-copy character
+    # bijections make copies independent corpora), wall ~linear.
+    "corpus": [],
     # special-cased in main(): PQ encode + ADC search (operators/pq.py)
     # under k-fold embeddings (vectors verbatim, ids shifted; codebook
     # trained ONCE on the 1x corpus — index params are fixed at build
@@ -341,6 +346,39 @@ def run_megablock(spark, base: str, sizes: list[int]) -> list[dict]:
 
 
 
+
+
+def run_corpus(spark, base: str, mults: list[int]) -> list[dict]:
+    """End-to-end prepare_corpus under k-fold rotated documents."""
+    from data_engineering_projects_spark.pipelines.corpus import (
+        prepare_corpus)
+    from data_engineering_projects_spark.sources import load_table, widen
+
+    results = []
+    for mult in mults:
+        base_tag = os.path.basename(os.path.normpath(base))
+        sf_dir = (base if mult == 1
+                  else f"/tmp/depa_stress_{base_tag}_corpus_x{mult}")
+        if mult > 1:
+            build_fixture(base, mult, sf_dir, rotate_docs=True)
+        docs = widen(load_table(spark, sf_dir, "documents"))
+        res = prepare_corpus(docs)  # warm codegen/JIT on this fixture
+        res.report.collect(); res.unpersist()
+        t0 = time.perf_counter()
+        res = prepare_corpus(docs)
+        rep = {r["stage"]: (r["docs_in"], r["docs_out"])
+               for r in res.report.collect()}
+        final_rows = res.docs.count()
+        sec = time.perf_counter() - t0
+        res.unpersist()
+        rec = {"mult": mult, "sec": round(sec, 2),
+               "final_rows": final_rows,
+               **{f"{st}_out": v[1] for st, v in rep.items()}}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    return results
+
+
 def run_pq(spark, base: str, mults: list[int]) -> list[dict]:
     """PQ encode + ADC-shortlist scaling under k-fold embeddings."""
     from pyspark.sql import functions as F
@@ -458,6 +496,23 @@ def main() -> int:
     spark = get_session("stress", master=args.master,
                         shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.family == "corpus":
+        mults = [int(m) for m in args.mults.split(",")]
+        results = run_corpus(spark, args.base, mults)
+        b = results[0]
+        stage_keys = [k for k in b if k.endswith("_out")]
+        summary = {
+            str(r["mult"]): {
+                "time_ratio": round(r["sec"] / max(b["sec"], .01), 2),
+                "final_rows_ratio":
+                    round(r["final_rows"] / max(b["final_rows"], 1), 2),
+                **{k + "_ratio": round(r[k] / max(b[k], 1), 2)
+                   for k in stage_keys}}
+            for r in results}
+        print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
 
     if args.family == "pq":
         mults = [int(m) for m in args.mults.split(",")]
