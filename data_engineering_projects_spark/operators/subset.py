@@ -1,0 +1,102 @@
+"""FK-consistent star-schema subsetting: carve a referentially-intact
+fraction of a warehouse for dev/test environments.
+
+Sampling each table independently breaks every join (a 1% orders sample
+× 1% lineitem sample keeps ~0.01% of joinable pairs and orphans the
+rest). The correct operation is anchored closure: deterministically
+sample ONE anchor table's keys, then
+
+1. **downward** (anchor → its descendants via FK edges where the
+   restricted table is the parent): children restrict by semi-join on
+   the FK — a lineitem row without its sampled order disappears;
+2. **upward** (dimensions): every parent keeps the UNION of keys still
+   referenced by ALL of its children, computed children-first in
+   topological order — so diamonds (nation referenced by both customer
+   and supplier) keep every referenced row, and a child NOT reachable
+   from the anchor contributes its full reference set (its rows pass
+   through unchanged, so its parents must still satisfy them).
+
+The result joins exactly like production data at a fraction of the
+size, and ``quality.relationships`` checks pass on it by construction
+(pinned in tests).
+
+Scale shape: one deterministic hash filter on the anchor + one
+semi-join per FK edge, each an equi-join whose small side is the
+restricted/union key set — broadcastable at dev fractions. No collects,
+no driver-side key lists.
+
+Reference note: the reference repo ships no sampling/subsetting anywhere
+(SURVEY.md §2 — absence); dev environments there re-run full extracts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["FK", "subset_star"]
+
+
+@dataclass(frozen=True)
+class FK:
+    """child.child_col references parent.parent_col."""
+    child: str
+    child_col: str
+    parent: str
+    parent_col: str
+
+
+def subset_star(tables: dict[str, DataFrame], anchor: str,
+                anchor_key: str, fks: list[FK], fraction: float,
+                seed: int = 42) -> dict[str, DataFrame]:
+    """Return FK-closed subsets of ``tables`` anchored on a
+    deterministic ``fraction`` of ``anchor``'s keys (xxhash64 bucket —
+    same seed, same subset, any cluster). Tables not named in any FK
+    edge pass through unchanged. Raises on a cycle among parent
+    tables (a snowflake schema is a DAG; cycles need manual cuts)."""
+    out = dict(tables)
+    out[anchor] = tables[anchor].filter(
+        F.pmod(F.xxhash64(F.col(anchor_key), F.lit(seed)), F.lit(10_000))
+        < F.lit(int(round(fraction * 10_000))))
+
+    # 1. downward: restrict the anchor's descendants
+    down = {anchor}
+    frontier = [anchor]
+    while frontier:
+        nxt = []
+        for fk in fks:
+            if fk.parent in frontier and fk.child not in down:
+                keys = (out[fk.parent]
+                        .select(F.col(fk.parent_col).alias(fk.child_col))
+                        .distinct())
+                out[fk.child] = out[fk.child].join(keys, fk.child_col,
+                                                   "left_semi")
+                down.add(fk.child)
+                nxt.append(fk.child)
+        frontier = nxt
+
+    # 2. upward: parents keep the union of ALL children's referenced
+    # keys, children-first (a parent whose child is itself a pending
+    # parent waits for that child's restriction)
+    remaining = {fk.parent for fk in fks if fk.parent not in down}
+    while remaining:
+        progressed = False
+        for p in sorted(remaining):
+            kids = [fk for fk in fks if fk.parent == p]
+            if any(fk.child in remaining for fk in kids):
+                continue  # not ready: a referencing child is pending
+            keys = None
+            for fk in kids:
+                kk = out[fk.child].select(
+                    F.col(fk.child_col).alias(fk.parent_col))
+                keys = kk if keys is None else keys.unionByName(kk)
+            out[p] = out[p].join(keys.distinct(), kids[0].parent_col,
+                                 "left_semi")
+            remaining.discard(p)
+            progressed = True
+        if not progressed:
+            raise ValueError(
+                f"cycle among parent tables: {sorted(remaining)}")
+    return out

@@ -1,0 +1,88 @@
+"""FK-consistent subsetting (operators/subset.py) on the real star
+fixture — the nation diamond (referenced by customer AND supplier) is
+the case naive per-edge closure orphans."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_projects_spark.operators.subset import (
+    FK,
+    subset_star,
+)
+
+FKS = [
+    FK("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    FK("lineitem", "l_partkey", "part", "p_partkey"),
+    FK("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    FK("orders", "o_custkey", "customer", "c_custkey"),
+    FK("customer", "c_nationkey", "nation", "n_nationkey"),
+    FK("supplier", "s_nationkey", "nation", "n_nationkey"),
+    FK("nation", "n_regionkey", "region", "r_regionkey"),
+]
+NAMES = ["region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def star(spark, sf_dir):
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+            for n in NAMES}
+
+
+@pytest.fixture(scope="module")
+def sub(star):
+    return subset_star(star, "orders", "o_orderkey", FKS, fraction=0.1)
+
+
+def test_no_orphans_on_any_fk(sub):
+    """Every FK relationship holds in the subset — including both arms
+    of the nation diamond."""
+    for fk in FKS:
+        orphans = (sub[fk.child]
+                   .filter(F.col(fk.child_col).isNotNull())
+                   .join(sub[fk.parent]
+                         .select(F.col(fk.parent_col)
+                                  .alias(fk.child_col)),
+                         fk.child_col, "left_anti").count())
+        assert orphans == 0, (fk, orphans)
+
+
+def test_anchor_fraction_and_children_follow(star, sub):
+    total = star["orders"].count()
+    kept = sub["orders"].count()
+    assert abs(kept / total - 0.1) < 0.03
+    # lineitem restricted to exactly the kept orders' items
+    expect = (star["lineitem"]
+              .join(sub["orders"].select("o_orderkey")
+                    .withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey", "left_semi").count())
+    assert sub["lineitem"].count() == expect
+
+
+def test_deterministic_and_parents_minimal(star, sub):
+    again = subset_star(star, "orders", "o_orderkey", FKS, fraction=0.1)
+    a = {r["o_orderkey"] for r in sub["orders"].select("o_orderkey")
+         .collect()}
+    b = {r["o_orderkey"] for r in again["orders"].select("o_orderkey")
+         .collect()}
+    assert a == b
+    # customer keeps exactly the referenced keys, nothing more
+    refd = sub["orders"].select("o_custkey").distinct().count()
+    assert sub["customer"].count() == refd
+
+
+def test_unreferenced_tables_pass_through(spark, star, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tables = dict(star); tables["events"] = ev
+    out = subset_star(tables, "orders", "o_orderkey", FKS, fraction=0.1)
+    assert out["events"].count() == ev.count()
+
+
+def test_cycle_raises(star):
+    cyc = FKS + [FK("region", "r_regionkey", "customer", "c_custkey")]
+    with pytest.raises(ValueError, match="cycle"):
+        subset_star(star, "orders", "o_orderkey", cyc, fraction=0.1)
