@@ -158,48 +158,75 @@ def write_warehouse(df: DataFrame, fmt: str, table: str, mode: str = "append",
     the plan is identical."""
     df.write.format(fmt).options(**options).option("table", table).mode(mode).save()
 
-def zorder_code(df: DataFrame, cols: list[str], bits: int = 16):
-    """Morton (Z-order) key as a Catalyst expression: each column is
-    linearly scaled to a ``bits``-wide unsigned bucket against its
-    measured min/max (one bounded agg job — 2 scalars per column), then
-    the bucket bits are interleaved with a static shift/or expression
-    tree (``bits × len(cols)`` terms, all whole-stage-codegen'd).
+def zorder_code(df: DataFrame, cols: list[str], bits: int = 16,
+                rank: str = "minmax"):
+    """Morton (Z-order) key as a Catalyst expression.
 
-    Returns ``(code_column, stats)`` where stats maps col → (min, max)
-    so callers can persist the scaling used. Linear bucketing is
-    skew-sensitive by design — it keeps the key computation one cheap
-    pass; heavily-skewed layout columns should be pre-transformed
-    (log/rank) by the caller.
+    ``rank="minmax"`` (default): each column linearly scales to a
+    ``bits``-wide unsigned bucket against its measured min/max (one
+    bounded agg job — 2 scalars per column). Cheap, but SKEW-SENSITIVE:
+    one extreme outlier stretches the range until every regular value
+    lands in bucket 0 and that dimension stops discriminating.
+
+    ``rank="quantile"``: bucket boundaries are the column's approximate
+    quantiles (distributed GK via ``approxQuantile`` — the boundary list
+    on the driver is 2^bits doubles, so this mode caps ``bits`` at 8 =
+    256 buckets/dim, plenty for file-level pruning). Equal-POPULATION
+    buckets: outliers own their own buckets and the bulk spreads across
+    the rest. Bucket lookup is a codegen'd HOF count of boundaries ≤
+    value (≤256 comparisons/row/dim).
+
+    Either way the bucket bits interleave with a static shift/or
+    expression tree (``bits × len(cols)`` terms, whole-stage-codegen'd).
+    Returns ``(code_column, stats)`` — stats maps col → (min, max) or
+    col → boundary list, so callers can persist the scaling used.
     """
     from pyspark.sql import functions as F
-    aggs = []
-    for c in cols:
-        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
-                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
-    row = df.agg(*aggs).first()
-    stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
     n = len(cols)
-    max_bucket = (1 << bits) - 1
+    buckets = {}
+    stats = {}
+    if rank == "quantile":
+        bits = min(bits, 8)
+        nb = 1 << bits
+        probs = [i / nb for i in range(1, nb)]
+        for c in cols:
+            bounds = df.select(F.col(c).cast("double").alias(c)) \
+                       .approxQuantile(c, probs, 1.0 / (4 * nb))
+            stats[c] = bounds
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            v = F.col(c).cast("double")
+            buckets[c] = F.size(F.filter(arr, lambda b: b <= v)) \
+                          .cast("long")
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+        row = df.agg(*aggs).first()
+        max_bucket = (1 << bits) - 1
+        for c in cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            stats[c] = (mn, mx)
+            span = (mx - mn) or 1.0
+            b = F.least(
+                F.lit(max_bucket),
+                F.floor((F.col(c).cast("double") - F.lit(mn))
+                        / F.lit(span) * F.lit(max_bucket + 1))
+                 .cast("long"))
+            buckets[c] = F.greatest(F.lit(0).cast("long"), b)
     code = F.lit(0).cast("long")
     for j, c in enumerate(cols):
-        mn, mx = stats[c]
-        span = (mx - mn) or 1.0
-        bucket = F.least(
-            F.lit(max_bucket),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
-                    * F.lit(max_bucket + 1)).cast("long"))
-        bucket = F.greatest(F.lit(0).cast("long"), bucket)
         for b in range(bits):
             code = code.bitwiseOR(
-                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
-                            b * n + j))
+                F.shiftleft(F.shiftright(buckets[c], b)
+                             .bitwiseAND(F.lit(1)), b * n + j))
     return code, stats
 
 
 def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
                    target_file_bytes: int = 128 << 20,
                    bits: int = 16, sample_rows: int = 10_000,
-                   mode: str = "overwrite",
+                   mode: str = "overwrite", rank: str = "minmax",
                    max_files: int = 100_000) -> int:
     """Z-order clustered parquet sink: multi-dimensional locality so
     parquet min/max footer stats prune files for predicates on ANY of
@@ -227,7 +254,7 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
     bpr = estimate_parquet_bytes_per_row(df, sample_rows=sample_rows)
     n_files = max(1, min(max_files,
                          math.ceil(rows * max(bpr, 1.0) / target_file_bytes)))
-    code, _ = zorder_code(df, zorder_cols, bits=bits)
+    code, _ = zorder_code(df, zorder_cols, bits=bits, rank=rank)
     out = (df.withColumn("__zorder__", code)
              .repartitionByRange(n_files, "__zorder__")
              .sortWithinPartitions("__zorder__")

@@ -379,3 +379,33 @@ class TestSchemaEvolution:
         # default (no schema, no merge) may miss the evolved column
         plain = read_parquet_evolved(spark, p)
         assert plain.count() == 10
+
+    def test_quantile_rank_survives_outliers(self, spark, tmp_path):
+        """One extreme outlier collapses minmax bucketing (every regular
+        x lands in bucket 0 → the x dimension stops discriminating and a
+        mid-range x predicate overlaps every file); quantile ranking
+        keeps equal-population buckets and prunes."""
+        n = 128
+        df = (spark.range(n * n)
+              .selectExpr(f"CAST(id % {n} AS DOUBLE) AS x",
+                          f"CAST(id DIV {n} AS LONG) AS y",
+                          "id AS payload")
+              .unionByName(spark.sql(
+                  "SELECT CAST(1e12 AS DOUBLE) x, 0L y, -1L payload")))
+        mm, qt = str(tmp_path / "mm"), str(tmp_path / "qt")
+        sinks.write_zordered(df, mm, ["x", "y"],
+                             target_file_bytes=2 << 10, rank="minmax")
+        sinks.write_zordered(df, qt, ["x", "y"],
+                             target_file_bytes=2 << 10, rank="quantile")
+        lo, hi = 0, 15  # bottom 1/8 of the REGULAR x domain
+        mm_stats = TestZorderedWrite._file_stats(spark, mm)
+        qt_stats = TestZorderedWrite._file_stats(spark, qt)
+        mm_hit = sum(1 for r in mm_stats
+                     if r["mnx"] <= hi and r["mxx"] >= lo)
+        qt_hit = sum(1 for r in qt_stats
+                     if r["mnx"] <= hi and r["mxx"] >= lo)
+        assert mm_hit == len(mm_stats)       # outlier killed x pruning
+        assert qt_hit <= len(qt_stats) / 2   # quantile mode still prunes
+        # row counts identical either way
+        assert spark.read.parquet(qt).count() == n * n + 1
+        assert len(qt_stats) >= 16
