@@ -413,7 +413,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_candidates(sets: DataFrame,
-                   bucket_cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+                   bucket_cap: int = _LSH_BUCKET_CAP,
+                   persisted_out: list | None = None) -> DataFrame:
     """LSH band-bucket candidate generation over a (doc_id, shs) relation:
     (doc_a, doc_b, n_shared_bands), PRE-verification. Split out of
     ``dedup_minhash_lsh`` (round 9) so the end-to-end pipeline stress can
@@ -440,6 +441,11 @@ def _mh_candidates(sets: DataFrame,
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
           for i, (a, b) in enumerate(_MH_AB)]).persist()
+    if persisted_out is not None:
+        # let long-lived callers (pipelines/corpus.py) release this
+        # persist when they are done — registry queries are one-shot
+        # and covered by the bench deep-free instead
+        persisted_out.append(mh)
     bands = mh.select(
         "doc_id",
         F.explode(F.array(*[

@@ -101,7 +101,14 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, n_iters: int = 2,
                     .select("sub", "code",
                             F.transform("dm", lambda s: s["mean"])
                              .alias("centroid")))
-    return codebook
+    # DENSIFY code ids (review-found): an empty cluster drops out of the
+    # recompute, leaving a GAP in the code values — and ADC looks
+    # distances up by POSITION in the per-sub table, so code values must
+    # be exactly 0..len-1 per subspace or every code past the gap reads
+    # its neighbor's distance (or NULL).
+    wd = Window.partitionBy("sub").orderBy("code")
+    return codebook.withColumn(
+        "code", (F.row_number().over(wd) - 1).cast("int"))
 
 
 def _assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -148,6 +155,51 @@ def pq_reconstruct(codes: DataFrame, codebook: DataFrame,
                      .alias("vec")))
 
 
+
+
+def _query_tables(queries: DataFrame, codebook: DataFrame, m: int,
+                  dim: int, id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, tables array<array<double>>): per-query ADC distance
+    tables, position-aligned with the codebook's DENSE code ids (see
+    pq_train — the lookup is positional)."""
+    sv = _subvectors(queries, m, id_col, vec_col, dim // m)
+    tbl = (sv.join(F.broadcast(codebook), "sub")
+           .select(F.col(id_col).alias("query_id"), "sub", "code",
+                   _l2sq(F.col("subvec"), F.col("centroid")).alias("d2")))
+    return (tbl.groupBy("query_id", "sub")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("code", "d2"))).alias("cd"))
+            .select("query_id", "sub",
+                    F.transform("cd", lambda s: s["d2"]).alias("row"))
+            .groupBy("query_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("sub", "row"))).alias("sr"))
+            .select("query_id",
+                    F.transform("sr", lambda s: s["row"])
+                     .alias("tables")))
+
+
+def _exact_rerank(short: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact squared-L2 rerank of a (query_id, neighbor_id) shortlist —
+    RANK top-k on the true distance."""
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("q"))
+    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("c"))
+    exact = (short.select("query_id", "neighbor_id")
+             .join(cs, "neighbor_id")
+             .join(F.broadcast(qs), "query_id")
+             .select("query_id", "neighbor_id",
+                     _l2sq(F.col("q"), F.col("c")).alias("dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 9).asc_nulls_last(), F.col("neighbor_id"))
+    return (exact.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("dist", 6).alias("dist")))
+
+
 def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
                 k: int, m: int = 8, n_codes: int = 16,
                 id_col: str = "vec_id", vec_col: str = "embedding",
@@ -164,21 +216,7 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
     lookups, no float vectors touched."""
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
-    sv = _subvectors(queries, m, id_col, vec_col, dim // m)
-    tbl = (sv.join(F.broadcast(codebook), "sub")
-           .select(F.col(id_col).alias("query_id"), "sub", "code",
-                   _l2sq(F.col("subvec"), F.col("centroid")).alias("d2")))
-    tables = (tbl.groupBy("query_id", "sub")
-              .agg(F.array_sort(F.collect_list(
-                  F.struct("code", "d2"))).alias("cd"))
-              .select("query_id", "sub",
-                      F.transform("cd", lambda s: s["d2"]).alias("row"))
-              .groupBy("query_id")
-              .agg(F.array_sort(F.collect_list(
-                  F.struct("sub", "row"))).alias("sr"))
-              .select("query_id",
-                      F.transform("sr", lambda s: s["row"])
-                       .alias("tables")))
+    tables = _query_tables(queries, codebook, m, dim, id_col, vec_col)
     c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
     dist = F.aggregate(
         F.transform("codes",
@@ -187,8 +225,10 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
     sims = (c.join(F.broadcast(tables),
                    F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", dist.alias("adc_dist")))
+    # nulls LAST defensively: a NULL distance must never outrank a real
+    # one (NULLs would otherwise poison the whole top-k under asc())
     w = Window.partitionBy("query_id").orderBy(
-        F.round("adc_dist", 9).asc(), F.col("neighbor_id"))
+        F.round("adc_dist", 9).asc_nulls_last(), F.col("neighbor_id"))
     return (sims.withColumn("rk", F.rank().over(w))
             .filter(F.col("rk") <= k)
             .select("query_id", "neighbor_id",
@@ -214,21 +254,7 @@ def pq_search_rerank(queries: DataFrame, codes: DataFrame,
     smaller than the corpus."""
     short = pq_adc_topk(queries, codes, codebook, k * overfetch, m=m,
                         id_col=id_col, vec_col=vec_col, dim=dim)
-    qs = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).cast("array<double>").alias("q"))
-    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("c"))
-    exact = (short.select("query_id", "neighbor_id")
-             .join(cs, "neighbor_id")
-             .join(F.broadcast(qs), "query_id")
-             .select("query_id", "neighbor_id",
-                     _l2sq(F.col("q"), F.col("c")).alias("dist")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("dist", 9).asc(), F.col("neighbor_id"))
-    return (exact.withColumn("rk", F.rank().over(w))
-            .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("dist", 6).alias("dist")))
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col)
 
 
 def ivf_pq_search(queries: DataFrame, assigned_codes: DataFrame,
@@ -263,21 +289,7 @@ def ivf_pq_search(queries: DataFrame, assigned_codes: DataFrame,
               .filter(F.col("r") <= nprobe)
               .select(F.col(id_col).alias("query_id"), "cell"))
 
-    sv = _subvectors(queries, m, id_col, vec_col, dim // m)
-    tbl = (sv.join(F.broadcast(codebook), "sub")
-           .select(F.col(id_col).alias("query_id"), "sub", "code",
-                   _l2sq(F.col("subvec"), F.col("centroid")).alias("d2")))
-    tables = (tbl.groupBy("query_id", "sub")
-              .agg(F.array_sort(F.collect_list(
-                  F.struct("code", "d2"))).alias("cd"))
-              .select("query_id", "sub",
-                      F.transform("cd", lambda s: s["d2"]).alias("row"))
-              .groupBy("query_id")
-              .agg(F.array_sort(F.collect_list(
-                  F.struct("sub", "row"))).alias("sr"))
-              .select("query_id",
-                      F.transform("sr", lambda s: s["row"])
-                       .alias("tables")))
+    tables = _query_tables(queries, codebook, m, dim, id_col, vec_col)
     probe_tables = probes.join(tables, "query_id")
 
     c = assigned_codes.select(F.col(id_col).alias("neighbor_id"),
@@ -290,24 +302,11 @@ def ivf_pq_search(queries: DataFrame, assigned_codes: DataFrame,
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id", dist.alias("adc_dist")))
     sw = Window.partitionBy("query_id").orderBy(
-        F.round("adc_dist", 9).asc(), F.col("neighbor_id"))
+        F.round("adc_dist", 9).asc_nulls_last(), F.col("neighbor_id"))
     short = (short.withColumn("rk", F.rank().over(sw))
              .filter(F.col("rk") <= k * overfetch)
              .select("query_id", "neighbor_id")
              # a vector in 2+ probed cells must rerank once, not twice
              .distinct())
 
-    qs = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).cast("array<double>").alias("q"))
-    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("c"))
-    exact = (short.join(cs, "neighbor_id")
-             .join(F.broadcast(qs), "query_id")
-             .select("query_id", "neighbor_id",
-                     _l2sq(F.col("q"), F.col("c")).alias("dist")))
-    fw = Window.partitionBy("query_id").orderBy(
-        F.round("dist", 9).asc(), F.col("neighbor_id"))
-    return (exact.withColumn("rk", F.rank().over(fw))
-            .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("dist", 6).alias("dist")))
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col)

@@ -61,21 +61,39 @@ def subset_star(tables: dict[str, DataFrame], anchor: str,
         F.pmod(F.xxhash64(F.col(anchor_key), F.lit(seed)), F.lit(10_000))
         < F.lit(int(round(fraction * 10_000))))
 
-    # 1. downward: restrict the anchor's descendants
+    # 1. downward: restrict the anchor's descendants. Two subtleties a
+    # naive BFS gets wrong (both found in review):
+    # - a child with TWO restricted parents (lineitem under both orders
+    #   and supplier when the anchor sits above a diamond) must
+    #   semi-join against BOTH — the subset is the intersection;
+    # - a child must restrict against its parents' FINAL subsets, so
+    #   edges apply in topological order (a parent that would tighten
+    #   later must tighten first, or the child captures the stale frame).
     down = {anchor}
-    frontier = [anchor]
-    while frontier:
-        nxt = []
+    changed = True
+    while changed:  # graph-only reachability, no DataFrame work
+        changed = False
         for fk in fks:
-            if fk.parent in frontier and fk.child not in down:
-                keys = (out[fk.parent]
-                        .select(F.col(fk.parent_col).alias(fk.child_col))
-                        .distinct())
-                out[fk.child] = out[fk.child].join(keys, fk.child_col,
-                                                   "left_semi")
+            if fk.parent in down and fk.child not in down:
                 down.add(fk.child)
-                nxt.append(fk.child)
-        frontier = nxt
+                changed = True
+    pending = set(down)
+    while pending:
+        ready = [t for t in sorted(pending)
+                 if not any(fk.child == t and fk.parent in pending
+                            for fk in fks)]
+        if not ready:
+            raise ValueError(
+                f"cycle among descendant tables: {sorted(pending)}")
+        for t in ready:
+            for fk in fks:
+                if fk.child == t and fk.parent in down:
+                    keys = (out[fk.parent]
+                            .select(F.col(fk.parent_col)
+                                     .alias(fk.child_col))
+                            .distinct())
+                    out[t] = out[t].join(keys, fk.child_col, "left_semi")
+        pending -= set(ready)
 
     # 2. upward: parents keep the union of ALL children's referenced
     # keys, children-first (a parent whose child is itself a pending

@@ -65,10 +65,11 @@ class CorpusResult:
     docs: DataFrame
     report: DataFrame
     audit: DataFrame
-    _persisted: DataFrame
+    _persisted: list
 
     def unpersist(self) -> None:
-        self._persisted.unpersist()
+        for df in self._persisted:
+            df.unpersist()
 
 
 def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
@@ -122,7 +123,9 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
             F.transform(
                 shingles_from_tokens(tokens(F.col("text")), shingle_k),
                 lambda s: md5_hash64(s, seed=0))).alias("shs"))
-    pairs = (_mh_verify(sets, _mh_candidates(sets))
+    extra_persists: list = []
+    pairs = (_mh_verify(sets, _mh_candidates(sets,
+                                             persisted_out=extra_persists))
              .filter(F.col("jaccard") >= jaccard_min)
              .select("doc_a", "doc_b"))
     labels = propagate_min_labels(pairs, iters=cc_iters)
@@ -180,4 +183,4 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     )).alias("s")).select("s.stage", "s.docs_in", "s.docs_out")
 
     return CorpusResult(docs=final, report=report, audit=audit,
-                        _persisted=persisted)
+                        _persisted=[persisted, *extra_persists])

@@ -183,18 +183,25 @@ def zorder_code(df: DataFrame, cols: list[str], bits: int = 16,
     """
     from pyspark.sql import functions as F
     n = len(cols)
+    # a long has 63 usable bits (bit 63 is the sign — a set sign bit
+    # inverts the range-partition order; shifts >= 64 wrap mod 64 and
+    # collide with low bits): cap bits so the interleave always fits
+    bits = min(bits, 63 // n)
     buckets = {}
     stats = {}
     if rank == "quantile":
         bits = min(bits, 8)
         nb = 1 << bits
         probs = [i / nb for i in range(1, nb)]
-        for c in cols:
-            bounds = df.select(F.col(c).cast("double").alias(c)) \
-                       .approxQuantile(c, probs, 1.0 / (4 * nb))
+        casted = df.select(*[F.col(c).cast("double").alias(c)
+                             for c in cols])
+        all_bounds = casted.approxQuantile(cols, probs, 1.0 / (4 * nb))
+        for c, bounds in zip(cols, all_bounds):
             stats[c] = bounds
             arr = F.array(*[F.lit(float(b)) for b in bounds])
             v = F.col(c).cast("double")
+            # NULL v: the filter predicate is NULL -> treated false ->
+            # size 0 -> bucket 0 (NULLs cluster at the key-space floor)
             buckets[c] = F.size(F.filter(arr, lambda b: b <= v)) \
                           .cast("long")
     else:
@@ -207,13 +214,21 @@ def zorder_code(df: DataFrame, cols: list[str], bits: int = 16,
         for c in cols:
             mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
             stats[c] = (mn, mx)
+            if mn is None or mx is None:
+                # all-NULL column: no scale exists; constant bucket 0
+                buckets[c] = F.lit(0).cast("long")
+                continue
             span = (mx - mn) or 1.0
             b = F.least(
                 F.lit(max_bucket),
                 F.floor((F.col(c).cast("double") - F.lit(mn))
                         / F.lit(span) * F.lit(max_bucket + 1))
                  .cast("long"))
-            buckets[c] = F.greatest(F.lit(0).cast("long"), b)
+            # coalesce AFTER the clamp: NULL values go to bucket 0 (the
+            # same floor placement as quantile mode), never the top
+            buckets[c] = F.coalesce(
+                F.greatest(F.lit(0).cast("long"), b),
+                F.lit(0).cast("long"))
     code = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         for b in range(bits):

@@ -258,9 +258,12 @@ def sketch_rollup_stream(events: DataFrame, state_path: str,
     ``state_path`` is assumed (same contract as any incremental model).
 
     The swap is crash-safe with the interrupted-rename recovery protocol
-    of ``plans/models.py``: state → ``__bak``, tmp → state, then marker +
-    bak cleanup; a crash between the renames is healed by restoring
-    ``__bak`` before the next merge.
+    of ``plans/models.py`` (state → ``__bak``, tmp → state; a crash
+    between the renames is healed by restoring ``__bak``), and the
+    batch-id markers live INSIDE the state directory (``_``-prefixed,
+    invisible to parquet readers) so marker and data commit in the same
+    rename — no crash window where the merge landed but its marker did
+    not.
 
     State size: one row per partition tuple (a few KB each — see
     SCALING.md "sketches" stress), so the whole state table stays
@@ -274,14 +277,21 @@ def sketch_rollup_stream(events: DataFrame, state_path: str,
                                       upsert_sketch_partitions)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = state_path + f"__applied_{batch_id}"
-        if os.path.exists(marker):
-            return  # replayed batch: already merged
+        # markers live INSIDE the state directory (parquet readers skip
+        # `_`-prefixed files), so marker and data swap in the SAME
+        # rename: a crash can never leave "state applied but marker
+        # missing" (review-found: a marker written after the swap let a
+        # replay double-merge the batch it was supposed to dedup).
+        def marker(d, bid):
+            return os.path.join(d, f"_applied_{bid}")
+
         spark = batch_df.sparkSession
         bak, tmp = state_path + "__bak", state_path + "__tmp"
         # heal an interrupted swap: bak exists but state vanished
         if os.path.exists(bak) and not os.path.exists(state_path):
             os.rename(bak, state_path)
+        if os.path.exists(marker(state_path, batch_id)):
+            return  # replayed batch: already merged
         fresh = build_sketch_partitions(batch_df, part_cols, value_cols,
                                         distinct_col=distinct_col,
                                         kll_k=kll_k)
@@ -292,11 +302,17 @@ def sketch_rollup_stream(events: DataFrame, state_path: str,
         else:
             merged = fresh
         merged.write.mode("overwrite").parquet(tmp)
+        # carry every prior batch's marker into the new state dir, then
+        # add this batch's BEFORE the swap
+        if os.path.exists(state_path):
+            for f in os.listdir(state_path):
+                if f.startswith("_applied_"):
+                    open(os.path.join(tmp, f), "w").close()
+        open(marker(tmp, batch_id), "w").close()
         shutil.rmtree(bak, ignore_errors=True)
         if os.path.exists(state_path):
             os.rename(state_path, bak)
         os.rename(tmp, state_path)
-        open(marker, "w").close()
         shutil.rmtree(bak, ignore_errors=True)
 
     return (events.writeStream.foreachBatch(write_batch)

@@ -174,3 +174,29 @@ def test_ivf_pq_partial_probe_recall_floor(spark, emb, trained):
     tset = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
     gset = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
     assert len(tset & gset) / len(tset) >= 0.5
+
+
+def test_dropped_cluster_codes_stay_dense_and_adc_non_null(spark):
+    """Review-found bug class: duplicate init subvectors make a code
+    lose every assignment round (empty cluster), dropping it from the
+    recomputed codebook — code VALUES must be re-densified or the
+    positional ADC lookup reads the wrong cell / NULL (and NULLs would
+    poison the top-k)."""
+    import random
+    rng = random.Random(5)
+    # ids 0..7 all identical => k=4 init has 3 duplicate centroids
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(8)]
+    rows += [(i, [rng.uniform(-5, 5) for _ in range(4)])
+             for i in range(8, 64)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(emb2, m=2, k=4, n_iters=2)
+    per_sub = cb.groupBy("sub").agg(
+        F.count("*").alias("n"), F.max("code").alias("mx"),
+        F.min("code").alias("mn")).collect()
+    for r in per_sub:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1, r  # dense
+    codes = pq_encode(emb2, cb, m=2)
+    top = pq_adc_topk(emb2.filter("vec_id < 3"), codes, cb, k=5, m=2)
+    assert top.filter("adc_dist IS NULL").count() == 0
+    assert top.groupBy("query_id").count().agg(
+        F.min("count")).first()[0] >= 5

@@ -86,3 +86,20 @@ def test_cycle_raises(star):
     cyc = FKS + [FK("region", "r_regionkey", "customer", "c_custkey")]
     with pytest.raises(ValueError, match="cycle"):
         subset_star(star, "orders", "o_orderkey", cyc, fraction=0.1)
+
+
+def test_anchor_above_diamond_no_orphans(star):
+    """Review-found bug class: anchoring ABOVE a diamond (nation) makes
+    lineitem a child of TWO restricted parents (orders via customer, and
+    supplier) — both edges must restrict it, in topological order, or
+    one parent's FK orphans."""
+    sub = subset_star(star, "nation", "n_nationkey", FKS, fraction=0.4)
+    for fk in FKS:
+        orphans = (sub[fk.child]
+                   .filter(F.col(fk.child_col).isNotNull())
+                   .join(sub[fk.parent]
+                         .select(F.col(fk.parent_col)
+                                  .alias(fk.child_col)),
+                         fk.child_col, "left_anti").count())
+        assert orphans == 0, (fk, orphans)
+    assert sub["lineitem"].count() > 0
