@@ -120,3 +120,34 @@ def test_single_open_row_per_key(spark):
     assert per_key.agg(F.max("count")).first()[0] == 1
     # every key in the history has exactly one open row
     assert per_key.count() == 30
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# random histories: up to 6 keys x up to 5 changes, tiny attr domains
+# (forces consecutive duplicates), NULLs in domain, random batch split
+_EVENT = st.tuples(st.integers(0, 5),
+                   st.sampled_from(["a", "b", None]),
+                   st.sampled_from(["x", None]),
+                   st.integers(0, 400))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_EVENT, min_size=1, max_size=30, unique_by=lambda e: e[3]),
+       st.integers(1, 29))
+def test_property_any_split_equals_oneshot(spark, events, cut):
+    """Hypothesis tier: ANY random history and ANY split point — the
+    two-batch incremental result equals one-shot derivation. (Unique
+    eff_ts per event: simultaneous changes to one key have no defined
+    order in either derivation.)"""
+    rows = [(k, s, c, dt.datetime(2026, 1, 1) + dt.timedelta(hours=h))
+            for k, s, c, h in events]
+    rows.sort(key=lambda r: r[3])
+    cut = min(cut, len(rows))
+    schema = f"{KEY} long, segment string, city string, eff_ts timestamp"
+    b1 = spark.createDataFrame(rows[:cut], schema)
+    dim = scd2_init(b1, KEY, ATTRS).localCheckpoint(eager=True)
+    if rows[cut:]:
+        b2 = spark.createDataFrame(rows[cut:], schema)
+        dim = scd2_apply(dim, b2, KEY, ATTRS)
+    assert _as_set(dim) == _as_set(_oracle(spark, rows))
