@@ -184,3 +184,78 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
 
     return CorpusResult(docs=final, report=report, audit=audit,
                         _persisted=[persisted, *extra_persists])
+
+
+def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
+                  quality_min: float = 0.2, jaccard_min: float = 0.5,
+                  shingle_k: int = 3) -> CorpusResult:
+    """Incremental corpus growth — the production shape (corpora are
+    never rebuilt; batches land): admit from ``new_docs`` only what is
+    clean, good, and novel against BOTH the existing corpus and the rest
+    of the batch.
+
+    **Corpus stability invariant**: existing corpus rows are never
+    evicted or re-ranked — a new near-duplicate of a kept doc is dropped
+    even if it scores higher (re-opening old keep decisions would
+    invalidate every downstream artifact trained on them). Within the
+    batch, the quality keeper applies as in :func:`prepare_corpus`.
+
+    Consequence (pinned in tests): extending with an already-admitted
+    batch admits ZERO rows, so at-least-once batch delivery is safe once
+    the caller unions admitted docs into the corpus between batches.
+
+    Candidate generation is the capped LSH band join over corpus ∪
+    batch signatures; only (corpus, batch) cross pairs feed the drop
+    decision. This self-contained API recomputes corpus signatures and
+    lets corpus-corpus candidates be generated-then-discarded; the
+    production shape persists the corpus band index as state and probes
+    it one-sided — ``dedup_incremental_ingest`` (contract) demonstrates
+    exactly that, so swap it in when corpus signatures dominate cost.
+    Corpus and batch must use disjoint ``doc_id`` spaces.
+    """
+    res = prepare_corpus(new_docs, quality_min=quality_min,
+                         jaccard_min=jaccard_min, shingle_k=shingle_k)
+    batch = res.docs.select("doc_id", "text", "source", "lang",
+                            "quality_score")
+
+    # exact tier vs corpus: the corpus text is already scrubbed, the
+    # batch text came scrubbed out of prepare_corpus — same identity
+    fp = md5_hash64(normalize_text(F.col("text")), seed=0)
+    corpus_fps = corpus_docs.select(fp.alias("__fp")).distinct()
+    batch = (batch.withColumn("__fp", fp)
+             .join(corpus_fps, "__fp", "left_anti").drop("__fp"))
+
+    # near tier vs corpus: candidates restricted to (corpus, batch)
+    # pairs by tagging sides; batch-batch pairs were already resolved by
+    # prepare_corpus, corpus-corpus pairs are not generated (anti-join
+    # on the corpus-side flag).
+    def sets_of(df, flag):
+        return df.select(
+            F.col("doc_id"), F.lit(flag).alias("is_new"),
+            F.array_distinct(F.transform(
+                shingles_from_tokens(tokens(F.col("text")), shingle_k),
+                lambda sh: md5_hash64(sh, seed=0))).alias("shs"))
+
+    corpus_sets = sets_of(corpus_docs, False)
+    batch_sets = sets_of(batch, True)
+    both = corpus_sets.unionByName(batch_sets)
+    flags = both.select("doc_id", "is_new")
+    extra: list = []
+    pairs = (_mh_verify(both.select("doc_id", "shs"),
+                        _mh_candidates(both.select("doc_id", "shs"),
+                                       persisted_out=extra))
+             .filter(F.col("jaccard") >= jaccard_min))
+    fa = flags.withColumnRenamed("doc_id", "doc_a") \
+              .withColumnRenamed("is_new", "new_a")
+    fb = flags.withColumnRenamed("doc_id", "doc_b") \
+              .withColumnRenamed("is_new", "new_b")
+    tagged = pairs.join(fa, "doc_a").join(fb, "doc_b")
+    # batch docs near-dup of ANY corpus doc: dropped (corpus stability)
+    dup_of_corpus = (tagged.filter(F.col("new_a") != F.col("new_b"))
+                     .select(F.when(F.col("new_a"), F.col("doc_a"))
+                              .otherwise(F.col("doc_b")).alias("doc_id"))
+                     .distinct())
+    admitted = batch.join(dup_of_corpus, "doc_id", "left_anti")
+    return CorpusResult(docs=admitted, report=res.report,
+                        audit=res.audit,
+                        _persisted=[*res._persisted, *extra])

@@ -101,3 +101,54 @@ def test_fixture_run_shape_and_determinism(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     finally:
         res2.unpersist()
+
+
+def test_extend_corpus_admission_decisions(spark):
+    """Incremental growth: near/exact dups of the CORPUS drop (stability
+    — even when the newcomer scores higher), batch-internal dups resolve
+    as in prepare_corpus, novel good docs admit, and re-extending with
+    an already-admitted batch admits zero."""
+    from data_engineering_projects_spark.pipelines.corpus import (
+        extend_corpus, prepare_corpus)
+
+    corpus_raw = spark.createDataFrame(
+        [(1, _words(60, "alpha"), "web", "en"),
+         (2, _words(70, "gamma"), "books", "en")],
+        "doc_id long, text string, source string, lang string")
+    corpus = prepare_corpus(corpus_raw).docs
+    new = spark.createDataFrame([
+        # near-dup of corpus doc 1, LONGER (higher would-be quality) —
+        # must still drop: corpus stability
+        (11, _words(60, "alpha") + " plus extra trailing content words",
+         "web", "en"),
+        # exact dup of corpus doc 2 (post-scrub identity)
+        (12, _words(70, "gamma"), "web", "en"),
+        # batch-internal near pair: 13 kept (tie -> min id), 14 dropped
+        (13, _words(64, "delta") + " tail one", "web", "en"),
+        (14, _words(64, "delta"), "web", "en"),
+        # novel good doc
+        (15, _words(66, "epsilon"), "books", "en"),
+        # too short
+        (16, "tiny", "web", "en"),
+    ], "doc_id long, text string, source string, lang string")
+    res = extend_corpus(corpus, new)
+    try:
+        admitted = {r["doc_id"] for r in res.docs.collect()}
+        assert admitted == {13, 15}
+    finally:
+        res.unpersist()
+    # replay safety: union admitted into corpus, re-extend same batch
+    grown = corpus.unionByName(
+        spark.createDataFrame(
+            [(13, _words(64, "delta") + " tail one", "web", "en"),
+             (15, _words(66, "epsilon"), "books", "en")],
+            "doc_id long, text string, source string, lang string")
+        .selectExpr("doc_id", "text", "source", "lang"),
+        allowMissingColumns=True)
+    # grown lacks quality_score; extend_corpus only reads doc_id/text
+    res2 = extend_corpus(grown.select("doc_id", "text", "source", "lang"),
+                         new)
+    try:
+        assert res2.docs.count() == 0
+    finally:
+        res2.unpersist()
