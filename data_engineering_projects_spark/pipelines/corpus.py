@@ -55,6 +55,30 @@ from ..functions.text import (
 from ..operators.clustering import propagate_min_labels
 
 
+def _shingle_sets(df: DataFrame, shingle_k: int) -> DataFrame:
+    """(doc_id, shs): the shared hashed-shingle projection both the
+    batch pipeline and the incremental extender dedup on."""
+    return df.select(
+        "doc_id", F.array_distinct(
+            F.transform(
+                shingles_from_tokens(tokens(F.col("text")), shingle_k),
+                lambda sh: md5_hash64(sh, seed=0))).alias("shs"))
+
+
+def _split_expr(split_weights: dict[str, float], split_seed: int):
+    """Deterministic split assignment: hash-bucket against cumulative
+    weight boundaries, first matching boundary wins."""
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(split_seed)), F.lit(10_000))
+    acc, cases = 0.0, []
+    for name, wgt in split_weights.items():
+        acc += wgt
+        cases.append((bucket < F.lit(int(round(acc * 10_000))), name))
+    out = F.lit(cases[-1][1])
+    for cond, name in reversed(cases[:-1]):
+        out = F.when(cond, name).otherwise(out)
+    return out
+
+
 @dataclass
 class CorpusResult:
     """``docs``: final corpus (doc_id, text, source, lang, quality_score,
@@ -118,11 +142,7 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     # near dedup over exact survivors: LSH candidates -> exact-Jaccard
     # verify -> bounded min-label CC -> quality keeper per cluster.
     survivors = persisted.filter("exact_keep")
-    sets = survivors.select(
-        "doc_id", F.array_distinct(
-            F.transform(
-                shingles_from_tokens(tokens(F.col("text")), shingle_k),
-                lambda s: md5_hash64(s, seed=0))).alias("shs"))
+    sets = _shingle_sets(survivors, shingle_k)
     extra_persists: list = []
     pairs = (_mh_verify(sets, _mh_candidates(sets,
                                              persisted_out=extra_persists))
@@ -144,16 +164,8 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
         "near_keep", F.col("exact_keep") & F.col("keep_id").isNotNull()
     ).drop("keep_id")
 
-    # deterministic split over the FINAL survivors: hash-bucket against
-    # cumulative weight boundaries, first matching boundary wins
-    bucket = F.pmod(F.xxhash64("doc_id", F.lit(split_seed)), F.lit(10_000))
-    acc, cases = 0.0, []
-    for name, wgt in split_weights.items():
-        acc += wgt
-        cases.append((bucket < F.lit(int(round(acc * 10_000))), name))
-    out = F.lit(cases[-1][1])
-    for cond, name in reversed(cases[:-1]):
-        out = F.when(cond, name).otherwise(out)
+    # deterministic split over the FINAL survivors
+    out = _split_expr(split_weights, split_seed)
 
     final = (audit.filter("near_keep")
              .select("doc_id", "text", "source", "lang",
@@ -188,11 +200,16 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
 
 def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
                   quality_min: float = 0.2, jaccard_min: float = 0.5,
-                  shingle_k: int = 3) -> CorpusResult:
+                  shingle_k: int = 3,
+                  split_weights: dict[str, float] | None = None,
+                  split_seed: int = 42) -> CorpusResult:
     """Incremental corpus growth — the production shape (corpora are
     never rebuilt; batches land): admit from ``new_docs`` only what is
     clean, good, and novel against BOTH the existing corpus and the rest
-    of the batch.
+    of the batch. Admitted docs carry the full prepare_corpus contract
+    (including a deterministic ``split``), the report gains two corpus-
+    tier stages (``corpus_exact_dedup``, ``corpus_near_dedup``) so it
+    reconciles with ``docs``, and the audit gains a ``corpus_keep`` flag.
 
     **Corpus stability invariant**: existing corpus rows are never
     evicted or re-ranked — a new near-duplicate of a kept doc is dropped
@@ -204,6 +221,14 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     batch admits ZERO rows, so at-least-once batch delivery is safe once
     the caller unions admitted docs into the corpus between batches.
 
+    Identity policy: ``doc_id`` IS the delivery identity. Batch rows
+    whose id already exists in the corpus are prior deliveries and are
+    skipped up front — by id, content ignored (a redelivery with EDITED
+    text is a rewrite migration, not an ingest; same policy family as
+    the SCD2 late-update rule). This also keeps the id spaces feeding
+    the candidate self-join disjoint by construction, which the
+    ``doc_a < doc_b`` predicate requires.
+
     Candidate generation is the capped LSH band join over corpus ∪
     batch signatures; only (corpus, batch) cross pairs feed the drop
     decision. This self-contained API recomputes corpus signatures and
@@ -211,33 +236,33 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     production shape persists the corpus band index as state and probes
     it one-sided — ``dedup_incremental_ingest`` (contract) demonstrates
     exactly that, so swap it in when corpus signatures dominate cost.
-    Corpus and batch must use disjoint ``doc_id`` spaces.
     """
+    split_weights = split_weights or {"train": 0.9, "val": 0.05,
+                                      "test": 0.05}
+    # id-identity replay skip (see docstring): rows whose doc_id is
+    # already in the corpus were delivered before
+    new_docs = new_docs.join(corpus_docs.select("doc_id"), "doc_id",
+                             "left_anti")
+
     res = prepare_corpus(new_docs, quality_min=quality_min,
-                         jaccard_min=jaccard_min, shingle_k=shingle_k)
-    batch = res.docs.select("doc_id", "text", "source", "lang",
-                            "quality_score")
+                         jaccard_min=jaccard_min, shingle_k=shingle_k,
+                         split_weights=split_weights,
+                         split_seed=split_seed)
+    batch = res.docs
 
     # exact tier vs corpus: the corpus text is already scrubbed, the
     # batch text came scrubbed out of prepare_corpus — same identity
     fp = md5_hash64(normalize_text(F.col("text")), seed=0)
     corpus_fps = corpus_docs.select(fp.alias("__fp")).distinct()
-    batch = (batch.withColumn("__fp", fp)
-             .join(corpus_fps, "__fp", "left_anti").drop("__fp"))
+    after_exact = (batch.withColumn("__fp", fp)
+                   .join(corpus_fps, "__fp", "left_anti").drop("__fp"))
 
-    # near tier vs corpus: candidates restricted to (corpus, batch)
-    # pairs by tagging sides; batch-batch pairs were already resolved by
-    # prepare_corpus, corpus-corpus pairs are not generated (anti-join
-    # on the corpus-side flag).
-    def sets_of(df, flag):
-        return df.select(
-            F.col("doc_id"), F.lit(flag).alias("is_new"),
-            F.array_distinct(F.transform(
-                shingles_from_tokens(tokens(F.col("text")), shingle_k),
-                lambda sh: md5_hash64(sh, seed=0))).alias("shs"))
-
-    corpus_sets = sets_of(corpus_docs, False)
-    batch_sets = sets_of(batch, True)
+    # near tier vs corpus: candidates over corpus ∪ survivors, keep only
+    # cross pairs; batch-batch pairs were already resolved upstream
+    corpus_sets = _shingle_sets(corpus_docs, shingle_k) \
+        .withColumn("is_new", F.lit(False))
+    batch_sets = _shingle_sets(after_exact, shingle_k) \
+        .withColumn("is_new", F.lit(True))
     both = corpus_sets.unionByName(batch_sets)
     flags = both.select("doc_id", "is_new")
     extra: list = []
@@ -255,7 +280,27 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
                      .select(F.when(F.col("new_a"), F.col("doc_a"))
                               .otherwise(F.col("doc_b")).alias("doc_id"))
                      .distinct())
-    admitted = batch.join(dup_of_corpus, "doc_id", "left_anti")
-    return CorpusResult(docs=admitted, report=res.report,
-                        audit=res.audit,
+    admitted = after_exact.join(dup_of_corpus, "doc_id", "left_anti")
+
+    # report: append the corpus-tier stages so the chain still ends at
+    # count(docs); audit: flag which batch-kept docs survived the corpus
+    counts = (batch.agg(F.count("*").alias("n0"))
+              .crossJoin(after_exact.agg(F.count("*").alias("n1")))
+              .crossJoin(admitted.agg(F.count("*").alias("n2"))))
+    extra_rows = counts.select(F.explode(F.array(
+        F.struct(F.lit("corpus_exact_dedup").alias("stage"),
+                 F.col("n0").alias("docs_in"),
+                 F.col("n1").alias("docs_out")),
+        F.struct(F.lit("corpus_near_dedup").alias("stage"),
+                 F.col("n1").alias("docs_in"),
+                 F.col("n2").alias("docs_out")),
+    )).alias("s")).select("s.stage", "s.docs_in", "s.docs_out")
+    report = res.report.unionByName(extra_rows)
+    audit = res.audit.join(
+        admitted.select("doc_id", F.lit(True).alias("__adm")),
+        "doc_id", "left").withColumn(
+        "corpus_keep", F.col("near_keep")
+        & F.coalesce(F.col("__adm"), F.lit(False))).drop("__adm")
+
+    return CorpusResult(docs=admitted, report=report, audit=audit,
                         _persisted=[*res._persisted, *extra])

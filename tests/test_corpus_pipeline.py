@@ -115,7 +115,9 @@ def test_extend_corpus_admission_decisions(spark):
         [(1, _words(60, "alpha"), "web", "en"),
          (2, _words(70, "gamma"), "books", "en")],
         "doc_id long, text string, source string, lang string")
-    corpus = prepare_corpus(corpus_raw).docs
+    corpus_res = prepare_corpus(corpus_raw)
+    corpus = corpus_res.docs.localCheckpoint(eager=True)
+    corpus_res.unpersist()
     new = spark.createDataFrame([
         # near-dup of corpus doc 1, LONGER (higher would-be quality) —
         # must still drop: corpus stability
@@ -133,10 +135,35 @@ def test_extend_corpus_admission_decisions(spark):
     ], "doc_id long, text string, source string, lang string")
     res = extend_corpus(corpus, new)
     try:
-        admitted = {r["doc_id"] for r in res.docs.collect()}
-        assert admitted == {13, 15}
+        admitted = {r["doc_id"]: r for r in res.docs.collect()}
+        assert set(admitted) == {13, 15}
+        # admitted docs carry the full contract incl. split
+        assert all(r["split"] in ("train", "val", "test")
+                   for r in admitted.values())
+        # report reconciles: corpus-tier stages chain to count(docs)
+        rep = {r["stage"]: (r["docs_in"], r["docs_out"])
+               for r in res.report.collect()}
+        assert rep["corpus_exact_dedup"] == (rep["near_dedup"][1],
+                                             rep["corpus_exact_dedup"][1])
+        assert rep["corpus_near_dedup"][1] == 2
+        assert rep["corpus_exact_dedup"][1] == rep["corpus_near_dedup"][0]
+        # audit: corpus-dropped docs flagged (11 near-dup, 12 exact)
+        aud = {r["doc_id"]: r for r in res.audit.collect()}
+        assert aud[11]["near_keep"] and not aud[11]["corpus_keep"]
+        assert aud[12]["near_keep"] and not aud[12]["corpus_keep"]
+        assert aud[13]["corpus_keep"] and aud[15]["corpus_keep"]
     finally:
         res.unpersist()
+    # id-identity replay: redelivering rows whose ids are already IN
+    # the corpus (even with edited text) admits nothing
+    edited = spark.createDataFrame(
+        [(1, _words(60, "alpha") + " sneaky edit", "web", "en")],
+        "doc_id long, text string, source string, lang string")
+    res3 = extend_corpus(corpus, edited)
+    try:
+        assert res3.docs.count() == 0
+    finally:
+        res3.unpersist()
     # replay safety: union admitted into corpus, re-extend same batch
     grown = corpus.unionByName(
         spark.createDataFrame(
