@@ -179,3 +179,45 @@ def test_extend_corpus_admission_decisions(spark):
         assert res2.docs.count() == 0
     finally:
         res2.unpersist()
+
+
+def test_extend_corpus_fixture_no_residual_dups(spark, sf_dir):
+    """Fixture-scale consistency: prepare on the first 400 docs, extend
+    with the remaining 100 — then re-running candidate generation over
+    corpus ∪ admitted must verify ZERO cross pairs at the admission
+    threshold (the extension left no near-dup behind)."""
+    from data_engineering_projects_spark.contract.extensions import (
+        _mh_candidates, _mh_verify)
+    from data_engineering_projects_spark.pipelines.corpus import (
+        _shingle_sets, extend_corpus, prepare_corpus)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    first = docs.filter("doc_id < 400")
+    rest = docs.filter("doc_id >= 400")
+    prep = prepare_corpus(first)
+    corpus = prep.docs.localCheckpoint(eager=True)
+    prep.unpersist()
+    res = extend_corpus(corpus, rest)
+    try:
+        admitted = res.docs.localCheckpoint(eager=True)
+        assert admitted.count() > 0
+        both = (_shingle_sets(corpus, 3).withColumn("new", F.lit(False))
+                .unionByName(_shingle_sets(admitted, 3)
+                             .withColumn("new", F.lit(True))))
+        leftovers: list = []
+        pairs = _mh_verify(both.select("doc_id", "shs"),
+                           _mh_candidates(both.select("doc_id", "shs"),
+                                          persisted_out=leftovers)) \
+            .filter(F.col("jaccard") >= 0.5)
+        flags = both.select("doc_id", "new")
+        cross = (pairs
+                 .join(flags.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("new", "na"), "doc_a")
+                 .join(flags.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("new", "nb"), "doc_b")
+                 .filter(F.col("na") != F.col("nb")))
+        assert cross.count() == 0
+        for df in leftovers:
+            df.unpersist()
+    finally:
+        res.unpersist()
