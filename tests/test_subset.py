@@ -103,3 +103,60 @@ def test_anchor_above_diamond_no_orphans(star):
                          fk.child_col, "left_anti").count())
         assert orphans == 0, (fk, orphans)
     assert sub["lineitem"].count() > 0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _fk_forest(draw):
+    """Random tree of 3-5 tables with random REFERENCE orientations and
+    random row counts; every FK value drawn from the parent's pk domain
+    (input is orphan-free by construction)."""
+    n = draw(st.integers(3, 5))
+    # tree: table i>0 attaches to a random earlier table
+    attach = [draw(st.integers(0, i - 1)) for i in range(1, n)]
+    # orientation per edge: True = the LATER table references the earlier
+    orient = [draw(st.booleans()) for _ in range(n - 1)]
+    sizes = [draw(st.integers(2, 12)) for _ in range(n)]
+    fks = []
+    for i, (a, o) in enumerate(zip(attach, orient), start=1):
+        child, parent = (i, a) if o else (a, i)
+        fks.append((child, parent))
+    # fk values: for each (child, parent), each child row references a
+    # random parent row
+    refs = {}
+    for child, parent in fks:
+        refs[(child, parent)] = [
+            draw(st.integers(0, sizes[parent] - 1))
+            for _ in range(sizes[child])]
+    anchor = draw(st.integers(0, n - 1))
+    frac = draw(st.sampled_from([0.3, 0.5, 0.8]))
+    return n, sizes, fks, refs, anchor, frac
+
+
+@settings(max_examples=10, deadline=None)
+@given(_fk_forest())
+def test_property_random_forest_no_orphans(spark, forest):
+    n, sizes, fks, refs, anchor, frac = forest
+    tables = {}
+    for t in range(n):
+        cols, data = ["pk"], [[i] for i in range(sizes[t])]
+        for (child, parent) in fks:
+            if child == t:
+                cols.append(f"fk_{parent}")
+                vals = refs[(child, parent)]
+                for i in range(sizes[t]):
+                    data[i].append(vals[i])
+        tables[f"t{t}"] = spark.createDataFrame(
+            [tuple(r) for r in data], ", ".join(f"{c} long" for c in cols))
+    edges = [FK(f"t{c}", f"fk_{p}", f"t{p}", "pk") for c, p in fks]
+    sub = subset_star(tables, f"t{anchor}", "pk", edges, fraction=frac,
+                      seed=7)
+    for fk in edges:
+        orphans = (sub[fk.child]
+                   .join(sub[fk.parent]
+                         .select(F.col(fk.parent_col)
+                                  .alias(fk.child_col)),
+                         fk.child_col, "left_anti").count())
+        assert orphans == 0, (fk, orphans)
