@@ -62,3 +62,56 @@ def salted_agg(df: DataFrame, keys: list[str],
     return (stage1.groupBy(*keys)
                   .agg(*[_COMBINERS[c](k).alias(k)
                          for k, (_e, c) in aggs.items()]))
+
+
+def skew_report(df: DataFrame, key_cols: list[str],
+                top: int = 10) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/agg key — the
+    measurement that decides between the three mitigation tiers (do
+    nothing / trust AQE / salt):
+
+    - ``n_rows``, ``n_keys``, ``mean_per_key``,
+    - ``max_share`` (hot key's fraction of ALL rows) and ``p99_ratio``
+      (p99 key frequency over the mean),
+    - ``top_keys``: the ``top`` hottest key tuples with counts,
+    - ``tier``: ``"uniform"`` (max_share < 1%), ``"aqe"`` (AQE's
+      skew-join splitting handles it: hot partitions split by size), or
+      ``"salt"`` (max_share ≥ 20% — one key dominates; a split hot
+      partition still lands on one JOIN key, so explicit salting is the
+      only lever — ``salted_join`` / ``salted_agg`` above).
+
+    Cost: ONE map-side-combined shuffle (the key frequency table), a
+    TakeOrderedAndProject for the hot list (never a full collect of the
+    key domain), and driver-bounded aggregates. Run it on a sample at
+    100 TB — frequency SHARES are what the tiers read, and shares
+    survive uniform sampling.
+    """
+    freq = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    kc = F.array(*[F.col(c).cast("string") for c in key_cols])
+    stats = freq.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("__max"),
+        F.expr("percentile(__n, 0.99)").alias("__p99"))
+    hot = (freq.orderBy(F.desc("__n"), *key_cols).limit(top)
+           .agg(F.collect_list(F.struct(kc.alias("key"),
+                                        F.col("__n").alias("n")))
+                .alias("__top")))
+    return stats.crossJoin(hot).select(
+        "n_rows", "n_keys",
+        (F.col("n_rows") / F.col("n_keys")).alias("mean_per_key"),
+        (F.col("__max") / F.col("n_rows")).alias("max_share"),
+        (F.col("__p99") / (F.col("n_rows") / F.col("n_keys")))
+        .alias("p99_ratio"),
+        F.array_sort(F.transform(
+            "__top", lambda s: F.struct((-s["n"]).alias("__neg"),
+                                        s["key"].alias("key"),
+                                        s["n"].alias("n"))))
+        .alias("__sorted"),
+        F.when(F.col("__max") / F.col("n_rows") >= 0.2, "salt")
+         .when(F.col("__max") / F.col("n_rows") < 0.01, "uniform")
+         .otherwise("aqe").alias("tier")).withColumn(
+        "top_keys", F.transform("__sorted",
+                                lambda s: F.struct(s["key"].alias("key"),
+                                                   s["n"].alias("n")))
+    ).drop("__sorted")

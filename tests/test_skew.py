@@ -55,3 +55,42 @@ def test_salted_join_rejects_outer(spark):
     for how in ("right", "full", "full_outer", "outer"):
         with pytest.raises(ValueError):
             salted_join(big, dim, "k", how=how)
+
+
+class TestSkewReport:
+    def test_planted_hot_key_tiers(self, spark):
+        from data_engineering_projects_spark.operators.skew import (
+            skew_report)
+        import pyspark.sql.functions as F
+
+        # 50% of rows on one key -> salt tier
+        hot = spark.range(1000).selectExpr(
+            "CASE WHEN id < 500 THEN 7 ELSE id END AS k")
+        r = skew_report(hot, ["k"], top=3).first()
+        assert r["tier"] == "salt"
+        assert abs(r["max_share"] - 0.5) < 0.01
+        assert r["top_keys"][0]["key"] == ["7"]
+        assert r["top_keys"][0]["n"] == 500
+        assert r["n_rows"] == 1000 and r["n_keys"] == 501
+
+        # uniform keys -> uniform tier
+        uni = spark.range(10_000).selectExpr("id % 1000 AS k")
+        r2 = skew_report(uni, ["k"]).first()
+        assert r2["tier"] == "uniform"
+        assert len(r2["top_keys"]) == 10
+
+        # moderate skew (5% hot) -> aqe tier
+        mid = spark.range(10_000).selectExpr(
+            "CASE WHEN id < 500 THEN 1 ELSE id END AS k")
+        assert skew_report(mid, ["k"]).first()["tier"] == "aqe"
+
+    def test_plan_has_bounded_hot_list(self, spark):
+        """The hot list must be TakeOrderedAndProject, never a full
+        collect of the key domain."""
+        from data_engineering_projects_spark.operators.skew import (
+            skew_report)
+        rep = skew_report(spark.range(1000).selectExpr("id % 97 AS k"),
+                          ["k"], top=5)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert len(rep.first()["top_keys"]) == 5
