@@ -92,8 +92,12 @@ def skew_report(df: DataFrame, key_cols: list[str],
         F.sum("__n").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("__n").alias("__max"),
-        F.expr("percentile(__n, 0.99)").alias("__p99"))
-    hot = (freq.orderBy(F.desc("__n"), *key_cols).limit(top)
+        # approx: fixed-size sketch buffer (the exact percentile's
+        # per-distinct-frequency map is NOT driver-bounded at 100 TB —
+        # the parity.py §4.3 rule); p99_ratio is a tiering heuristic
+        F.approx_percentile("__n", F.lit(0.99), F.lit(10_000))
+         .alias("__p99"))
+    hot = (freq.orderBy(F.desc("__n"), kc).limit(top)
            .agg(F.collect_list(F.struct(kc.alias("key"),
                                         F.col("__n").alias("n")))
                 .alias("__top")))
@@ -103,12 +107,15 @@ def skew_report(df: DataFrame, key_cols: list[str],
         (F.col("__max") / F.col("n_rows")).alias("max_share"),
         (F.col("__p99") / (F.col("n_rows") / F.col("n_keys")))
         .alias("p99_ratio"),
+        # same (count desc, string-key asc) order as the limit above
         F.array_sort(F.transform(
             "__top", lambda s: F.struct((-s["n"]).alias("__neg"),
                                         s["key"].alias("key"),
                                         s["n"].alias("n"))))
         .alias("__sorted"),
-        F.when(F.col("__max") / F.col("n_rows") >= 0.2, "salt")
+        F.when(F.col("n_rows").isNull() | (F.col("n_rows") == 0),
+               "empty")
+         .when(F.col("__max") / F.col("n_rows") >= 0.2, "salt")
          .when(F.col("__max") / F.col("n_rows") < 0.01, "uniform")
          .otherwise("aqe").alias("tier")).withColumn(
         "top_keys", F.transform("__sorted",

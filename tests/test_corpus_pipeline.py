@@ -198,13 +198,13 @@ def test_extend_corpus_fixture_no_residual_dups(spark, sf_dir):
     corpus = prep.docs.localCheckpoint(eager=True)
     prep.unpersist()
     res = extend_corpus(corpus, rest)
+    leftovers: list = []
     try:
         admitted = res.docs.localCheckpoint(eager=True)
         assert admitted.count() > 0
         both = (_shingle_sets(corpus, 3).withColumn("new", F.lit(False))
                 .unionByName(_shingle_sets(admitted, 3)
                              .withColumn("new", F.lit(True))))
-        leftovers: list = []
         pairs = _mh_verify(both.select("doc_id", "shs"),
                            _mh_candidates(both.select("doc_id", "shs"),
                                           persisted_out=leftovers)) \
@@ -217,7 +217,7 @@ def test_extend_corpus_fixture_no_residual_dups(spark, sf_dir):
                        .withColumnRenamed("new", "nb"), "doc_b")
                  .filter(F.col("na") != F.col("nb")))
         assert cross.count() == 0
+    finally:
         for df in leftovers:
             df.unpersist()
-    finally:
         res.unpersist()

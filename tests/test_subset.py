@@ -105,7 +105,7 @@ def test_anchor_above_diamond_no_orphans(star):
     assert sub["lineitem"].count() > 0
 
 
-from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis import assume, given, settings, strategies as st  # noqa: E402
 
 
 @st.composite
@@ -153,6 +153,13 @@ def test_property_random_forest_no_orphans(spark, forest):
     edges = [FK(f"t{c}", f"fk_{p}", f"t{p}", "pk") for c, p in fks]
     sub = subset_star(tables, f"t{anchor}", "pk", edges, fraction=frac,
                       seed=7)
+    # non-vacuity: the hash filter must leave a live anchor and at least
+    # one other restricted table, or every orphan check passes trivially
+    # (hypothesis regenerates skipped examples)
+    counts = {t: sub[t].count() for t in tables}
+    assume(counts[f"t{anchor}"] > 0)
+    assume(sum(1 for t, c in counts.items()
+               if c > 0 and t != f"t{anchor}") >= 1)
     for fk in edges:
         orphans = (sub[fk.child]
                    .join(sub[fk.parent]
