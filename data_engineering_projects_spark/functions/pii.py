@@ -56,10 +56,14 @@ def _token(category: str) -> str:
 
 
 def luhn_valid(digits: Column) -> Column:
-    """Luhn checksum over a digit-only string column — the fold is a
-    Catalyst ``aggregate`` over the reversed char array (from the check
-    digit leftward, double every second digit, subtract 9 above 9; valid
-    iff the sum % 10 == 0)."""
+    """Luhn checksum over a string column — the fold is a Catalyst
+    ``aggregate`` over the reversed char array (from the check digit
+    leftward, double every second digit, subtract 9 above 9; valid iff
+    the sum % 10 == 0). Non-digits are stripped first so the helper is
+    total on raw card columns ('4111 1111 1111 1111' validates rather
+    than throwing CAST_INVALID_INPUT under ANSI mode); the 13–19 length
+    gate applies to the digit count after stripping."""
+    digits = F.regexp_replace(digits, r"\D", "")
     arr = F.reverse(F.split(digits, ""))
     mapped = F.transform(
         arr,

@@ -56,9 +56,14 @@ def _l2sq(a, b):
 
 
 def _subvectors(df: DataFrame, m: int, id_col: str, vec_col: str,
-                d_sub: int) -> DataFrame:
+                dim: int) -> DataFrame:
     """(id, sub, subvec): one row per vector per subspace, built from a
-    single static explode (no per-subspace scans)."""
+    single static explode (no per-subspace scans). Asserts dim % m == 0
+    here — the one shared entry point — so pq_encode / ADC search fail
+    loudly on non-divisible dimensions instead of silently dropping the
+    trailing dim % m dimensions (review-found)."""
+    assert dim % m == 0, (dim, m)
+    d_sub = dim // m
     parts = F.array(*[
         F.struct(F.lit(s).alias("sub"),
                  F.slice(F.col(vec_col).cast("array<double>"),
@@ -80,9 +85,7 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, n_iters: int = 2,
     at any corpus size."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    assert dim % m == 0, (dim, m)
-    d_sub = dim // m
-    sv = _subvectors(corpus, m, id_col, vec_col, d_sub)
+    sv = _subvectors(corpus, m, id_col, vec_col, dim)
     wn = Window.partitionBy("sub").orderBy(id_col)
     codebook = (sv.withColumn("rn", F.row_number().over(wn))
                 .filter(F.col("rn") <= k)
@@ -132,7 +135,7 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, m: int = 8,
     vector (one byte each at k ≤ 256 in any columnar encoding)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    sv = _subvectors(corpus, m, id_col, vec_col, dim // m)
+    sv = _subvectors(corpus, m, id_col, vec_col, dim)
     assigned = _assign(sv, codebook)
     return (assigned.groupBy(id_col)
             .agg(F.array_sort(F.collect_list(
@@ -162,7 +165,7 @@ def _query_tables(queries: DataFrame, codebook: DataFrame, m: int,
     """(query_id, tables array<array<double>>): per-query ADC distance
     tables, position-aligned with the codebook's DENSE code ids (see
     pq_train — the lookup is positional)."""
-    sv = _subvectors(queries, m, id_col, vec_col, dim // m)
+    sv = _subvectors(queries, m, id_col, vec_col, dim)
     tbl = (sv.join(F.broadcast(codebook), "sub")
            .select(F.col(id_col).alias("query_id"), "sub", "code",
                    _l2sq(F.col("subvec"), F.col("centroid")).alias("d2")))

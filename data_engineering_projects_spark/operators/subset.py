@@ -14,7 +14,10 @@ sample ONE anchor table's keys, then
    topological order — so diamonds (nation referenced by both customer
    and supplier) keep every referenced row, and a child NOT reachable
    from the anchor contributes its full reference set (its rows pass
-   through unchanged, so its parents must still satisfy them).
+   through unchanged, so its parents must still satisfy them). When
+   children reference DIFFERENT parent columns (alternate keys) the
+   parent keeps a row if ANY referenced column needs it — row-level OR,
+   the only semantics that orphans no child.
 
 The result joins exactly like production data at a fraction of the
 size, and ``quality.relationships`` checks pass on it by construction
@@ -105,13 +108,43 @@ def subset_star(tables: dict[str, DataFrame], anchor: str,
             kids = [fk for fk in fks if fk.parent == p]
             if any(fk.child in remaining for fk in kids):
                 continue  # not ready: a referencing child is pending
-            keys = None
+            # group edges by the parent column they reference: children
+            # pointing at the SAME column union their key sets
+            # (review-found: unioning across different parent columns
+            # raised an opaque unionByName AnalysisException). A parent
+            # referenced via several columns (alternate keys) keeps a
+            # row if ANY referenced column needs it — row-level OR, the
+            # only semantics that leaves no child orphaned (a row needed
+            # only through `alt` must survive even when its `pk` is
+            # unreferenced); intersection would orphan the alt-key
+            # child. Single-column parents (the common case) keep the
+            # plain left_semi plan.
+            by_col: dict[str, list[FK]] = {}
             for fk in kids:
-                kk = out[fk.child].select(
-                    F.col(fk.child_col).alias(fk.parent_col))
-                keys = kk if keys is None else keys.unionByName(kk)
-            out[p] = out[p].join(keys.distinct(), kids[0].parent_col,
-                                 "left_semi")
+                by_col.setdefault(fk.parent_col, []).append(fk)
+            key_sets = {}
+            for pcol in sorted(by_col):
+                keys = None
+                for fk in by_col[pcol]:
+                    kk = out[fk.child].select(
+                        F.col(fk.child_col).alias(pcol))
+                    keys = kk if keys is None else keys.unionByName(kk)
+                key_sets[pcol] = keys.distinct()
+            if len(key_sets) == 1:
+                (pcol, keys), = key_sets.items()
+                out[p] = out[p].join(keys, pcol, "left_semi")
+            else:
+                # one left join per distinct-key set (no row
+                # multiplication), keep rows matched by ANY column
+                df, cond = out[p], F.lit(False)
+                for i, (pcol, keys) in enumerate(sorted(key_sets.items())):
+                    kc = f"__subset_k{i}"
+                    df = df.join(
+                        keys.select(F.col(pcol).alias(kc)),
+                        df[pcol] == F.col(kc), "left")
+                    cond = cond | F.col(kc).isNotNull()
+                out[p] = df.filter(cond).drop(
+                    *[f"__subset_k{i}" for i in range(len(key_sets))])
             remaining.discard(p)
             progressed = True
         if not progressed:

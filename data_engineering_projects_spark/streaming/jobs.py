@@ -252,9 +252,12 @@ def sketch_rollup_stream(events: DataFrame, state_path: str,
 
     Semantics under retries: ``foreachBatch`` is at-least-once, and the
     merge is NOT idempotent (a replayed batch would double its rows into
-    n/sum and bias the sketches), so each applied batch id is recorded as
-    a marker file and replays are skipped — the standard batch-id
-    dedup for non-idempotent foreachBatch sinks. Single-writer per
+    n/sum and bias the sketches), so the highest applied batch id is
+    recorded as a single high-watermark marker file and replays
+    (batch_id <= watermark; ids from one checkpointed query are
+    monotonic) are skipped — the standard batch-id dedup for
+    non-idempotent foreachBatch sinks, O(1) marker files at any
+    query age. Single-writer per
     ``state_path`` is assumed (same contract as any incremental model).
 
     The swap is crash-safe with the interrupted-rename recovery protocol
@@ -285,12 +288,25 @@ def sketch_rollup_stream(events: DataFrame, state_path: str,
         def marker(d, bid):
             return os.path.join(d, f"_applied_{bid}")
 
+        def watermark(d):
+            # highest applied batch id in the state dir. Batch ids from
+            # a single checkpointed query are monotonic, so ONE
+            # high-watermark marker suffices — per-batch markers would
+            # accumulate without bound over a long-running query
+            # (review-found). max() also reads legacy multi-marker dirs.
+            wm = -1
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    if f.startswith("_applied_"):
+                        wm = max(wm, int(f[len("_applied_"):]))
+            return wm
+
         spark = batch_df.sparkSession
         bak, tmp = state_path + "__bak", state_path + "__tmp"
         # heal an interrupted swap: bak exists but state vanished
         if os.path.exists(bak) and not os.path.exists(state_path):
             os.rename(bak, state_path)
-        if os.path.exists(marker(state_path, batch_id)):
+        if batch_id <= watermark(state_path):
             return  # replayed batch: already merged
         fresh = build_sketch_partitions(batch_df, part_cols, value_cols,
                                         distinct_col=distinct_col,
@@ -302,12 +318,9 @@ def sketch_rollup_stream(events: DataFrame, state_path: str,
         else:
             merged = fresh
         merged.write.mode("overwrite").parquet(tmp)
-        # carry every prior batch's marker into the new state dir, then
-        # add this batch's BEFORE the swap
-        if os.path.exists(state_path):
-            for f in os.listdir(state_path):
-                if f.startswith("_applied_"):
-                    open(os.path.join(tmp, f), "w").close()
+        # single high-watermark marker, written BEFORE the swap so
+        # marker and data commit in the same rename; this batch's id IS
+        # the new watermark (monotonic), so prior markers are dropped
         open(marker(tmp, batch_id), "w").close()
         shutil.rmtree(bak, ignore_errors=True)
         if os.path.exists(state_path):

@@ -73,6 +73,22 @@ def test_luhn_reference_vectors(spark):
         assert got[d] is want, (d, got[d], want)
 
 
+def test_luhn_total_on_raw_strings(spark):
+    """The exported helper must be total on arbitrary strings (ANSI mode
+    turns a digit-cast of ' ' into CAST_INVALID_INPUT): separators are
+    stripped, non-card text is simply invalid — review-found."""
+    vecs = [("4111 1111 1111 1111", True),
+            ("4012-8888-8888-1881", True),
+            ("order #12345 shipped", False),
+            ("no digits at all", False),
+            ("", False)]
+    df = spark.createDataFrame([(d,) for d, _ in vecs], "d string")
+    got = {r["d"]: r["ok"] for r in
+           df.select("d", luhn_valid(F.col("d")).alias("ok")).collect()}
+    for d, want in vecs:
+        assert got[d] is want, (d, got[d], want)
+
+
 def test_category_subset_and_no_cards(spark):
     df = _planted(spark).filter("id in (1, 2)")
     only_email = df.select("id", scrub_pii(

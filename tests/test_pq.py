@@ -200,3 +200,21 @@ def test_dropped_cluster_codes_stay_dense_and_adc_non_null(spark):
     assert top.filter("adc_dist IS NULL").count() == 0
     assert top.groupBy("query_id").count().agg(
         F.min("count")).first()[0] >= 5
+
+
+def test_non_divisible_dim_fails_loudly(spark):
+    """Review-found: pq_encode / ADC entry points silently dropped the
+    trailing dim % m dimensions; the divisibility assert now lives in
+    the one shared _subvectors entry point."""
+    emb5 = spark.createDataFrame(
+        [(i, [float(j) for j in range(5)]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(AssertionError):
+        pq_train(emb5, m=2, k=2, n_iters=1)
+    cb = pq_train(emb5.select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding")),
+        m=2, k=2, n_iters=1)
+    with pytest.raises(AssertionError):
+        pq_encode(emb5, cb, m=2)  # infers dim=5 from the data
+    with pytest.raises(AssertionError):
+        pq_encode(emb5, cb, m=2, dim=5)  # explicit dim must also fail

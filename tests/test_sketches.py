@@ -239,6 +239,13 @@ def test_sketch_rollup_stream_matches_batch_and_skips_replays(
     after = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert after == before
 
+    # marker-file contract: ONE high-watermark marker regardless of how
+    # many batches ran (per-batch markers would grow the state dir
+    # linearly with query age — review-found)
+    import os
+    markers = [f for f in os.listdir(state) if f.startswith("_applied_")]
+    assert len(markers) == 1, markers
+
 
 def test_sketch_drift_detects_planted_shift(spark):
     """Drift report from sketches alone: 8 days of a stable distribution

@@ -105,6 +105,40 @@ def test_anchor_above_diamond_no_orphans(star):
     assert sub["lineitem"].count() > 0
 
 
+def test_alternate_key_parent_columns(spark):
+    """Review-found: two children referencing DIFFERENT parent columns
+    (alternate keys) previously died in an opaque unionByName error.
+    The fix keeps a parent row if ANY referenced column needs it
+    (row-level OR) — intersection semantics would orphan the alt-key
+    child (its needed rows dropped because their pk went unreferenced)."""
+    dim = spark.createDataFrame(
+        [(i, f"code_{i}") for i in range(10)], "pk int, alt string")
+    c1 = spark.createDataFrame(
+        [(i, i % 10) for i in range(40)], "id int, dim_pk int")
+    # c2 references only alt codes 0..4
+    c2 = spark.createDataFrame(
+        [(i, f"code_{i % 5}") for i in range(40)], "id int, dim_alt string")
+    fks = [FK("c1", "dim_pk", "dim", "pk"),
+           FK("c2", "dim_alt", "dim", "alt")]
+    sub = subset_star({"dim": dim, "c1": c1, "c2": c2}, "c1", "id",
+                      fks, fraction=0.4)
+    # both FK arms orphan-free
+    for fk in fks:
+        orphans = (sub[fk.child]
+                   .join(sub[fk.parent]
+                         .select(F.col(fk.parent_col)
+                                  .alias(fk.child_col)),
+                         fk.child_col, "left_anti").count())
+        assert orphans == 0, (fk, orphans)
+    # c2 is NOT downstream of the anchor: passes through unchanged
+    assert sub["c2"].count() == 40
+    kept_pks = {r["dim_pk"] for r in sub["c1"].select("dim_pk")
+                .distinct().collect()}
+    got_pks = {r["pk"] for r in sub["dim"].select("pk").collect()}
+    assert got_pks == kept_pks | set(range(5))  # OR of both arms
+    assert sub["dim"].count() == len(got_pks)  # no row multiplication
+
+
 from hypothesis import assume, given, settings, strategies as st  # noqa: E402
 
 
