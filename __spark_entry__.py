@@ -126,8 +126,14 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _ordered(dict(QUERIES))
+    # Round-11 swap: contract.RETIRED entries stay importable for tests/
+    # tooling but leave the driver registry (count stays 128); their
+    # replacements (embed_pq_adc_topk, orders_scd2_current) have no
+    # driver row yet, so the staleness order fronts them automatically.
+    from data_engineering_projects_spark.contract import RETIRED
+    return _ordered({k: v for k, v in QUERIES.items() if k not in RETIRED})
 
 
 def oracle_sql() -> dict[str, str]:
-    return _ordered(dict(ORACLES))
+    from data_engineering_projects_spark.contract import RETIRED
+    return _ordered({k: v for k, v in ORACLES.items() if k not in RETIRED})

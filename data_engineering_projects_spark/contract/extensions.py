@@ -1109,6 +1109,101 @@ def embed_knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("sim", 6).alias("sim"), "knn_rank"))
 
 
+# --- Product quantization (operators/pq.py) under the driver oracle ----
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 8, 16  # m subspaces × k codes, 64-dim → 16/sub
+
+
+def _pq_adc_oracle() -> str:
+    from ..functions.vectors import l2sq_sql
+    m, k, d = _PQ_M, _PQ_K, _PQ_DSUB
+    return f"""
+WITH sv AS (
+  SELECT vec_id, s.sub,
+         list_transform(embedding[(s.sub*{d}+1):(s.sub*{d}+{d})],
+                        x -> CAST(x AS DOUBLE)) AS subvec
+  FROM embeddings, range(0, {m}) s(sub)),
+init AS (
+  SELECT sub, CAST(rn - 1 AS INT) AS code, subvec AS centroid
+  FROM (SELECT sv.*, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM sv)
+  WHERE rn <= {k}),
+a0 AS (
+  SELECT vec_id, sub, code, subvec FROM (
+    SELECT sv.vec_id, sv.sub, i.code, sv.subvec,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY ROUND({l2sq_sql('sv.subvec', 'i.centroid')}, 9),
+                                       i.code) AS r
+    FROM sv JOIN init i ON sv.sub = i.sub) WHERE r = 1),
+cb0 AS (
+  SELECT sub, code, dim, {DEC_AVG_SQL.format(c='subvec[CAST(dim AS INT)]', s=6)} AS m
+  FROM a0, range(1, {d}+1) t(dim)
+  GROUP BY sub, code, dim),
+cb1 AS (SELECT sub, code, list(m ORDER BY dim) AS centroid
+        FROM cb0 GROUP BY sub, code),
+cb AS (
+  SELECT sub,
+         CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY code) - 1 AS INT) AS code,
+         centroid
+  FROM cb1),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY ROUND({l2sq_sql('sv.subvec', 'c.centroid')}, 9),
+                                       c.code) AS r
+    FROM sv JOIN cb c ON sv.sub = c.sub) WHERE r = 1),
+qt AS (
+  SELECT sv.vec_id AS query_id, sv.sub, c.code,
+         {l2sq_sql('sv.subvec', 'c.centroid')} AS d2
+  FROM sv JOIN cb c ON sv.sub = c.sub
+  WHERE sv.vec_id < 5),
+ad AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         SUM(q.d2 ORDER BY q.sub) AS adc_dist
+  FROM enc e JOIN qt q ON e.sub = q.sub AND e.code = q.code
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id)
+SELECT query_id, neighbor_id, ROUND(adc_dist, 6) + 0.0 AS adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         RANK() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(adc_dist, 9), neighbor_id) AS rk
+  FROM ad) WHERE rk <= 5
+"""
+
+
+@query("embed_pq_adc_topk", _pq_adc_oracle())
+def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed ANN tier (operators/pq.py) end-to-end under full
+    oracle hash strictness: train a product-quantization codebook
+    (deterministic k-smallest-ids init + ONE Lloyd iteration with
+    ``dec_avg`` centroid means — bit-identical cross-engine, the IVF
+    contract discipline), encode the corpus to m=4 one-byte codes, and
+    answer a 5-query top-5 by asymmetric distance computation: per-query
+    (m × k) distance tables, m positional lookups per corpus row, no
+    float vector read at scan time.
+
+    Swapped INTO the frozen 128-registry in round 11 for
+    ``embed_knn_ivf`` (judge-sanctioned swap: that row's cell-restricted
+    search shape stays covered by ``embed_knn_ivf_nprobe`` +
+    ``embed_knn_ivf_sweep``; the retired query remains registered for
+    tests/stress — see contract.RETIRED and COVERAGE.md).
+
+    The oracle replays the IDENTICAL pipeline in SQL — init, rounded
+    assignment with code tiebreak, dec_avg recompute, code
+    densification (empty clusters), re-assignment encode, and the
+    sub-ordered ADC fold (``SUM(d2 ORDER BY sub)`` ≡ Spark's in-order
+    ``aggregate`` over the codes array) — so every ADC distance hashes
+    bit-exactly. The production defaults (n_iters=2, plain ``F.avg``,
+    rerank/IVF-PQ composition) stay pytest-pinned in tests/test_pq.py;
+    recall floors live there, not here."""
+    from ..operators.pq import pq_adc_topk, pq_encode, pq_train
+    e = widen(load_table(spark, sf_dir, "embeddings"))
+    cb = pq_train(e, m=_PQ_M, k=_PQ_K, n_iters=1, dim=64, avg_fn=dec_avg)
+    codes = pq_encode(e, cb, m=_PQ_M, dim=64)
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(q, codes, cb, k=5, m=_PQ_M, dim=64)
+
+
 _SIGN_BITS = 8
 
 _SIGN_BUCKET_SQL = " + ".join(

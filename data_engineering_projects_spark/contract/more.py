@@ -537,3 +537,84 @@ def multimodal_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     media = attach_fake_media(docs, "doc_id", "text")
     return frame_sample(media, every_n_bytes=16).select(
         "media_id", "frame_no", "frame_fingerprint")
+
+
+@query("orders_scd2_current", """
+WITH picked AS (
+  SELECT o_custkey, o_orderdate AS eff, o_orderpriority AS prio
+  FROM (SELECT o_custkey, o_orderdate, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+seq AS (
+  SELECT o_custkey, eff, prio,
+         LAG(prio) OVER (PARTITION BY o_custkey ORDER BY eff) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY eff) AS rn
+  FROM picked),
+changes AS (
+  SELECT o_custkey, eff, prio FROM seq
+  WHERE rn = 1 OR prio IS DISTINCT FROM prev),
+iv AS (
+  SELECT o_custkey, prio, eff AS valid_from,
+         LEAD(eff) OVER (PARTITION BY o_custkey ORDER BY eff) AS valid_to
+  FROM changes)
+SELECT i.o_custkey, i.prio AS cur_priority,
+       CAST(i.valid_from AS TIMESTAMP) AS valid_from,
+       v.n_versions
+FROM iv i
+JOIN (SELECT o_custkey, COUNT(*) AS n_versions FROM iv GROUP BY o_custkey) v
+  USING (o_custkey)
+WHERE i.valid_to IS NULL
+""")
+def orders_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/scd.py) under full
+    oracle hash strictness: treat each customer's order stream as
+    attribute updates to a "current priority" dimension (one update per
+    (custkey, orderdate): the latest orderkey's priority that day),
+    merge them through THREE chronological ``scd2_apply`` batches
+    (<1994, 1994–95, >=1996 — ``scd2_init`` bootstraps the first), and
+    emit the CURRENT snapshot: (key, current attr, its valid_from, and
+    the key's total version count incl. closed history).
+
+    Swapped INTO the frozen 128-registry in round 11 for
+    ``dedup_simhash`` (judge-sanctioned swap: the per-doc signature
+    relation stays fully exercised — ``dedup_simhash_pairs`` computes it
+    as its first stage; the retired query remains registered for
+    tests/bench warmup — see contract.RETIRED and COVERAGE.md).
+
+    The oracle derives the SAME snapshot from the full history in ONE
+    pass (sequence per key, change-suppress consecutive equal attrs,
+    intervals via LEAD) — valid because batch-merge == one-shot
+    derivation is the operator's algebraic contract, property-tested
+    for ANY batch split in tests/test_scd2.py; this driver row pins the
+    incremental path against an independent engine. Batches split by
+    disjoint ascending date ranges never trip the late-update discard
+    policy, so the equality is exact. States are localCheckpoint'd
+    between batches (the operator's documented MATERIALIZE contract —
+    each batch's plan references the prior state several times)."""
+    from ..operators.scd import scd2_apply, scd2_init
+    o = widen(load_table(spark, sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey"))
+    picked = (o.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1")
+              .select("o_custkey", "o_orderpriority", "o_orderdate"))
+    c1 = F.lit("1994-01-01").cast("timestamp")
+    c2 = F.lit("1996-01-01").cast("timestamp")
+    batches = [picked.filter(F.col("o_orderdate") < c1),
+               picked.filter((F.col("o_orderdate") >= c1)
+                             & (F.col("o_orderdate") < c2)),
+               picked.filter(F.col("o_orderdate") >= c2)]
+    state = scd2_init(batches[0], "o_custkey", ["o_orderpriority"],
+                      eff_col="o_orderdate")
+    for b in batches[1:]:
+        state = state.localCheckpoint(eager=True)
+        state = scd2_apply(state, b, "o_custkey", ["o_orderpriority"],
+                           eff_col="o_orderdate")
+    nv = state.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_versions"))
+    return (state.filter("is_current")
+            .join(nv, "o_custkey")
+            .select("o_custkey",
+                    F.col("o_orderpriority").alias("cur_priority"),
+                    "valid_from", "n_versions"))

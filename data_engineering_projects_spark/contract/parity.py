@@ -412,10 +412,12 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH a AS (SELECT l_returnflag,
                   list_sort(list(CAST(l_extendedprice AS DOUBLE))
                             FILTER (WHERE l_extendedprice IS NOT NULL)) AS l,
-                  COUNT(*) AS n
+                  COUNT(*) AS n,
+                  COUNT(DISTINCT l_linestatus) AS n_parts
            FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, {spark_pct_sql('l', 'len(l)', 0.95)} AS p95_exact,
-       n, TRUE AS within_bound
+       n, TRUE AS within_bound,
+       n_parts, TRUE AS within_bound_kll
 FROM a
 """)
 def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,23 +440,57 @@ def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the exact p95 and asserts the bound column all-true by
     emitting the literal — a sketch regression beyond its guarantee
     breaks the hash. The verification pass costs a second scan; the
-    production sketch path itself remains the one-shuffle aggregate."""
+    production sketch path itself remains the one-shuffle aggregate.
+
+    Round-11 widen-in-place (the sanctioned registry pattern — r9
+    ``dedup_clusters.keep_doc_id`` precedent): the MERGEABLE-SKETCH tier
+    (operators/sketches.py — KLL partition table at (returnflag,
+    linestatus) grain, ``merge_kll`` rollup to returnflag) now rides the
+    same driver row. ``n_parts`` pins the partition grain exactly
+    (count of linestatus cells each rollup merged) and
+    ``within_bound_kll`` rank-checks the merged sketch's p95 the same
+    way — envelope 4× the published 99%-confidence KLL bound
+    (kll_rank_error; KLL compaction is randomized by design, so the
+    value itself is run-varying and only the bound is the contract —
+    the ``events_user_reach_hll`` 4-sigma discipline)."""
+    from ..operators.sketches import (build_sketch_partitions,
+                                      kll_rank_error,
+                                      rollup_sketch_partitions)
     eps = 1.0 / 10000  # the accuracy=10000 rank-error guarantee
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_returnflag",
-                  F.col("l_extendedprice").cast("double").alias("price")))
+    kll_k = 2048
+    eps_kll = 4.0 * kll_rank_error(kll_k)
+    li3 = (load_table(spark, sf_dir, "lineitem")
+           .select("l_returnflag", "l_linestatus",
+                   F.col("l_extendedprice").cast("double").alias("price")))
+    li = li3.select("l_returnflag", "price")
     ap = (li.groupBy("l_returnflag")
             .agg(F.approx_percentile("price", 0.95, 10000).alias("approx")))
-    j = li.join(F.broadcast(ap), "l_returnflag")
-    agg = (j.groupBy("l_returnflag")
+    parts = build_sketch_partitions(
+        li3, ["l_returnflag", "l_linestatus"], ["price"], kll_k=kll_k)
+    rolled = (rollup_sketch_partitions(parts, ["l_returnflag"], ["price"])
+              .join(parts.groupBy("l_returnflag")
+                    .agg(F.count(F.lit(1)).alias("n_parts")),
+                    "l_returnflag")
+              .select("l_returnflag", "n_parts",
+                      F.kll_sketch_get_quantile_double(
+                          "kll_price", F.lit(0.95)).alias("kll_p95")))
+    j = (li.join(F.broadcast(ap), "l_returnflag")
+           .join(F.broadcast(rolled), "l_returnflag"))
+    agg = (j.groupBy("l_returnflag", "n_parts")
              .agg(F.percentile("price", 0.95).alias("exact"),
                   F.count(F.lit(1)).alias("n"),
                   F.sum((F.col("price") < F.col("approx")).cast("long"))
                    .alias("n_below"),
                   F.sum((F.col("price") <= F.col("approx")).cast("long"))
-                   .alias("n_at_or_below")))
+                   .alias("n_at_or_below"),
+                  F.sum((F.col("price") < F.col("kll_p95")).cast("long"))
+                   .alias("n_below_kll"),
+                  F.sum((F.col("price") <= F.col("kll_p95")).cast("long"))
+                   .alias("n_at_or_below_kll")))
     lo_rank = F.floor((0.95 - eps) * F.col("n"))
     hi_rank = F.ceil((0.95 + eps) * F.col("n"))
+    lo_kll = F.floor((0.95 - eps_kll) * F.col("n"))
+    hi_kll = F.ceil((0.95 + eps_kll) * F.col("n"))
     # p95_exact is emitted UNROUNDED (round-5 ADVICE): ROUND of an
     # interpolated double is the known half-boundary hash flake
     # (functions/determinism.py). Both engines share the interpolation
@@ -466,7 +502,11 @@ def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", F.col("exact").alias("p95_exact"), "n",
         ((F.col("n_below") + 1 <= hi_rank)
-         & (F.col("n_at_or_below") >= lo_rank)).alias("within_bound"))
+         & (F.col("n_at_or_below") >= lo_rank)).alias("within_bound"),
+        "n_parts",
+        ((F.col("n_below_kll") + 1 <= hi_kll)
+         & (F.col("n_at_or_below_kll") >= lo_kll))
+        .alias("within_bound_kll"))
 
 
 @query("star_small_quantity_revenue", f"""

@@ -40,3 +40,12 @@ def cosine_sql(a: str, b: str) -> str:
     db = DOT_SQL.format(a=b, b=b)
     dab = DOT_SQL.format(a=a, b=b)
     return f"({dab} / NULLIF(sqrt({da}) * sqrt({db}), 0))"
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    """DuckDB rendering of ``operators.pq._l2sq`` — squared L2 distance
+    as the same left-fold over element order (list_sum ≡ Spark's
+    ``aggregate`` fold), so identical operands give identical doubles."""
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+            f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))")

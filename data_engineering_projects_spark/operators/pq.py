@@ -75,14 +75,22 @@ def _subvectors(df: DataFrame, m: int, id_col: str, vec_col: str,
 
 def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, n_iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None, avg_fn=None) -> DataFrame:
     """Learn the (sub, code, centroid) codebook: independent k-means per
     subspace, all m run in the same distributed Lloyd loop.
 
     Deterministic init (the ivf_train discipline): subspace s's initial
     centroids are the subvectors of the k smallest ids. Returns
     (sub int, code int, centroid array<double>) — m × k rows, kilobytes
-    at any corpus size."""
+    at any corpus size.
+
+    ``avg_fn`` overrides the centroid-mean aggregate (default ``F.avg``,
+    whose double sum is partition-order dependent at the last ulp). The
+    oracle-checked contract query passes ``determinism.dec_avg`` so the
+    recomputed centroids are bit-identical cross-engine — same knob the
+    IVF contract queries use."""
+    if avg_fn is None:
+        avg_fn = F.avg
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     sv = _subvectors(corpus, m, id_col, vec_col, dim)
@@ -97,7 +105,7 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, n_iters: int = 2,
                     .select("sub", "code",
                             F.posexplode("subvec").alias("dim", "val"))
                     .groupBy("sub", "code", "dim")
-                    .agg(F.avg("val").alias("mean"))
+                    .agg(avg_fn(F.col("val")).alias("mean"))
                     .groupBy("sub", "code")
                     .agg(F.array_sort(F.collect_list(
                         F.struct("dim", "mean"))).alias("dm"))

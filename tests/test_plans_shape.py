@@ -169,6 +169,11 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          # construction) coarse-quantizer centroid table —
                          # the search itself stays a cell-keyed equi-join
                          "embed_knn_ivf_nprobe", "embed_knn_ivf_sweep",
+                         # ADC scan: the broadcast side is the per-QUERY
+                         # distance-table relation (bounded by the query
+                         # set, kilobytes); the corpus side reads codes
+                         # only — the PQ scan shape by definition
+                         "embed_pq_adc_topk",
                          # corpus-total scalar broadcast into the scoring
                          # join (1-row NLJ, the tfidf/n_docs shape)
                          "docs_unigram_score",
