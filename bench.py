@@ -23,17 +23,34 @@ on a shared host. The harness now runs up to $SPARK_GRAFT_BENCH_REPS
 (default 3) full warmed passes over the registry and reports the
 per-query MEDIAN (min when only 2 reps fit, the single sample when 1);
 every raw sample lands in BENCH_detail.json under "spread" so a future
-regression call can see whether a number rides on one noisy rep. Passes
-after the first are skipped when the projected wall time would exceed
-$SPARK_GRAFT_BENCH_BUDGET seconds (default 360 — chosen so budget +
-one straggler pass + warmups stays inside the external driver's ~580 s
-timeout; a loaded host degrades to 2 passes instead of being killed
-with no output) — "reps_completed" records how many passes actually
-ran. A fixed-cost CALIBRATION query (count over the 5-row
-region table, best-of-2) is timed before the first pass and after the
-last; its drift within a run measures machine load independently of the
-engine, letting rounds normalize totals instead of guessing whether a
-swing is noise ("calibration": {"first", "last", "samples"}).
+regression call can see whether a number rides on one noisy rep.
+"reps_completed" records how many passes actually ran. A fixed-cost
+CALIBRATION query (count over the 5-row region table, best-of-2) is
+timed before the first pass and after the last; its drift within a run
+measures machine load independently of the engine, letting rounds
+normalize totals instead of guessing whether a swing is noise
+("calibration": {"first", "last", "samples"}).
+
+Fitting 3 passes inside the driver timeout (round 11 — the r10 driver
+run degraded to min-of-2 on a loaded host, which is how a phantom +10%
+total appeared):
+
+- streaming queries are sampled on the FIRST pass only. Their wall time
+  is dominated by fixed micro-batch/sink start-stop cost that is
+  measured separately anyway ("streaming_fixed_overhead"), their
+  subtotal is already reported apart from the batch engine, and
+  robust() takes min-of under 3 samples regardless — so re-paying ~17 s
+  of sink spin-up per extra pass bought no statistical power. Their
+  "spread" entries record the single sample honestly.
+- the old indirect budget rule ($SPARK_GRAFT_BENCH_BUDGET "360 s +
+  one straggler pass") is replaced by an explicit DEADLINE projection:
+  the next pass starts only if seconds-since-process-start +
+  1.5 x last-pass-duration <= $SPARK_GRAFT_BENCH_DEADLINE (default
+  545 — the external driver kills bench at ~580 s counted from process
+  start, and elapsed-from-start also covers session spin-up and
+  warmups, which the old budget silently excluded). The 1.5x factor is
+  the host-slowdown margin; a host that degrades >1.5x mid-pass was
+  never safe under the old rule either.
 
 Each query is fully executed through the noop sink (computes every row,
 writes nothing) so timings measure the real plan, not a count shortcut.
@@ -53,6 +70,11 @@ from data_engineering_projects_spark.session import (free_local_checkpoint,
                                                      get_session)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Deadline projections measure from PROCESS start (import time ≈ exec
+# start): the driver's ~580s timeout covers session spin-up and warmups
+# too, not just the timed passes.
+_PROC_T0 = time.perf_counter()
 
 
 def _sf_from_dir(d: str) -> float:
@@ -112,31 +134,33 @@ def main() -> None:
             return time.perf_counter() - t0
         return round(min(once(), once()), 4)
 
-    # budget default 360s: the external driver (and the verify recipe)
-    # run bench.py under a ~580s timeout; 360 + one straggler pass
-    # (~150s on a loaded host) + warmups stays inside it. An idle host
-    # (~110s/pass) still fits 3 passes under 360; a loaded one degrades
-    # to 2 (min-of-2) instead of being killed with no output at all.
+    # deadline default 545s measured from PROCESS start (the external
+    # driver kills bench at ~580s from process start): the next pass
+    # starts only if elapsed + 1.5x the last pass's duration fits —
+    # see module docstring (round 11).
     reps_target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "360"))
-    bench_t0 = time.perf_counter()
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "545"))
     cal_samples = [calibrate()]
     # time exactly the driver-facing 128 (round-11 swap: RETIRED stays
     # registered for warmup/tests but is not a registry query anymore)
     names = sorted(set(contract.QUERIES) - contract.RETIRED)
     samples: dict[str, list[float]] = {n: [] for n in names}
     reps_done = 0
-    for _ in range(reps_target):
+    for rep in range(reps_target):
         # full pass per rep (not N back-to-back runs of one query): reps
         # of the same query land minutes apart, so a transient load spike
         # inflates at most one sample of each query instead of all three.
+        pass_t0 = time.perf_counter()
         for name in names:
+            if rep > 0 and name.startswith("streaming_"):
+                continue  # fixed-overhead dominated: first-pass sample only
             samples[name].append(run_once(name))
         reps_done += 1
-        elapsed = time.perf_counter() - bench_t0
+        last_pass = time.perf_counter() - pass_t0
+        elapsed = time.perf_counter() - _PROC_T0
         if reps_done < reps_target and \
-                elapsed + elapsed / reps_done > budget:
-            break  # projected next-pass time busts the budget
+                elapsed + 1.5 * last_pass > deadline:
+            break  # projected next-pass finish busts the driver timeout
     cal_samples.append(calibrate())
 
     def robust(vals: list[float]) -> float:
