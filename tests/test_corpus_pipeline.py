@@ -331,8 +331,12 @@ def test_extend_corpus_batching_changes_representative_not_count(spark):
         "doc_id long, text string, source string, lang string"))
     corpus = prep.docs.localCheckpoint(eager=True)
     prep.unpersist()
-    short = (10, _words(64, "pairz"), "web", "en")          # arrives first
-    long_ = (11, _words(64, "pairz") + " richer tail words here",
+    # quality = min(n_tokens/50, 1) * stopword factor: 40 tokens scores
+    # 0.4x, 64 tokens caps the length factor — strictly higher. Jaccard
+    # over the shared 40-word prefix = 38/62 ~ 0.61 >= 0.5: a real pair.
+    short = (10, _words(40, "pairz"), "web", "en")          # arrives first
+    long_ = (11, _words(40, "pairz") + " "
+             + " ".join(f"pairztail{i}" for i in range(24)),
              "web", "en")                                    # higher quality
     schema = "doc_id long, text string, source string, lang string"
 
