@@ -412,31 +412,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mh_verify(sets, _mh_candidates(sets))
 
 
-def _mh_candidates(sets: DataFrame,
-                   bucket_cap: int = _LSH_BUCKET_CAP,
+def _mh_signatures(sets: DataFrame,
                    persisted_out: list | None = None) -> DataFrame:
-    """LSH band-bucket candidate generation over a (doc_id, shs) relation:
-    (doc_a, doc_b, n_shared_bands), PRE-verification. Split out of
-    ``dedup_minhash_lsh`` (round 9) so the end-to-end pipeline stress can
-    time candidate generation and verification as separate stages.
-
-    Buckets larger than ``bucket_cap`` are excluded BEFORE the self-join
-    (see ``_LSH_BUCKET_CAP``): without the cap a mega-dup cluster makes
-    the candidate list quadratic in the cluster, which no shuffle-level
-    skew handling can bound. The oversized-key list is tiny by nature
-    (each mega-cluster contributes at most ``_N_MINHASH`` keys), so it
-    rides a broadcast anti-join — the stop-shingle pattern from
-    ``dedup_ngram_jaccard``."""
+    """(doc_id, h0..h7) MinHash signature relation, persisted: doc_id +
+    8 longs (fixed 72 bytes/doc at any corpus size). The shingle->
+    minhash HOF transform is the expensive compute here, and it
+    statically appears once per consumer — BOTH self-join sides plus
+    (round 10) the hot-bucket list — so without the persist it would
+    run 3x per query; with it, once."""
     def perm(a, b):
         # must return a UNARY lambda: a second parameter would be bound to
         # the HOF's element-index argument by PySpark.
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
-    # persist the signature relation: doc_id + 8 longs (fixed 72 bytes/doc
-    # at any corpus size). The shingle->minhash HOF transform is the
-    # expensive compute here, and it statically appears once per consumer
-    # — BOTH self-join sides plus (round 10) the hot-bucket list — so
-    # without the persist it would run 3x per query; with it, once.
     mh = sets.filter(F.size("shs") > 0).select(
         "doc_id",
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
@@ -446,17 +434,55 @@ def _mh_candidates(sets: DataFrame,
         # persist when they are done — registry queries are one-shot
         # and covered by the bench deep-free instead
         persisted_out.append(mh)
-    bands = mh.select(
+    return mh
+
+
+def _mh_bands(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): each signature exploded to its
+    ``_N_MINHASH`` band bucket keys."""
+    return mh.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
             for i in range(_N_MINHASH)])).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
-    hot = (bands.groupBy("band", "band_key")
-           .agg(F.count(F.lit(1)).alias("bn"))
-           .filter(F.col("bn") > bucket_cap)
-           .select("band", "band_key"))
-    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+
+
+def _mh_hot_buckets(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """The over-cap band-bucket key list (the round-10 output cap's
+    extra stage): one map-side-combined aggregate over the bands
+    relation, shuffling ~|distinct buckets| rows; tiny by nature (each
+    mega-cluster contributes at most ``_N_MINHASH`` keys)."""
+    return (bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") > bucket_cap)
+            .select("band", "band_key"))
+
+
+def _mh_candidates(sets: DataFrame,
+                   bucket_cap: int | None = _LSH_BUCKET_CAP,
+                   persisted_out: list | None = None) -> DataFrame:
+    """LSH band-bucket candidate generation over a (doc_id, shs) relation:
+    (doc_a, doc_b, n_shared_bands), PRE-verification. Split out of
+    ``dedup_minhash_lsh`` (round 9) so the end-to-end pipeline stress can
+    time candidate generation and verification as separate stages; the
+    stages themselves are module-level helpers (round 11) so the hotlist
+    stress family can time them in isolation.
+
+    Buckets larger than ``bucket_cap`` are excluded BEFORE the self-join
+    (see ``_LSH_BUCKET_CAP``): without the cap a mega-dup cluster makes
+    the candidate list quadratic in the cluster, which no shuffle-level
+    skew handling can bound. The oversized-key list is tiny by nature
+    (each mega-cluster contributes at most ``_N_MINHASH`` keys), so it
+    rides a broadcast anti-join — the stop-shingle pattern from
+    ``dedup_ngram_jaccard``. ``bucket_cap=None`` omits the hot-list
+    stage entirely (the pre-cap plan — stress/measurement tooling only;
+    contract queries always run capped)."""
+    bands = _mh_bands(_mh_signatures(sets, persisted_out))
+    if bucket_cap is not None:
+        hot = _mh_hot_buckets(bands, bucket_cap)
+        bands = bands.join(F.broadcast(hot), ["band", "band_key"],
+                           "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))

@@ -112,6 +112,13 @@ FAMILIES = {
     # ADC-scan wall ~linear, shortlist size per query FLAT (k x
     # overfetch regardless of corpus size).
     "pq": [],
+    # special-cased in main(): the hot-list stage of the round-10 LSH
+    # output cap, timed IN ISOLATION at 1x/2x/5x rotated documents
+    # (r10 verdict #3: "fixed overhead, amortizes at scale" must be a
+    # measured curve, not an argument). Per mult: signature-build wall,
+    # hot-list-aggregate wall alone, and the full candidate join capped
+    # vs with the cap forced off (bucket_cap=None - the pre-cap plan).
+    "hotlist": [],
     # special-cased in main(): the mergeable-sketch partition tier
     # (operators/sketches.py). Claims under k-fold events with shifted
     # users: build wall ~linear, sketch GRAIN flat (types x days — data
@@ -288,6 +295,60 @@ def run_megabucket(spark, base: str, sizes: list[int]) -> list[dict]:
             results.append(rec)
             print(json.dumps(rec), flush=True)
     sets.unpersist()
+    return results
+
+
+def run_hotlist(spark, base: str, mults: list[int]) -> list[dict]:
+    """The LSH cap's hot-list stage measured in isolation at k-fold
+    rotated documents (r10 verdict #3): per mult, the signature-build
+    wall (persisted relation), the hot-bucket aggregate wall ALONE (the
+    stage the cap added), and the full candidate generation with the
+    cap on vs forced off (bucket_cap=None — the pre-cap plan). The
+    cap's net cost is BOTH the isolated hot_sec and the cap-vs-nocap
+    delta (each includes one signature compute, so the delta cancels
+    it); if the share of total wall falls with data size, the "fixed
+    overhead, amortizes at scale" claim is measured, not argued."""
+    import data_engineering_projects_spark.contract.extensions as ext
+
+    results = []
+    warm = True
+    for mult in mults:
+        base_tag = os.path.basename(os.path.normpath(base))
+        sf_dir = (base if mult == 1
+                  else f"/tmp/depa_stress_{base_tag}_hotlist_x{mult}")
+        if mult > 1:
+            build_fixture(base, mult, sf_dir, rotate_docs=True)
+        sets = ext._doc_shingle_sets(spark, sf_dir).persist()
+        sets.count()
+        if warm:  # throwaway pass: JIT/codegen hot before mult=1 times
+            leak: list = []
+            ext._mh_candidates(sets, persisted_out=leak).count()
+            for df in leak:
+                df.unpersist()
+            warm = False
+        leaks: list = []
+        t0 = time.perf_counter()
+        mh = ext._mh_signatures(sets, persisted_out=leaks)
+        n_docs = mh.count()
+        sig_sec = time.perf_counter() - t0
+        bands = ext._mh_bands(mh)
+        t0 = time.perf_counter()
+        n_hot = ext._mh_hot_buckets(bands, ext._LSH_BUCKET_CAP).count()
+        hot_sec = time.perf_counter() - t0
+        rec = {"mult": mult, "n_docs": n_docs,
+               "sig_sec": round(sig_sec, 3),
+               "hot_sec": round(hot_sec, 3), "hot_rows": n_hot}
+        for label, cap in [("cap", ext._LSH_BUCKET_CAP), ("nocap", None)]:
+            t0 = time.perf_counter()
+            rows = ext._mh_candidates(sets, bucket_cap=cap,
+                                      persisted_out=leaks).count()
+            rec[f"cand_{label}_sec"] = round(time.perf_counter() - t0, 3)
+            rec[f"cand_{label}_rows"] = rows
+        for df in leaks:
+            df.unpersist()
+        sets.unpersist()
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
     return results
 
 
@@ -551,6 +612,28 @@ def main() -> int:
                 "users_ratio":
                     round(r["distinct_users_est"]
                           / max(base_r["distinct_users_est"], 1), 2)}
+            for r in results}
+        print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
+
+    if args.family == "hotlist":
+        mults = [int(m) for m in args.mults.split(",")]
+        results = run_hotlist(spark, args.base, mults)
+        b = results[0]
+        summary = {
+            str(r["mult"]): {
+                "hot_sec": r["hot_sec"],
+                "hot_time_ratio":
+                    round(r["hot_sec"] / max(b["hot_sec"], .01), 2),
+                "cap_minus_nocap_sec":
+                    round(r["cand_cap_sec"] - r["cand_nocap_sec"], 3),
+                "hot_share_of_cand":
+                    round(r["hot_sec"] / max(r["cand_cap_sec"], .01), 3),
+                "cand_cap_sec": r["cand_cap_sec"],
+                "cand_nocap_sec": r["cand_nocap_sec"],
+                "rows_equal": r["cand_cap_rows"] == r["cand_nocap_rows"],
+                "sig_sec": r["sig_sec"]}
             for r in results}
         print(json.dumps({"summary": summary}))
         spark.stop()
