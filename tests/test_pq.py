@@ -218,3 +218,43 @@ def test_non_divisible_dim_fails_loudly(spark):
         pq_encode(emb5, cb, m=2)  # infers dim=5 from the data
     with pytest.raises(AssertionError):
         pq_encode(emb5, cb, m=2, dim=5)  # explicit dim must also fail
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 10_000), st.sampled_from([2, 4]))
+def test_property_ivfpq_default_operating_point_recall_floor(
+        spark, seed, n_cells):
+    """Property tier for the DEFAULT operating point recorded in
+    SCALING.md's round-11 grid (nprobe = half the cells, overfetch=5):
+    on ANY random corpus — PQ's worst case — recall@5 of the composed
+    IVF-PQ search must clear a defensive floor. The grid shows ~0.63-
+    0.69 at fixture scale; the floor is 0.3 so only a real regression
+    (wrong cell restricted, shortlist mis-ranked, codes misaligned)
+    trips it, not quantization noise."""
+    import random
+
+    from data_engineering_projects_spark.operators.pq import (
+        ivf_pq_search, pq_encode, pq_train)
+    from data_engineering_projects_spark.operators.similarity import (
+        ivf_assign, ivf_train)
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 3)
+
+    cb = pq_train(corpus, m=4, k=8, n_iters=2)
+    codes = pq_encode(corpus, cb, m=4)
+    cents = ivf_train(corpus, n_cells=n_cells, n_iters=2)
+    assigned = ivf_assign(corpus, cents).select("vec_id", "cell") \
+        .join(codes, "vec_id")
+    got = ivf_pq_search(queries, assigned, cents, cb, corpus, k=5,
+                        nprobe=max(1, n_cells // 2), overfetch=5, m=4)
+    truth = _brute_top10(corpus, queries).filter("r <= 5")
+    tset = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    gset = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert len(tset & gset) / max(len(tset), 1) >= 0.3, (seed, n_cells)

@@ -112,6 +112,10 @@ FAMILIES = {
     # ADC-scan wall ~linear, shortlist size per query FLAT (k x
     # overfetch regardless of corpus size).
     "pq": [],
+    # special-cased in main(): the IVF-PQ recall-vs-cost operating grid
+    # (r10 verdict #5) — recall@10 + wall across (nprobe x overfetch)
+    # at 1x and 5x corpus with the index trained on the 1x corpus.
+    "ivfpq": [],
     # special-cased in main(): the hot-list stage of the round-10 LSH
     # output cap, timed IN ISOLATION at 1x/2x/5x rotated documents
     # (r10 verdict #3: "fixed overhead, amortizes at scale" must be a
@@ -484,6 +488,91 @@ def run_pq(spark, base: str, mults: list[int]) -> list[dict]:
     return results
 
 
+def run_ivfpq(spark, base: str, mults: list[int]) -> list[dict]:
+    """IVF-PQ operating curve (r10 verdict #5): recall@10 and search
+    wall across the (nprobe x overfetch) grid at 1x and 5x corpus, so a
+    user picks operating points from recorded data instead of the two
+    point samples the pytest tier pins. Index (PQ codebook + IVF
+    centroids) is trained ONCE on the 1x corpus — index params are
+    fixed at build time in production; k-fold embeddings replicate
+    vectors verbatim under shifted ids, so ground-truth ties replicate
+    across copies and RANK semantics keep recall comparable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.operators.pq import (
+        _l2sq, ivf_pq_search, pq_encode, pq_train)
+    from data_engineering_projects_spark.operators.similarity import (
+        ivf_assign, ivf_train)
+
+    M, N_CELLS, K = 16, 8, 10
+    emb1 = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    cb = pq_train(emb1, m=M, k=32, n_iters=2).persist()
+    cb.count()
+    cents = ivf_train(emb1, n_cells=N_CELLS, n_iters=2).persist()
+    cents.count()
+    queries = emb1.filter("vec_id < 10").persist()
+    queries.count()
+
+    def brute_truth(emb):
+        q = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("qv"))
+        c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("cv"))
+        d = (F.broadcast(q).crossJoin(c)
+             .filter("query_id != neighbor_id")
+             .select("query_id", "neighbor_id",
+                     _l2sq(F.col("qv"), F.col("cv")).alias("dist")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.round("dist", 9).asc(), "neighbor_id")
+        return d.withColumn("rk", F.rank().over(w)).filter(f"rk <= {K}")
+
+    results = []
+    for mult in mults:
+        base_tag = os.path.basename(os.path.normpath(base))
+        sf_dir = (base if mult == 1
+                  else f"/tmp/depa_stress_{base_tag}_ivfpq_x{mult}")
+        if mult > 1:
+            build_fixture(base, mult, sf_dir)
+        emb = spark.read.parquet(os.path.join(sf_dir,
+                                              "embeddings.parquet"))
+        assigned = (ivf_assign(emb, cents).select("vec_id", "cell")
+                    .join(pq_encode(emb, cb, m=M), "vec_id").persist())
+        assigned.count()
+        truth = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_truth(emb).collect()}
+        warm = True
+        for nprobe in (1, 2, 4, 8):
+            for overfetch in (1, 2, 5):
+                if warm:  # codegen warm pass, discarded
+                    ivf_pq_search(queries, assigned, cents, cb, emb,
+                                  k=K, nprobe=nprobe,
+                                  overfetch=overfetch, m=M) \
+                        .write.format("noop").mode("overwrite").save()
+                    warm = False
+                t0 = time.perf_counter()
+                got = {(r["query_id"], r["neighbor_id"])
+                       for r in ivf_pq_search(
+                           queries, assigned, cents, cb, emb, k=K,
+                           nprobe=nprobe, overfetch=overfetch,
+                           m=M).collect()}
+                sec = time.perf_counter() - t0
+                rec = {"mult": mult, "nprobe": nprobe,
+                       "overfetch": overfetch,
+                       "recall": round(len(got & truth)
+                                       / max(len(truth), 1), 3),
+                       "sec": round(sec, 2)}
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        assigned.unpersist()
+    cb.unpersist()
+    cents.unpersist()
+    queries.unpersist()
+    return results
+
+
 def run_sketches(spark, base: str, mults: list[int]) -> list[dict]:
     """Per-mult: timed sketch build over k-fold events (shifted users),
     grain/row-size stats, timed grain-only rollup, and a merged-p85
@@ -590,6 +679,18 @@ def main() -> int:
                 "shortlist_rows": r["shortlist_rows"]}
             for r in results}
         print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
+
+    if args.family == "ivfpq":
+        mults = [int(m) for m in args.mults.split(",")]
+        results = run_ivfpq(spark, args.base, mults)
+        grid = {}
+        for r in results:
+            grid.setdefault(str(r["mult"]), {})[
+                f"nprobe={r['nprobe']},overfetch={r['overfetch']}"] = {
+                "recall": r["recall"], "sec": r["sec"]}
+        print(json.dumps({"summary": grid}))
         spark.stop()
         return 0
 
