@@ -112,6 +112,11 @@ FAMILIES = {
     # ADC-scan wall ~linear, shortlist size per query FLAT (k x
     # overfetch regardless of corpus size).
     "pq": [],
+    # special-cased in main(): planted 90%-one-key join skew — wall for
+    # the four (AQE x salted) cells on a forced sort-merge join, reduce
+    # partition histograms, and skew_report's tier decisions (r10
+    # verdict #7).
+    "skew": [],
     # special-cased in main(): the IVF-PQ recall-vs-cost operating grid
     # (r10 verdict #5) — recall@10 + wall across (nprobe x overfetch)
     # at 1x and 5x corpus with the index trained on the 1x corpus.
@@ -488,6 +493,98 @@ def run_pq(spark, base: str, mults: list[int]) -> list[dict]:
     return results
 
 
+def run_skew(spark, base: str, mult: int = 5) -> dict:
+    """Planted-skew A/B for the salting operators (r10 verdict #7):
+    salted_join/salted_agg were result-identity-tested but never
+    measured UNDER skew. Plant a 90%-one-key join key on mult-fold
+    events, force the non-broadcastable-dim scenario the operators
+    document (autoBroadcastJoinThreshold=-1 — a broadcastable dim needs
+    no salt), and record wall + reduce-side partition histograms for
+    the four (AQE x salted) cells, plus skew_report's tier decisions on
+    the planted vs a uniform key — the mitigation decision matrix
+    validated by numbers."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.operators.skew import (
+        salted_join, skew_report)
+
+    base_tag = os.path.basename(os.path.normpath(base))
+    sf_dir = (base if mult == 1
+              else f"/tmp/depa_stress_{base_tag}_skew_x{mult}")
+    if mult > 1:
+        build_fixture(base, mult, sf_dir)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # 90% of rows on key 0, the rest uniform over 1..1000
+    planted = ev.select(
+        F.when(F.rand(3) < 0.9, F.lit(0))
+         .otherwise(F.pmod(F.col("event_id"), 1000) + 1)
+         .cast("long").alias("k"),
+        "value").persist()
+    n = planted.count()
+    dim = spark.range(0, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")).persist()
+    dim.count()
+
+    def joined(mode):
+        if mode == "salted":
+            return salted_join(planted, dim, "k", n_salts=16)
+        return planted.join(dim, "k")
+
+    def run_cell(aqe, mode):
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        t0 = time.perf_counter()
+        agg = joined(mode).agg(
+            F.sum("value").alias("sv"), F.sum("attr").alias("sa"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        sec = time.perf_counter() - t0
+        return sec, (round(agg["sv"] or 0.0, 2), agg["sa"], agg["n"])
+
+    out = {"mult": mult, "n_rows": n, "cells": {}}
+    sums = set()
+    old_bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for aqe in (True, False):
+            for mode in ("plain", "salted"):
+                run_cell(aqe, mode)  # warm
+                sec, agg = run_cell(aqe, mode)
+                out["cells"][f"aqe={aqe},join={mode}"] = round(sec, 2)
+                sums.add(agg)
+        out["results_identical"] = len(sums) == 1
+
+        # reduce-side partition histogram (AQE off so the raw shuffle
+        # layout is visible): rows per join-output partition
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for mode in ("plain", "salted"):
+            hist = (joined(mode)
+                    .withColumn("pid", F.spark_partition_id())
+                    .groupBy("pid").count()
+                    .agg(F.max("count").alias("mx"),
+                         F.count(F.lit(1)).alias("parts"),
+                         F.sum("count").alias("total")).collect()[0])
+            out[f"hist_{mode}"] = {
+                "max_partition_rows": hist["mx"],
+                "n_partitions": hist["parts"],
+                "max_share": round(hist["mx"] / hist["total"], 3)}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bt)
+
+    # decision matrix: skew_report must say "salt" for the planted key
+    # and not-"salt" for the uniform remainder
+    rep = skew_report(planted, ["k"]).collect()[0]
+    out["report_planted"] = {"tier": rep["tier"],
+                             "max_share": round(rep["max_share"], 3)}
+    uni = planted.filter("k > 0")
+    rep2 = skew_report(uni, ["k"]).collect()[0]
+    out["report_uniform"] = {"tier": rep2["tier"],
+                             "max_share": round(rep2["max_share"], 4)}
+    planted.unpersist()
+    dim.unpersist()
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def run_ivfpq(spark, base: str, mults: list[int]) -> list[dict]:
     """IVF-PQ operating curve (r10 verdict #5): recall@10 and search
     wall across the (nprobe x overfetch) grid at 1x and 5x corpus, so a
@@ -679,6 +776,13 @@ def main() -> int:
                 "shortlist_rows": r["shortlist_rows"]}
             for r in results}
         print(json.dumps({"summary": summary}))
+        spark.stop()
+        return 0
+
+    if args.family == "skew":
+        mult = max(int(m) for m in args.mults.split(","))
+        out = run_skew(spark, args.base, mult)
+        print(json.dumps({"summary": out}))
         spark.stop()
         return 0
 
