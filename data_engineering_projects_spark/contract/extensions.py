@@ -1224,7 +1224,14 @@ def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floors live there, not here."""
     from ..operators.pq import pq_adc_topk, pq_encode, pq_train
     e = widen(load_table(spark, sf_dir, "embeddings"))
-    cb = pq_train(e, m=_PQ_M, k=_PQ_K, n_iters=1, dim=64, avg_fn=dec_avg)
+    # memoized persist (the _shared_shingle_sets discipline): the
+    # codebook subtree is referenced by BOTH the codes and the
+    # query-tables branches, so without the persist the whole Lloyd
+    # training would execute twice per run
+    cb = _shared_persist(
+        spark, sf_dir, "pq_codebook",
+        lambda: pq_train(e, m=_PQ_M, k=_PQ_K, n_iters=1, dim=64,
+                         avg_fn=dec_avg))
     codes = pq_encode(e, cb, m=_PQ_M, dim=64)
     q = e.filter(F.col("vec_id") < 5)
     return pq_adc_topk(q, codes, cb, k=5, m=_PQ_M, dim=64)

@@ -596,9 +596,14 @@ def orders_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = widen(load_table(spark, sf_dir, "orders"))
     w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
         F.desc("o_orderkey"))
+    # checkpoint picked once (A/B-measured in round 11, same-process
+    # interleaved reps): all three batch filters — and through them
+    # every scd2_apply state reference — would otherwise recompute the
+    # orders scan + dedup window per batch
     picked = (o.withColumn("rn", F.row_number().over(w))
               .filter("rn = 1")
-              .select("o_custkey", "o_orderpriority", "o_orderdate"))
+              .select("o_custkey", "o_orderpriority", "o_orderdate")
+              .localCheckpoint(eager=True))
     c1 = F.lit("1994-01-01").cast("timestamp")
     c2 = F.lit("1996-01-01").cast("timestamp")
     batches = [picked.filter(F.col("o_orderdate") < c1),
