@@ -44,7 +44,15 @@ __all__ = ["FK", "subset_star"]
 
 @dataclass(frozen=True)
 class FK:
-    """child.child_col references parent.parent_col."""
+    """child.child_col references parent.parent_col.
+
+    Single-column edges only. A COMPOSITE key modeled as two edges gets
+    per-COLUMN closure — every edge is individually orphan-free in the
+    subset (what ``quality.relationships`` checks), but the (c1, c2)
+    tuple-level pairing is not modeled: downward, a child row whose
+    columns each match some parent row but no single parent row jointly
+    is kept anyway. True composite-FK closure needs a tuple-keyed edge
+    type; raise here, don't guess, if that is ever the real contract."""
     child: str
     child_col: str
     parent: str

@@ -90,6 +90,17 @@ def test_lsh_bucket_cap_noop_on_fixtures(spark):
     assert uncapped.exceptAll(capped).count() == 0
     assert capped.count() > 0
 
+    # round 11: bucket_cap=None is the TRUE pre-cap plan (no hot-list
+    # stage at all, for stress/measurement tooling) — same rows, and
+    # the anti-join must be structurally absent, not just empty
+    off = _mh_candidates(sets, bucket_cap=None)
+    assert off.exceptAll(capped).count() == 0
+    assert capped.exceptAll(off).count() == 0
+    plan_off = off._jdf.queryExecution().executedPlan().toString()
+    plan_cap = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan_off
+    assert "LeftAnti" in plan_cap
+
 
 def test_levenshtein_block_cap_noop_on_fixture(spark):
     """The Levenshtein blocking-key cap (_LEV_BLOCK_CAP) must be a no-op
