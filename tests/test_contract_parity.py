@@ -33,6 +33,21 @@ def test_oracles_subset_of_queries():
     assert set(contract.ORACLES) <= set(contract.QUERIES)
 
 
+def test_registry_swap_invariants():
+    """Round-11 swap contract: the driver-facing registry stays frozen
+    at exactly 128 entries, RETIRED names are excluded from it (but
+    remain registered for tests/tooling), and the swapped-in queries
+    are present with oracles."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert len(qs) == 128 and len(osql) == 128
+    assert not (set(qs) & contract.RETIRED)
+    assert contract.RETIRED <= set(contract.QUERIES)  # still registered
+    for name in ("embed_pq_adc_topk", "orders_scd2_current"):
+        assert name in qs and name in osql
+
+
 def test_staleness_order_rotates_correctly():
     """The dynamic rotation must (1) front any query whose latest driver
     row is not fully green or that has no row, (2) order green queries
