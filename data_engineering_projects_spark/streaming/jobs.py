@@ -238,6 +238,114 @@ def hourly_congestion_stream(speed_events: DataFrame, dim_loc: DataFrame,
          .alias("congestion_index_novolume"))
 
 
+def _apply_batch_with_state_swap(spark, state_path: str, batch_id: int,
+                                 merge) -> None:
+    """The shared foreachBatch state-maintenance discipline (factored
+    out of :func:`sketch_rollup_stream` in round 11 so
+    :func:`corpus_extend_stream` composes the identical guarantees):
+
+    - at-least-once delivery → effectively exactly-once merge via a
+      single HIGH-WATERMARK batch-id marker (``_applied_<bid>`` inside
+      the state dir; ids from one checkpointed query are monotonic, so
+      ``batch_id <= watermark`` is a replay and is skipped; max() also
+      reads legacy multi-marker dirs);
+    - crash-safe swap: new state fully materialized into ``__tmp``
+      (marker written BEFORE the swap so marker and data commit in the
+      same rename), state → ``__bak``, tmp → state; an interrupted swap
+      (bak present, state missing) heals on the next batch.
+
+    ``merge(old_state_df_or_None) -> new_state_df``; single writer per
+    ``state_path`` assumed (the incremental-model contract)."""
+    import os
+    import shutil
+
+    def marker(d, bid):
+        return os.path.join(d, f"_applied_{bid}")
+
+    def watermark(d):
+        wm = -1
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith("_applied_"):
+                    wm = max(wm, int(f[len("_applied_"):]))
+        return wm
+
+    bak, tmp = state_path + "__bak", state_path + "__tmp"
+    if os.path.exists(bak) and not os.path.exists(state_path):
+        os.rename(bak, state_path)
+    if batch_id <= watermark(state_path):
+        return  # replayed batch: already merged
+    old = (spark.read.parquet(state_path)
+           if os.path.exists(state_path) else None)
+    new_state = merge(old)
+    new_state.write.mode("overwrite").parquet(tmp)
+    open(marker(tmp, batch_id), "w").close()
+    shutil.rmtree(bak, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.rename(state_path, bak)
+    os.rename(tmp, state_path)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def corpus_extend_stream(docs: DataFrame, corpus_path: str,
+                         checkpoint: str, *,
+                         quality_min: float = 0.2,
+                         jaccard_min: float = 0.5,
+                         shingle_k: int = 3,
+                         split_weights: dict[str, float] | None = None,
+                         split_seed: int = 42):
+    """Continuous training-corpus ingestion: each micro-batch of raw
+    (doc_id, text, source, lang) docs is admitted through the FULL
+    batch pipeline — :func:`pipelines.corpus.prepare_corpus` for the
+    bootstrap batch, :func:`pipelines.corpus.extend_corpus` against the
+    persisted corpus for every later one — and admitted rows are
+    unioned into the corpus state under the crash-safe high-watermark
+    swap (:func:`_apply_batch_with_state_swap`). The streaming leg of
+    the corpus story: batches land forever, the corpus only grows, and
+    every admission decision is the SAME decision the batch pipeline
+    would make (corpus stability, id-identity replay skip, capped LSH
+    candidates — see the extend_corpus docstring).
+
+    Replay safety is two-layered: the watermark marker skips redelivered
+    batch ids outright, and even a forced full replay (wiped
+    checkpoint → ids restart at 0) admits zero rows because
+    ``extend_corpus`` of an already-admitted batch is a no-op —
+    pinned in tests.
+
+    Batching note (pinned by the batch-tier property tests): WHICH
+    member of a near-dup family survives depends on arrival order
+    (corpus stability keeps the first-arrived); the family count does
+    not."""
+    from ..pipelines.corpus import extend_corpus, prepare_corpus
+
+    kw = dict(quality_min=quality_min, jaccard_min=jaccard_min,
+              shingle_k=shingle_k, split_weights=split_weights,
+              split_seed=split_seed)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cleanups = []
+
+        def merge(old):
+            if old is None:
+                res = prepare_corpus(batch_df, **kw)
+                cleanups.append(res)
+                return res.docs
+            res = extend_corpus(old, batch_df, **kw)
+            cleanups.append(res)
+            return old.unionByName(res.docs)
+
+        try:
+            _apply_batch_with_state_swap(spark, corpus_path, batch_id,
+                                         merge)
+        finally:
+            for r in cleanups:
+                r.unpersist()
+
+    return (docs.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def sketch_rollup_stream(events: DataFrame, state_path: str,
                          checkpoint: str, part_cols: list[str],
                          value_cols: list[str],
@@ -273,60 +381,22 @@ def sketch_rollup_stream(events: DataFrame, state_path: str,
     broadcast-tiny even at 100 TB/day input; the per-batch cost is one
     map-side-combined groupBy of the batch plus a merge over the grain.
     """
-    import os
-    import shutil
-
     from ..operators.sketches import (build_sketch_partitions,
                                       upsert_sketch_partitions)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # markers live INSIDE the state directory (parquet readers skip
-        # `_`-prefixed files), so marker and data swap in the SAME
-        # rename: a crash can never leave "state applied but marker
-        # missing" (review-found: a marker written after the swap let a
-        # replay double-merge the batch it was supposed to dedup).
-        def marker(d, bid):
-            return os.path.join(d, f"_applied_{bid}")
+        def merge(old):
+            fresh = build_sketch_partitions(batch_df, part_cols,
+                                            value_cols,
+                                            distinct_col=distinct_col,
+                                            kll_k=kll_k)
+            if old is None:
+                return fresh
+            return upsert_sketch_partitions(old, fresh, part_cols,
+                                            value_cols, distinct_col)
 
-        def watermark(d):
-            # highest applied batch id in the state dir. Batch ids from
-            # a single checkpointed query are monotonic, so ONE
-            # high-watermark marker suffices — per-batch markers would
-            # accumulate without bound over a long-running query
-            # (review-found). max() also reads legacy multi-marker dirs.
-            wm = -1
-            if os.path.isdir(d):
-                for f in os.listdir(d):
-                    if f.startswith("_applied_"):
-                        wm = max(wm, int(f[len("_applied_"):]))
-            return wm
-
-        spark = batch_df.sparkSession
-        bak, tmp = state_path + "__bak", state_path + "__tmp"
-        # heal an interrupted swap: bak exists but state vanished
-        if os.path.exists(bak) and not os.path.exists(state_path):
-            os.rename(bak, state_path)
-        if batch_id <= watermark(state_path):
-            return  # replayed batch: already merged
-        fresh = build_sketch_partitions(batch_df, part_cols, value_cols,
-                                        distinct_col=distinct_col,
-                                        kll_k=kll_k)
-        if os.path.exists(state_path):
-            old = spark.read.parquet(state_path)
-            merged = upsert_sketch_partitions(old, fresh, part_cols,
-                                              value_cols, distinct_col)
-        else:
-            merged = fresh
-        merged.write.mode("overwrite").parquet(tmp)
-        # single high-watermark marker, written BEFORE the swap so
-        # marker and data commit in the same rename; this batch's id IS
-        # the new watermark (monotonic), so prior markers are dropped
-        open(marker(tmp, batch_id), "w").close()
-        shutil.rmtree(bak, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, bak)
-        os.rename(tmp, state_path)
-        shutil.rmtree(bak, ignore_errors=True)
+        _apply_batch_with_state_swap(batch_df.sparkSession, state_path,
+                                     batch_id, merge)
 
     return (events.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())

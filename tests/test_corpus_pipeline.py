@@ -365,3 +365,63 @@ def test_extend_corpus_batching_changes_representative_not_count(spark):
     assert len(oneshot) == 1  # one representative either way
     # one-shot picks the quality keeper; batched kept the first arrival
     assert oneshot == {11}
+
+
+def test_corpus_extend_stream_admits_families_and_survives_replay(
+        spark, tmp_path):
+    """Streaming corpus ingestion (streaming/jobs.corpus_extend_stream):
+    two staged files stream through (maxFilesPerTrigger=1 — bootstrap
+    batch via prepare_corpus, second via extend_corpus), and the final
+    corpus must hold exactly one representative per near-dup family
+    regardless of how files mapped to batches. A forced full replay
+    (wiped checkpoint — batch ids restart at 0) must leave the corpus
+    byte-identical: the watermark marker skips redelivered ids, and
+    even without it extend_corpus re-admission is a no-op. Exactly ONE
+    marker file at the end (the high-watermark contract)."""
+    import os
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        corpus_extend_stream)
+
+    schema = "doc_id long, text string, source string, lang string"
+    f1 = spark.createDataFrame([
+        (1, _words(60, "famaz"), "web", "en"),            # novel fam a
+        (2, _words(60, "fambz"), "web", "en"),            # novel fam b
+    ], schema)
+    f2 = spark.createDataFrame([
+        (3, _words(60, "fambz") + " fambztail extra", "web", "en"),  # dup b
+        (4, _words(70, "famcz"), "books", "en"),          # novel fam c
+        (5, "tiny", "web", "en"),                         # quality-gated
+    ], schema)
+    src = str(tmp_path / "src")
+    f1.coalesce(1).write.parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(f1.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = corpus_extend_stream(stream, corpus_path, str(tmp_path / ckpt))
+        q.processAllAvailable()
+        q.stop()
+
+    run("ckpt1")
+    got = spark.read.parquet(corpus_path)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    # one representative per family: a={1}, b={2 or 3}, c={4}; 5 gated
+    assert 1 in rows and 4 in rows and 5 not in rows
+    assert len({2, 3} & set(rows)) == 1
+    assert len(rows) == 3
+    # full contract columns incl. split survive the state round-trip
+    assert set(got.columns) == {"doc_id", "text", "source", "lang",
+                                "quality_score", "split"}
+    assert all(r["split"] in ("train", "val", "test")
+               for r in rows.values())
+
+    before = sorted(map(tuple, got.collect()))
+    run("ckpt2")  # fresh checkpoint: every batch redelivered from id 0
+    after = sorted(map(tuple, spark.read.parquet(corpus_path).collect()))
+    assert after == before
+    markers = [f for f in os.listdir(corpus_path)
+               if f.startswith("_applied_")]
+    assert len(markers) == 1, markers
