@@ -627,3 +627,77 @@ def test_dedup_stream_state_survives_restart(spark, tmp_path):
     assert len(got) == 3                      # fp_a dup suppressed
     assert {r["fp"] for r in got} == {"fp_a", "fp_b", "fp_c"}
     assert {r["doc_id"] for r in got} == {1, 2, 4}  # first arrivals only
+
+
+def test_state_swap_crash_matrix_and_legacy_markers(spark, tmp_path):
+    """_apply_batch_with_state_swap (the shared foreachBatch state
+    discipline): drive every crash-point filesystem state the docstring
+    claims to survive, plus a legacy multi-marker dir, and assert the
+    next batch heals to the correct state with a single high-watermark
+    marker. The merge appends one (batch_id) row per applied batch so
+    double-merges and lost merges are both visible in the data."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _apply_batch_with_state_swap)
+
+    state = str(tmp_path / "state")
+
+    def apply(bid):
+        def merge(old):
+            fresh = spark.range(1).select(F.lit(bid).alias("applied"))
+            return fresh if old is None else old.unionByName(fresh)
+        _apply_batch_with_state_swap(spark, state, bid, merge)
+
+    def applied():
+        return sorted(r["applied"]
+                      for r in spark.read.parquet(state).collect())
+
+    def markers():
+        return sorted(f for f in os.listdir(state)
+                      if f.startswith("_applied_"))
+
+    apply(0)
+    apply(1)
+    assert applied() == [0, 1] and markers() == ["_applied_1"]
+
+    # replayed and stale ids are no-ops
+    apply(1)
+    apply(0)
+    assert applied() == [0, 1]
+
+    # crash AFTER tmp write, BEFORE any rename: stale tmp left behind
+    shutil.copytree(state, state + "__tmp")
+    apply(2)
+    assert applied() == [0, 1, 2] and markers() == ["_applied_2"]
+    assert not os.path.exists(state + "__tmp")
+
+    # crash BETWEEN the renames: state gone, bak holds the old state,
+    # tmp holds the in-flight new state — heal restores bak, then the
+    # redelivered batch re-merges exactly once
+    shutil.copytree(state, state + "__bak")     # "old" state (0,1,2)
+    shutil.rmtree(state)
+    os.makedirs(state + "__tmp", exist_ok=True)  # half-written junk
+    apply(3)
+    assert applied() == [0, 1, 2, 3] and markers() == ["_applied_3"]
+    assert not os.path.exists(state + "__bak")
+
+    # crash AFTER the final rename, BEFORE bak cleanup: bak lingers
+    # alongside the committed state — next batch must not "heal"
+    shutil.copytree(state, state + "__bak")
+    apply(4)
+    assert applied() == [0, 1, 2, 3, 4] and markers() == ["_applied_4"]
+    assert not os.path.exists(state + "__bak")
+
+    # legacy per-batch marker dir: watermark reads the MAX, one write
+    # collapses back to a single marker
+    open(os.path.join(state, "_applied_2"), "w").close()
+    open(os.path.join(state, "_applied_3"), "w").close()
+    assert len(markers()) == 3
+    apply(3)                                    # <= max(4): skipped
+    assert applied() == [0, 1, 2, 3, 4]
+    apply(5)
+    assert applied() == [0, 1, 2, 3, 4, 5] and markers() == ["_applied_5"]
