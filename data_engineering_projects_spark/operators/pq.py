@@ -38,6 +38,12 @@ modulo float association.
 Reference note: the reference repo has no vector search at all (SURVEY.md
 §2 — absence); this extends the similarity-search surface
 (``embed_knn_*``) with the compressed tier.
+
+Operating points: SCALING.md's round-11 "IVF-PQ operating grid" records
+recall@10 across (nprobe × overfetch) at 1× and 5× corpus — on
+hard-random embeddings OVERFETCH is the dominant recall knob and the
+documented default is nprobe=2, overfetch=5 (recall floor
+property-pinned in tests/test_pq.py).
 """
 
 from __future__ import annotations
