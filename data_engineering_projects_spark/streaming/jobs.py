@@ -255,7 +255,26 @@ def _apply_batch_with_state_swap(spark, state_path: str, batch_id: int,
       (bak present, state missing) heals on the next batch.
 
     ``merge(old_state_df_or_None) -> new_state_df``; single writer per
-    ``state_path`` assumed (the incremental-model contract)."""
+    ``state_path`` assumed (the incremental-model contract).
+
+    **Checkpoint lifetime**: ``state_path`` is bound to ONE checkpoint
+    lifetime — wipe both together or neither. The watermark skips any
+    ``batch_id <= wm`` outright (the merge never runs for skipped ids),
+    so after wiping the checkpoint ALONE, restarted ids re-count from 0
+    and a regrouped source batch could carry never-admitted rows that
+    are silently skipped. State built by merges that tolerate
+    re-delivery idempotently (e.g. corpus admission) survives a
+    checkpoint wipe anyway; sketch-style additive merges do not.
+
+    **Concurrent readers**: the swap serves readers an atomic
+    old-or-new state, but a reader that resolved ``state_path`` and is
+    mid-scan DURING the rename pair can hit a transient
+    ``FileNotFoundException`` (old file list, new directory inode).
+    The contract is single-writer + retry-on-ENOENT for ad-hoc readers;
+    serving reads through a versioned-table registry
+    (``plans/models.py``) removes the window entirely. State that IS
+    the dataset should use :func:`_append_batch_with_marker` instead,
+    whose committed files are never renamed away."""
     import os
     import shutil
 
@@ -266,7 +285,12 @@ def _apply_batch_with_state_swap(spark, state_path: str, batch_id: int,
         wm = -1
         if os.path.isdir(d):
             for f in os.listdir(d):
-                if f.startswith("_applied_"):
+                # defensive parse: a stray/truncated marker name (e.g.
+                # '_applied_' or '_applied_1.tmp' left by an operator or
+                # tool) must not wedge the stream — skip any suffix that
+                # is not a pure integer (batch ids are always >= 0)
+                if f.startswith("_applied_") and \
+                        f[len("_applied_"):].isdigit():
                     wm = max(wm, int(f[len("_applied_"):]))
         return wm
 
@@ -287,6 +311,80 @@ def _apply_batch_with_state_swap(spark, state_path: str, batch_id: int,
     shutil.rmtree(bak, ignore_errors=True)
 
 
+def _append_batch_with_marker(spark, state_path: str, batch_id: int,
+                              build) -> None:
+    """Append-layout variant of the foreachBatch state discipline, for
+    state that IS the dataset (round-12 ADVICE: the full-rewrite swap is
+    right for few-KB sketch state but quadratic-cumulative for an
+    ever-growing corpus). Per-batch cost is proportional to the BATCH,
+    not to state age:
+
+    - each applied batch lands as one Hive-style partition directory
+      ``state_path/batch=<bid>/`` via a single atomic rename — the
+      rename IS the commit point, so readers never see a partial batch
+      and committed files are never renamed away (no transient-ENOENT
+      window for concurrent readers, unlike the swap helper);
+    - the high-watermark ``_applied_<bid>`` marker is a lazily-healed
+      cache of ``max(batch dirs)``: dir presence is authoritative, so a
+      crash after the rename but before the marker write re-skips the
+      redelivered batch by its directory and only heals the marker;
+    - replays (``batch_id <= watermark``; ids from one checkpointed
+      query are monotonic) are skipped before any work; same
+      checkpoint-lifetime contract as the swap helper;
+    - zero-admission batches still commit an (empty, schema-bearing)
+      directory so the watermark advances through them.
+
+    ``build(old_state_df_or_None) -> this_batch_rows_df`` returns ONLY
+    the rows the batch appends (not old ∪ new). Readers see one extra
+    Hive-partition column ``batch`` (admission lineage) —
+    :func:`read_corpus_state` drops it. Single writer per ``state_path``
+    assumed."""
+    import os
+    import shutil
+
+    def applied_ids():
+        ids = [-1]
+        for f in os.listdir(state_path):
+            for pfx in ("_applied_", "batch="):
+                if f.startswith(pfx) and f[len(pfx):].isdigit():
+                    ids.append(int(f[len(pfx):]))
+        return ids
+
+    os.makedirs(state_path, exist_ok=True)
+    if batch_id < max(applied_ids()):
+        return  # replayed batch: already committed (dir or marker).
+    # batch_id == watermark falls through: the dir check below skips the
+    # build, and the marker-heal pass repairs a crash that landed the
+    # rename but lost the marker write.
+    dst = os.path.join(state_path, f"batch={batch_id}")
+    if not os.path.exists(dst):
+        has_data = any(f.startswith("batch=")
+                       for f in os.listdir(state_path))
+        old = (spark.read.parquet(state_path).drop("batch")
+               if has_data else None)
+        new_rows = build(old)
+        tmp = state_path + "__tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_rows.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, dst)  # commit point
+    # heal/advance the single high-watermark marker (write-then-sweep:
+    # a crash between the two leaves extra markers, max() still correct)
+    open(os.path.join(state_path, f"_applied_{batch_id}"), "w").close()
+    for f in os.listdir(state_path):
+        if (f.startswith("_applied_") and f[len("_applied_"):].isdigit()
+                and int(f[len("_applied_"):]) < batch_id):
+            os.remove(os.path.join(state_path, f))
+
+
+def read_corpus_state(spark, corpus_path: str,
+                      with_lineage: bool = False) -> DataFrame:
+    """Read a :func:`corpus_extend_stream` corpus: the plain corpus
+    schema (``batch`` lineage partition column dropped), or with
+    ``with_lineage=True`` keep the admitting batch id per row."""
+    df = spark.read.parquet(corpus_path)
+    return df if with_lineage else df.drop("batch")
+
+
 def corpus_extend_stream(docs: DataFrame, corpus_path: str,
                          checkpoint: str, *,
                          quality_min: float = 0.2,
@@ -299,8 +397,14 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
     batch pipeline — :func:`pipelines.corpus.prepare_corpus` for the
     bootstrap batch, :func:`pipelines.corpus.extend_corpus` against the
     persisted corpus for every later one — and admitted rows are
-    unioned into the corpus state under the crash-safe high-watermark
-    swap (:func:`_apply_batch_with_state_swap`). The streaming leg of
+    APPENDED as one ``batch=<bid>`` partition directory under the
+    crash-safe high-watermark append protocol
+    (:func:`_append_batch_with_marker`; round 12 — the round-11 swap
+    helper rewrote the whole corpus every micro-batch, quadratic
+    cumulative I/O for a state documented as "the corpus only grows";
+    per-batch I/O is now proportional to the batch). Read the state
+    back with :func:`read_corpus_state` (drops the ``batch`` lineage
+    partition column). The streaming leg of
     the corpus story: batches land forever, the corpus only grows, and
     every admission decision is the SAME decision the batch pipeline
     would make (corpus stability, id-identity replay skip, capped LSH
@@ -326,18 +430,15 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
         spark = batch_df.sparkSession
         cleanups = []
 
-        def merge(old):
-            if old is None:
-                res = prepare_corpus(batch_df, **kw)
-                cleanups.append(res)
-                return res.docs
-            res = extend_corpus(old, batch_df, **kw)
+        def build(old):
+            res = (prepare_corpus(batch_df, **kw) if old is None
+                   else extend_corpus(old, batch_df, **kw))
             cleanups.append(res)
-            return old.unionByName(res.docs)
+            return res.docs
 
         try:
-            _apply_batch_with_state_swap(spark, corpus_path, batch_id,
-                                         merge)
+            _append_batch_with_marker(spark, corpus_path, batch_id,
+                                      build)
         finally:
             for r in cleanups:
                 r.unpersist()

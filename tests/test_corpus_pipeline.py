@@ -375,13 +375,16 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
     corpus must hold exactly one representative per near-dup family
     regardless of how files mapped to batches. A forced full replay
     (wiped checkpoint — batch ids restart at 0) must leave the corpus
-    byte-identical: the watermark marker skips redelivered ids, and
-    even without it extend_corpus re-admission is a no-op. Exactly ONE
-    marker file at the end (the high-watermark contract)."""
+    byte-identical: the watermark (batch dirs + marker) skips
+    redelivered ids, and even without it extend_corpus re-admission is
+    a no-op. Exactly ONE marker file at the end (the high-watermark
+    contract), and — round 12 append layout — one ``batch=<bid>``
+    partition dir per applied batch, each row's lineage naming the
+    batch that admitted it."""
     import os
 
     from data_engineering_projects_spark.streaming.jobs import (
-        corpus_extend_stream)
+        corpus_extend_stream, read_corpus_state)
 
     schema = "doc_id long, text string, source string, lang string"
     f1 = spark.createDataFrame([
@@ -406,7 +409,7 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
         q.stop()
 
     run("ckpt1")
-    got = spark.read.parquet(corpus_path)
+    got = read_corpus_state(spark, corpus_path)
     rows = {r["doc_id"]: r for r in got.collect()}
     # one representative per family: a={1}, b={2 or 3}, c={4}; 5 gated
     assert 1 in rows and 4 in rows and 5 not in rows
@@ -417,11 +420,22 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
                                 "quality_score", "split"}
     assert all(r["split"] in ("train", "val", "test")
                for r in rows.values())
+    # append layout: one batch=<bid> dir per applied batch; lineage
+    # column names the admitting batch per row (bootstrap docs in 0)
+    lineage = {r["doc_id"]: r["batch"] for r in read_corpus_state(
+        spark, corpus_path, with_lineage=True).collect()}
+    batch_dirs = sorted(f for f in os.listdir(corpus_path)
+                        if f.startswith("batch="))
+    assert batch_dirs == ["batch=0", "batch=1"]
+    # docs 1 and 4 arrive in different files, so different batches
+    # (file->batch order is mtime-dependent; don't pin which is first)
+    assert {lineage[1], lineage[4]} == {0, 1}
 
     before = sorted(map(tuple, got.collect()))
     run("ckpt2")  # fresh checkpoint: every batch redelivered from id 0
-    after = sorted(map(tuple, spark.read.parquet(corpus_path).collect()))
+    after = sorted(map(tuple,
+                       read_corpus_state(spark, corpus_path).collect()))
     assert after == before
     markers = [f for f in os.listdir(corpus_path)
                if f.startswith("_applied_")]
-    assert len(markers) == 1, markers
+    assert markers == ["_applied_1"]

@@ -89,6 +89,32 @@ def test_luhn_total_on_raw_strings(spark):
         assert got[d] is want, (d, got[d], want)
 
 
+def test_luhn_strict_rejects_any_non_digit(spark):
+    """luhn_valid_strict keeps the digits-only contract the raw-string
+    entry point broadened away (round-12 ADVICE): embedded non-digits
+    fail even when the stripped digits would pass the checksum."""
+    from data_engineering_projects_spark.functions.pii import (
+        luhn_valid_strict)
+
+    vecs = [("4111111111111111", True),
+            ("378282246310005", True),
+            ("4111 1111 1111 1111", False),   # separators: strict rejects
+            ("4111a1111b1111c1111", False),   # the advice's example
+            ("4111111111111112", False),      # bad checksum
+            ("79927398713", False),           # valid checksum, 11 digits
+            ("", False)]
+    df = spark.createDataFrame([(d,) for d, _ in vecs], "d string")
+    got = {r["d"]: r["ok"] for r in
+           df.select("d", luhn_valid_strict(F.col("d")).alias("ok"))
+             .collect()}
+    for d, want in vecs:
+        assert got[d] is want, (d, got[d], want)
+    # and the raw entry point accepts the advice's example — the
+    # documented semantic split between the two
+    raw = df.select("d", luhn_valid(F.col("d")).alias("ok")).collect()
+    assert {r["d"]: r["ok"] for r in raw}["4111a1111b1111c1111"] is True
+
+
 def test_category_subset_and_no_cards(spark):
     df = _planted(spark).filter("id in (1, 2)")
     only_email = df.select("id", scrub_pii(

@@ -701,3 +701,91 @@ def test_state_swap_crash_matrix_and_legacy_markers(spark, tmp_path):
     assert applied() == [0, 1, 2, 3, 4]
     apply(5)
     assert applied() == [0, 1, 2, 3, 4, 5] and markers() == ["_applied_5"]
+
+    # stray/truncated marker names (operator or tool debris) are ignored
+    # rather than wedging every subsequent batch (round-12 ADVICE)
+    open(os.path.join(state, "_applied_"), "w").close()
+    open(os.path.join(state, "_applied_1.tmp"), "w").close()
+    apply(6)
+    assert applied() == [0, 1, 2, 3, 4, 5, 6]
+    assert "_applied_6" in markers()
+
+
+def test_append_state_crash_matrix(spark, tmp_path):
+    """_append_batch_with_marker (round-12 append-layout state for
+    corpus-sized state): drive the crash points of the rename-is-commit
+    protocol. The build returns ONE row naming the batch, so lost and
+    doubled batches are both visible; `calls` records which batches
+    actually ran their build (replay skips must not re-run it)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, read_corpus_state)
+
+    state = str(tmp_path / "corpus")
+    calls = []
+
+    def apply(bid, n_rows=1):
+        def build(old):
+            calls.append(bid)
+            return spark.range(n_rows).select(F.lit(bid).alias("applied"))
+        _append_batch_with_marker(spark, state, bid, build)
+
+    def applied():
+        return sorted(r["applied"] for r in read_corpus_state(
+            spark, state).collect())
+
+    def markers():
+        return sorted(f for f in os.listdir(state)
+                      if f.startswith("_applied_"))
+
+    apply(0)
+    apply(1)
+    assert applied() == [0, 1] and markers() == ["_applied_1"]
+    assert sorted(f for f in os.listdir(state)
+                  if f.startswith("batch=")) == ["batch=0", "batch=1"]
+
+    # replayed/stale ids: no build call, no data change
+    apply(1)
+    apply(0)
+    assert applied() == [0, 1] and calls == [0, 1]
+
+    # zero-admission batch: watermark advances through an empty dir
+    apply(2, n_rows=0)
+    assert applied() == [0, 1] and markers() == ["_applied_2"]
+    assert os.path.isdir(os.path.join(state, "batch=2"))
+
+    # crash AFTER tmp write, BEFORE the rename: stale tmp overwritten
+    shutil.copytree(os.path.join(state, "batch=1"), state + "__tmp")
+    apply(3)
+    assert applied() == [0, 1, 3]
+    assert not os.path.exists(state + "__tmp")
+
+    # crash AFTER the rename, BEFORE the marker: dir presence is
+    # authoritative — redelivery skips the build, heals the marker
+    for m in markers():
+        os.remove(os.path.join(state, m))
+    n_calls = len(calls)
+    apply(3)
+    assert applied() == [0, 1, 3] and len(calls) == n_calls
+    assert markers() == ["_applied_3"]
+
+    # stray marker debris is ignored, never wedges the stream
+    open(os.path.join(state, "_applied_"), "w").close()
+    open(os.path.join(state, "_applied_2.tmp"), "w").close()
+    apply(4)
+    assert applied() == [0, 1, 3, 4]
+    assert "_applied_4" in markers()
+
+    # build sees the committed state (old side of the incremental merge)
+    seen = {}
+
+    def probe(old):
+        seen["n"] = old.count()
+        return old.limit(0).select(F.lit(5).alias("applied"))
+
+    _append_batch_with_marker(spark, state, 5, probe)
+    assert seen["n"] == 4  # rows 0,1,3,4 visible to batch 5's build
