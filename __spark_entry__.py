@@ -126,10 +126,11 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-11 swap: contract.RETIRED entries stay importable for tests/
-    # tooling but leave the driver registry (count stays 128); their
-    # replacements (embed_pq_adc_topk, orders_scd2_current) have no
-    # driver row yet, so the staleness order fronts them automatically.
+    # Registry swaps (rounds 11+12): contract.RETIRED entries stay
+    # importable for tests/tooling but leave the driver registry (count
+    # stays 128); swapped-in queries with no driver row yet
+    # (docs_pii_scrub, corpus_extend_admissions at r12) are fronted
+    # automatically by the staleness order.
     from data_engineering_projects_spark.contract import RETIRED
     return _ordered({k: v for k, v in QUERIES.items() if k not in RETIRED})
 

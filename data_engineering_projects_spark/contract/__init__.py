@@ -64,23 +64,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-#: Round-11 registry swap (the registry is FROZEN at 128 per the round-5
-#: verdict; the round-10 verdict sanctions a RECORDED swap of redundant
-#: entries to give the extension tier driver rows — see COVERAGE.md
-#: "round-11 registry swap"). Retired queries stay registered here (bench
-#: warmup, plan-shape tests, and stress tooling still exercise them, and
-#: ``dedup_simhash_pairs`` calls ``dedup_simhash`` as its first stage)
-#: but are EXCLUDED from the driver-facing registry in
+#: Registry swaps (the registry is FROZEN at 128 driver-facing entries
+#: per the round-5 verdict; the round-10 verdict sanctions RECORDED
+#: swaps of redundant entries to give the extension tier driver rows —
+#: see COVERAGE.md "round-11/round-12 registry swap"). Retired queries
+#: stay registered here (plan-shape tests and stress tooling still
+#: exercise them, and ``dedup_simhash_pairs`` calls ``dedup_simhash`` as
+#: its first stage) but are EXCLUDED from the driver-facing registry in
 #: ``__spark_entry__`` and from bench timing, keeping the driver count
-#: at 128:
+#: at 128.
 #:
+#: Round 11:
 #: - ``embed_knn_ivf`` → ``embed_pq_adc_topk``: the cell-restricted IVF
 #:   search shape remains covered by ``embed_knn_ivf_nprobe`` (same
-#:   shape + probe selection) and ``embed_knn_ivf_sweep``.
+#:   shape + probe selection).
 #: - ``dedup_simhash`` → ``orders_scd2_current``: the per-doc simhash
 #:   signature relation remains covered as ``dedup_simhash_pairs``'s
 #:   first stage (identical code path).
-RETIRED: frozenset[str] = frozenset({"embed_knn_ivf", "dedup_simhash"})
+#:
+#: Round 12 (r11 verdict #1, redundancy candidates named there):
+#: - ``dedup_minhash_sweep`` → ``docs_pii_scrub``: every band/row
+#:   configuration in the sweep reuses the signature/band/verify chain
+#:   ``dedup_minhash_lsh`` keeps driver-checked at the production
+#:   configuration; the sweep stays pinned in tests + stress tooling.
+#: - ``embed_knn_ivf_sweep`` → ``corpus_extend_admissions``: the
+#:   monotone nprobe-growth property remains covered by
+#:   ``embed_knn_ivf_nprobe`` (same train/assign/search path, probe
+#:   selection included) and the sweep's property test.
+RETIRED: frozenset[str] = frozenset({
+    "embed_knn_ivf", "dedup_simhash",
+    "dedup_minhash_sweep", "embed_knn_ivf_sweep",
+})
 
 
 def query(name: str, oracle: str | None = None):

@@ -144,9 +144,12 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     survivors = persisted.filter("exact_keep")
     sets = _shingle_sets(survivors, shingle_k)
     extra_persists: list = []
+    # threshold on the RAW jaccard inside the verify (round 12): the
+    # rounded output column sits one ulp from the oracle's decision at
+    # an exact half boundary, the raw quotient is bit-exact cross-engine
     pairs = (_mh_verify(sets, _mh_candidates(sets,
-                                             persisted_out=extra_persists))
-             .filter(F.col("jaccard") >= jaccard_min)
+                                             persisted_out=extra_persists),
+                        min_jaccard=jaccard_min)
              .select("doc_a", "doc_b"))
     labels = propagate_min_labels(pairs, iters=cc_iters)
     clustered = (survivors.join(labels, survivors.doc_id == labels.id,
@@ -266,10 +269,10 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     both = corpus_sets.unionByName(batch_sets)
     flags = both.select("doc_id", "is_new")
     extra: list = []
-    pairs = (_mh_verify(both.select("doc_id", "shs"),
-                        _mh_candidates(both.select("doc_id", "shs"),
-                                       persisted_out=extra))
-             .filter(F.col("jaccard") >= jaccard_min))
+    pairs = _mh_verify(both.select("doc_id", "shs"),
+                       _mh_candidates(both.select("doc_id", "shs"),
+                                      persisted_out=extra),
+                       min_jaccard=jaccard_min)
     fa = flags.withColumnRenamed("doc_id", "doc_a") \
               .withColumnRenamed("is_new", "new_a")
     fb = flags.withColumnRenamed("doc_id", "doc_b") \

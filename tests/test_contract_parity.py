@@ -34,17 +34,18 @@ def test_oracles_subset_of_queries():
 
 
 def test_registry_swap_invariants():
-    """Round-11 swap contract: the driver-facing registry stays frozen
-    at exactly 128 entries, RETIRED names are excluded from it (but
-    remain registered for tests/tooling), and the swapped-in queries
-    are present with oracles."""
+    """Swap contract (rounds 11+12): the driver-facing registry stays
+    frozen at exactly 128 entries, RETIRED names are excluded from it
+    (but remain registered for tests/tooling), and every swapped-in
+    query is present with an oracle."""
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
     assert len(qs) == 128 and len(osql) == 128
     assert not (set(qs) & contract.RETIRED)
     assert contract.RETIRED <= set(contract.QUERIES)  # still registered
-    for name in ("embed_pq_adc_topk", "orders_scd2_current"):
+    for name in ("embed_pq_adc_topk", "orders_scd2_current",
+                 "docs_pii_scrub", "corpus_extend_admissions"):
         assert name in qs and name in osql
 
 
