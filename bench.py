@@ -26,10 +26,14 @@ every raw sample lands in BENCH_detail.json under "spread" so a future
 regression call can see whether a number rides on one noisy rep.
 "reps_completed" records how many passes actually ran. A fixed-cost
 CALIBRATION query (count over the 5-row region table, best-of-2) is
-timed before the first pass and after the last; its drift within a run
-measures machine load independently of the engine, letting rounds
-normalize totals instead of guessing whether a swing is noise
-("calibration": {"first", "last", "samples"}).
+timed before EVERY pass and after the last (round 12 — previously only
+first/last, which smeared mid-run load drift across the whole run); its
+drift measures machine load independently of the engine
+("calibration": {"first", "last", "samples", "spread"}), and
+"queries_norm"/"value_norm" report per-query medians with each raw
+sample rescaled by its pass's calibration bracket toward the
+least-loaded state — the diagnostic for "does this regression track
+host load", while the raw median stays the headline.
 
 Fitting 3 passes inside the driver timeout (round 11 — the r10 driver
 run degraded to min-of-2 on a loaded host, which is how a phantom +10%
@@ -140,21 +144,30 @@ def main() -> None:
     # see module docstring (round 11).
     reps_target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "545"))
+    # Per-PASS calibration brackets (round 12 — two straight rounds of
+    # mid-run drift, r11 verdict #6): calibrate before every pass and
+    # once after the last, so each pass is bracketed by two load samples
+    # and a drifting host is localized to the pass it degraded instead
+    # of smeared across the run.
     cal_samples = [calibrate()]
-    # time exactly the driver-facing 128 (round-11 swap: RETIRED stays
-    # registered for warmup/tests but is not a registry query anymore)
+    # time exactly the driver-facing 128 (rounds-11/12 swaps: RETIRED
+    # stays registered for warmup/tests but is not a registry query)
     names = sorted(set(contract.QUERIES) - contract.RETIRED)
     samples: dict[str, list[float]] = {n: [] for n in names}
+    sample_pass: dict[str, list[int]] = {n: [] for n in names}
     reps_done = 0
     for rep in range(reps_target):
         # full pass per rep (not N back-to-back runs of one query): reps
         # of the same query land minutes apart, so a transient load spike
         # inflates at most one sample of each query instead of all three.
+        if rep > 0:
+            cal_samples.append(calibrate())
         pass_t0 = time.perf_counter()
         for name in names:
             if rep > 0 and name.startswith("streaming_"):
                 continue  # fixed-overhead dominated: first-pass sample only
             samples[name].append(run_once(name))
+            sample_pass[name].append(rep)
         reps_done += 1
         last_pass = time.perf_counter() - pass_t0
         elapsed = time.perf_counter() - _PROC_T0
@@ -172,6 +185,26 @@ def main() -> None:
     for name in names:
         timings[name] = round(robust(samples[name]), 3)
     total = round(sum(timings.values()), 3)
+    # Load-normalized per-query medians (round 12, DIAGNOSTIC — the
+    # headline stays the raw median so round-over-round totals remain
+    # comparable): pass p is bracketed by cal_samples[p] and [p+1]; each
+    # raw sample is rescaled by (least-loaded calibration / its pass's
+    # bracket), i.e. toward what an idle host would have measured. The
+    # calibration is a fixed-cost probe, so this is a first-order
+    # correction for CPU steal, not a throughput model — use it to
+    # decide whether a per-query regression tracks host load before
+    # reading it as an engine change.
+    cal_ref = min(cal_samples)
+
+    def bracket(p: int) -> float:
+        return min(cal_samples[p], cal_samples[min(p + 1,
+                                                   len(cal_samples) - 1)])
+
+    timings_norm = {
+        name: round(robust([v * cal_ref / bracket(p)
+                            for v, p in zip(samples[name],
+                                            sample_pass[name])]), 3)
+        for name in names}
     # Fixed streaming overhead, measured explicitly (r6 verdict #3): a
     # 1-row no-op query through the SAME staged-parquet -> availableNow
     # -> memory-sink harness the 7 contract streaming queries use. Its
@@ -200,11 +233,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_norm": timings_norm,
+        "value_norm": round(sum(timings_norm.values()), 3),
         "spread": {n: [round(v, 3) for v in vs]
                    for n, vs in samples.items()},
         "reps_completed": reps_done,
         "calibration": {"first": cal_samples[0], "last": cal_samples[-1],
-                        "samples": cal_samples},
+                        "samples": cal_samples,
+                        "spread": round(max(cal_samples)
+                                        / min(cal_samples) - 1, 3)},
         "streaming": streaming,
         "streaming_total": streaming_total,
         "streaming_fixed_overhead": streaming_fixed,
@@ -234,7 +271,9 @@ def main() -> None:
         "streaming_total": streaming_total,
         "streaming_fixed_overhead": streaming_fixed,
         "reps": reps_done,
-        "cal": [cal_samples[0], cal_samples[-1]],
+        "cal": cal_samples,
+        "cal_spread": round(max(cal_samples) / min(cal_samples) - 1, 3),
+        "value_norm": round(sum(timings_norm.values()), 3),
         "detail": "BENCH_detail.json",
         "queries": {},
     }

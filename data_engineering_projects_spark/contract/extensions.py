@@ -418,7 +418,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_signatures(sets: DataFrame,
-                   persisted_out: list | None = None) -> DataFrame:
+                   persisted_out: list | None = None,
+                   carry: tuple = ()) -> DataFrame:
     """(doc_id, h0..h7) MinHash signature relation, persisted: doc_id +
     8 longs (fixed 72 bytes/doc at any corpus size). The shingle->
     minhash HOF transform is the expensive compute here, and it
@@ -430,8 +431,11 @@ def _mh_signatures(sets: DataFrame,
         # the HOF's element-index argument by PySpark.
         return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
 
+    # ``carry`` (round 12): passthrough columns (e.g. a corpus/batch side
+    # flag) preserved onto the signature relation so one-sided band
+    # probing can split the index without a join back to the input.
     mh = sets.filter(F.size("shs") > 0).select(
-        "doc_id",
+        "doc_id", *carry,
         *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
           for i, (a, b) in enumerate(_MH_AB)]).persist()
     if persisted_out is not None:
@@ -442,15 +446,15 @@ def _mh_signatures(sets: DataFrame,
     return mh
 
 
-def _mh_bands(mh: DataFrame) -> DataFrame:
+def _mh_bands(mh: DataFrame, carry: tuple = ()) -> DataFrame:
     """(doc_id, band, band_key): each signature exploded to its
-    ``_N_MINHASH`` band bucket keys."""
+    ``_N_MINHASH`` band bucket keys. ``carry`` columns pass through."""
     return mh.select(
-        "doc_id",
+        "doc_id", *carry,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
             for i in range(_N_MINHASH)])).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_key")
+    ).select("doc_id", *carry, "bk.band", "bk.band_key")
 
 
 def _mh_hot_buckets(bands: DataFrame, bucket_cap: int) -> DataFrame:
@@ -538,6 +542,21 @@ _QUALITY_SCORE_SQL = f"""LEAST(len(toks) / 50.0, 1.0)
                                   / len(toks) / 0.1, 1.0))"""
 
 
+def quality_score_col(text_col) -> "F.Column":
+    """The ``text_quality`` score as a row-local Column over a text
+    column — THE quality expression every consumer must share
+    (numeric drift between consumers would desynchronize keeper
+    decisions from the quality gate). Factored out in round 12 so
+    ``pipelines/corpus.py`` can compute it inline instead of
+    shuffle-joining the projection back onto the same relation."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    return (F.least(n / F.lit(50.0), F.lit(1.0))
+            * (F.lit(0.5) + F.lit(0.5)
+               * F.least(sw.cast("double") / n / 0.1, F.lit(1.0))))
+
+
 def _quality_score_project(docs: DataFrame) -> DataFrame:
     """Row-local (doc_id, quality_score) projection over a (doc_id,
     text) relation: the ``text_quality`` score alone, same expression
@@ -547,13 +566,9 @@ def _quality_score_project(docs: DataFrame) -> DataFrame:
     BEFORE paying the tokenize — Catalyst does not push a left-semi
     join below this projection on its own (verified against the
     optimized plan in round 9), so the pruning must be structural."""
-    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    n = F.size("toks")
-    sw = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS)))
-    quality = (F.least(n / F.lit(50.0), F.lit(1.0))
-               * (F.lit(0.5) + F.lit(0.5)
-                  * F.least(sw.cast("double") / n / 0.1, F.lit(1.0))))
-    return d.select("doc_id", quality.alias("quality_score"))
+    return docs.select("doc_id",
+                       quality_score_col(F.col("text"))
+                       .alias("quality_score"))
 
 
 def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,8 +60,17 @@ def _local_bounded_min_labels(edges: DataFrame, iters: int) -> DataFrame:
     full-CC shortcut; the registry oracle replays exactly k joins).
     Output dtype mirrors the input id column so the bypass is invisible
     to callers."""
-    spark = edges.sparkSession
-    pdf = edges.toPandas()
+    return _local_bounded_min_labels_from_pdf(
+        edges.sparkSession, edges.toPandas(), iters,
+        edges.schema["u"].dataType.simpleString())
+
+
+def _local_bounded_min_labels_from_pdf(spark, pdf, iters: int,
+                                       id_type: str) -> DataFrame:
+    """Core of :func:`_local_bounded_min_labels` over an
+    already-collected directed edge list (round 12: lets the caller
+    probe-collect with one job instead of checkpoint + count +
+    toPandas)."""
     nbrs: dict = {}
     for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         nbrs.setdefault(u, []).append(v)
@@ -82,8 +91,7 @@ def _local_bounded_min_labels(edges: DataFrame, iters: int) -> DataFrame:
     ids = sorted(labels)
     out = pd.DataFrame({"id": ids, "label": [labels[x] for x in ids]},
                        dtype="int64")
-    t = edges.schema["u"].dataType.simpleString()
-    return spark.createDataFrame(out, schema=f"id {t}, label {t}")
+    return spark.createDataFrame(out, schema=f"id {id_type}, label {id_type}")
 
 
 def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
@@ -115,6 +123,22 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     semantics, none of the per-round scheduler overhead. 0 disables."""
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    if local_finish_edges:
+        # small-graph bypass (the connected_components_star discipline):
+        # the relaxation rounds on a driver-bounded edge list are fixed
+        # scheduler overhead, not data-parallel work — run the identical
+        # bounded iteration locally. Probe with ONE capped collect
+        # (round 12; previously checkpoint + count + toPandas = three
+        # sequential jobs — measured ~1.5 s of pure scheduling per
+        # pipeline call at fixture scale): limit(cap+1) bounds driver
+        # memory exactly like the cap itself, and an overflow (big
+        # graph) falls through to the distributed loop, whose one extra
+        # candidate-generation pass is small next to the loop it runs.
+        probe = edges.limit(local_finish_edges + 1).toPandas()
+        if len(probe) <= local_finish_edges:
+            return _local_bounded_min_labels_from_pdf(
+                pairs.sparkSession, probe, iters,
+                edges.schema["u"].dataType.simpleString())
     # materialize once: the loop would otherwise replant the (possibly
     # expensive) candidate-generation subtree into every iteration.
     # Deliberately NOT wrapped in session.sized_shuffle_partitions: an
@@ -123,15 +147,6 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     # neutral-to-slower); the explicit rule only pays off for streaming
     # state stores, whose partition count AQE cannot touch.
     edges = edges.localCheckpoint()
-    if local_finish_edges and edges.count() <= local_finish_edges:
-        # small-graph bypass (the connected_components_star discipline):
-        # the relaxation rounds on a driver-bounded edge list are fixed
-        # scheduler overhead, not data-parallel work — run the identical
-        # bounded iteration locally. The count is a scan of the blocks
-        # the eager checkpoint just cached, not a recompute.
-        out = _local_bounded_min_labels(edges, iters)
-        free_local_checkpoint(edges)
-        return out
     labels = (edges.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     prev_ck = None

@@ -128,6 +128,20 @@ FAMILIES = {
     # hot-list-aggregate wall alone, and the full candidate join capped
     # vs with the cap forced off (bucket_cap=None - the pre-cap plan).
     "hotlist": [],
+    # special-cased in main(): streaming corpus ingestion state
+    # maintenance (r11 verdict #5 + r12 ADVICE medium): B micro-batches
+    # of novel docs driven through the foreachBatch state protocols
+    # directly. Claims: per-batch wall FLAT vs corpus age under the
+    # round-12 append layout (batch=<bid> dirs) while the round-11
+    # full-rewrite swap grows with corpus age (the quadratic-cumulative
+    # term the ADVICE named); exactly one _applied_ marker; one batch
+    # dir per applied batch; admissions identical across layouts.
+    "corpus_stream": [],
+    # special-cased in main(): the ivfpq grid re-run on a CLUSTERED
+    # embedding corpus (r11 verdict #4 — the r11 grid used uniform
+    # random vectors, PQ's worst case; production recall claims need a
+    # measured row on cluster-structured data).
+    "ivfpq_clustered": [],
     # special-cased in main(): the mergeable-sketch partition tier
     # (operators/sketches.py). Claims under k-fold events with shifted
     # users: build wall ~linear, sketch GRAIN flat (types x days — data
@@ -670,6 +684,212 @@ def run_ivfpq(spark, base: str, mults: list[int]) -> list[dict]:
     return results
 
 
+def run_corpus_stream(spark, base: str, mults: list[int],
+                      n_batches: int = 20) -> list[dict]:
+    """Streaming corpus ingestion state maintenance, append layout vs
+    full-rewrite swap (see FAMILIES['corpus_stream']). The foreachBatch
+    body is invoked directly — stream-machinery fixed cost is measured
+    separately by bench's streaming_fixed_overhead — so per-batch wall
+    isolates exactly the state protocol + admission pipeline. Batches
+    partition the (rotated) documents table by doc_id % n_batches, so
+    every batch carries novel docs and the corpus grows ~linearly; a
+    flat wall curve therefore means cost rides the BATCH, a rising one
+    means cost rides corpus age."""
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.pipelines.corpus import (
+        extend_corpus, prepare_corpus)
+    from data_engineering_projects_spark.sources import load_table, widen
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _apply_batch_with_state_swap,
+        read_corpus_state)
+
+    results = []
+    for mult in mults:
+        base_tag = os.path.basename(os.path.normpath(base))
+        sf_dir = (base if mult == 1
+                  else f"/tmp/depa_stress_{base_tag}_cstream_x{mult}")
+        if mult > 1:
+            build_fixture(base, mult, sf_dir, rotate_docs=True)
+        docs = (widen(load_table(spark, sf_dir, "documents"))
+                .select("doc_id", "text", "source", "lang").persist())
+        docs.count()
+        batches = [docs.filter(F.col("doc_id") % n_batches == b)
+                   for b in range(n_batches)]
+
+        def drive(mode: str) -> dict:
+            state = tempfile.mkdtemp(prefix=f"cstream_{mode}_")
+            _sh.rmtree(state)  # helpers create it themselves
+            walls = []
+            for b in range(n_batches):
+                cleanups = []
+
+                def build(old):
+                    res = (prepare_corpus(batches[b]) if old is None
+                           else extend_corpus(old, batches[b]))
+                    cleanups.append(res)
+                    return res.docs
+
+                def merge(old):  # the round-11 full-rewrite shape
+                    new = build(old)
+                    return new if old is None else old.unionByName(new)
+
+                t0 = time.perf_counter()
+                if mode == "append":
+                    _append_batch_with_marker(spark, state, b, build)
+                else:
+                    _apply_batch_with_state_swap(spark, state, b, merge)
+                walls.append(round(time.perf_counter() - t0, 2))
+                for r in cleanups:
+                    r.unpersist()
+            rows = (read_corpus_state(spark, state).count()
+                    if mode == "append"
+                    else spark.read.parquet(state).count())
+            files = os.listdir(state)
+            out = {
+                "mode": mode, "mult": mult, "rows": rows,
+                "walls": walls,
+                "first5_sec": round(sum(walls[:5]), 2),
+                "last5_sec": round(sum(walls[-5:]), 2),
+                "markers": sum(f.startswith("_applied_") for f in files),
+                "batch_dirs": sum(f.startswith("batch=") for f in files),
+            }
+            _sh.rmtree(state, ignore_errors=True)
+            return out
+
+        recs = {m: drive(m) for m in ("append", "swap")}
+        assert recs["append"]["rows"] == recs["swap"]["rows"], recs
+        for rec in recs.values():
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        docs.unpersist()
+    return results
+
+
+def _make_clustered_embeddings(spark, out_dir: str, n: int,
+                               n_clusters: int = 8, dim: int = 64,
+                               noise: float = 0.15) -> None:
+    """Deterministic cluster-structured embedding fixture: unit-norm
+    centers from a seeded RNG, each vector = its center + Gaussian
+    noise (sigma=noise per dim), labels = cluster id. Matches the real
+    embeddings schema (vec_id BIGINT, embedding FLOAT[], label INT)."""
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(dst):
+        return
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n) % n_clusters
+    vecs = (centers[labels]
+            + np.random.RandomState(11).randn(n, dim) * noise)
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [v.astype("float32") for v in vecs],
+        "label": labels.astype("int32"),
+    })
+    spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(dst)
+
+
+def run_ivfpq_clustered(spark, base: str, mults: list[int]) -> list[dict]:
+    """The run_ivfpq operating grid on CLUSTERED embeddings (8
+    unit-norm centers, sigma=0.15 noise — comfortably separated but not
+    trivial). `mults` scale the corpus SIZE natively (fresh vectors,
+    same cluster structure) rather than k-folding, since the question
+    is recall on cluster-structured data, not replica handling. The
+    sized corpora match run_ivfpq's 1x/5x (2000/10000 at the sf0.1
+    base) so rows are comparable grid-cell by grid-cell."""
+    n_base = spark.read.parquet(
+        os.path.join(base, "embeddings.parquet")).count()
+    results = []
+    base_tag = os.path.basename(os.path.normpath(base))
+    dirs = {}
+    for mult in mults:
+        d = f"/tmp/depa_stress_{base_tag}_ivfpqc_x{mult}"
+        _make_clustered_embeddings(spark, d, n_base * mult)
+        dirs[mult] = d
+    # train on the 1x clustered corpus, search each sized corpus — the
+    # same index-fixed-at-build-time discipline as run_ivfpq.
+    for mult in mults:
+        for rec in _ivfpq_grid_on(spark, dirs[1], dirs[mult], mult):
+            rec["clustered"] = True
+            results.append(rec)
+    return results
+
+
+def _ivfpq_grid_on(spark, train_base: str, search_dir: str,
+                   mult: int) -> list[dict]:
+    """run_ivfpq's grid with the index trained on ``train_base`` and
+    the search corpus read from ``search_dir`` (no k-fold)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.operators.pq import (
+        _l2sq, ivf_pq_search, pq_encode, pq_train)
+    from data_engineering_projects_spark.operators.similarity import (
+        ivf_assign, ivf_train)
+
+    M, N_CELLS, K = 16, 8, 10
+    emb1 = spark.read.parquet(os.path.join(train_base,
+                                           "embeddings.parquet"))
+    cb = pq_train(emb1, m=M, k=32, n_iters=2).persist()
+    cb.count()
+    cents = ivf_train(emb1, n_cells=N_CELLS, n_iters=2).persist()
+    cents.count()
+    queries = emb1.filter("vec_id < 10").persist()
+    queries.count()
+    emb = spark.read.parquet(os.path.join(search_dir,
+                                          "embeddings.parquet"))
+    assigned = (ivf_assign(emb, cents).select("vec_id", "cell")
+                .join(pq_encode(emb, cb, m=M), "vec_id").persist())
+    assigned.count()
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").cast("array<double>").alias("cv"))
+    d = (F.broadcast(q).crossJoin(c).filter("query_id != neighbor_id")
+         .select("query_id", "neighbor_id",
+                 _l2sq(F.col("qv"), F.col("cv")).alias("dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 9).asc(), "neighbor_id")
+    truth = {(r["query_id"], r["neighbor_id"]) for r in
+             d.withColumn("rk", F.rank().over(w)).filter(f"rk <= {K}")
+             .collect()}
+    results = []
+    warm = True
+    for nprobe in (1, 2, 4, 8):
+        for overfetch in (1, 2, 5):
+            if warm:
+                ivf_pq_search(queries, assigned, cents, cb, emb, k=K,
+                              nprobe=nprobe, overfetch=overfetch, m=M) \
+                    .write.format("noop").mode("overwrite").save()
+                warm = False
+            t0 = time.perf_counter()
+            got = {(r["query_id"], r["neighbor_id"]) for r in
+                   ivf_pq_search(queries, assigned, cents, cb, emb,
+                                 k=K, nprobe=nprobe, overfetch=overfetch,
+                                 m=M).collect()}
+            rec = {"mult": mult, "nprobe": nprobe, "overfetch": overfetch,
+                   "recall": round(len(got & truth) / max(len(truth), 1),
+                                   3),
+                   "sec": round(time.perf_counter() - t0, 2)}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    assigned.unpersist()
+    cb.unpersist()
+    cents.unpersist()
+    queries.unpersist()
+    return results
+
+
 def run_sketches(spark, base: str, mults: list[int]) -> list[dict]:
     """Per-mult: timed sketch build over k-fold events (shifted users),
     grain/row-size stats, timed grain-only rollup, and a merged-p85
@@ -795,6 +1015,34 @@ def main() -> int:
                 f"nprobe={r['nprobe']},overfetch={r['overfetch']}"] = {
                 "recall": r["recall"], "sec": r["sec"]}
         print(json.dumps({"summary": grid}))
+        spark.stop()
+        return 0
+
+    if args.family == "ivfpq_clustered":
+        mults = [int(m) for m in args.mults.split(",")]
+        results = run_ivfpq_clustered(spark, args.base, mults)
+        grid = {}
+        for r in results:
+            grid.setdefault(str(r["mult"]), {})[
+                f"nprobe={r['nprobe']},overfetch={r['overfetch']}"] = {
+                "recall": r["recall"], "sec": r["sec"]}
+        print(json.dumps({"summary": grid, "clustered": True}))
+        spark.stop()
+        return 0
+
+    if args.family == "corpus_stream":
+        mults = [int(m) for m in args.mults.split(",")]
+        results = run_corpus_stream(spark, args.base, mults)
+        summary = {}
+        for r in results:
+            summary[f"{r['mode']}_x{r['mult']}"] = {
+                "rows": r["rows"],
+                "first5_sec": r["first5_sec"],
+                "last5_sec": r["last5_sec"],
+                "late_vs_early": round(r["last5_sec"]
+                                       / max(r["first5_sec"], .01), 2),
+                "markers": r["markers"], "batch_dirs": r["batch_dirs"]}
+        print(json.dumps({"summary": summary}))
         spark.stop()
         return 0
 
