@@ -2408,7 +2408,14 @@ def corpus_extend_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "text", "source", "lang"))
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     batch = d.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 1))
-    res = extend_corpus(corpus, batch)
+    # corpus-side shingle index from the session's memoized projection
+    # (the state-reuse hook extend_corpus documents): the fixture corpus
+    # is raw documents rows, so the shared relation ⋉ corpus ids IS
+    # _shingle_sets(corpus) — same expression, same persisted copy every
+    # dedup query shares.
+    csets = _shared_shingle_sets(spark, sf_dir).join(
+        corpus.select("doc_id"), "doc_id", "left_semi")
+    res = extend_corpus(corpus, batch, corpus_sets=csets)
     out = (res.audit.select(
         "doc_id", "has_text", "quality_ok", "exact_keep", "near_keep",
         "corpus_keep", F.col("q").alias("quality_score"))

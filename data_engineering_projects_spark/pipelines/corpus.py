@@ -88,12 +88,17 @@ class CorpusResult:
     """``docs``: final corpus (doc_id, text, source, lang, quality_score,
     split); ``report``: one row per stage (stage, docs_in, docs_out);
     ``audit``: the wide per-doc flag frame (has_text / quality_ok /
-    exact_keep / near_keep) for drill-down; ``_persisted``: the cached
-    upstream relation — call :meth:`unpersist` when done."""
+    exact_keep / near_keep) for drill-down; ``sets``: the persisted
+    (doc_id, shs) hashed-shingle relation of the exact-dedup survivors
+    (round 12 — callers chaining a second dedup tier reuse it instead
+    of re-tokenizing; valid because survivor text is unchanged
+    downstream); ``_persisted``: the cached upstream relations — call
+    :meth:`unpersist` when done (``sets`` is among them)."""
     docs: DataFrame
     report: DataFrame
     audit: DataFrame
     _persisted: list
+    sets: DataFrame | None = None
 
     def unpersist(self) -> None:
         for df in self._persisted:
@@ -209,14 +214,16 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     )).alias("s")).select("s.stage", "s.docs_in", "s.docs_out")
 
     return CorpusResult(docs=final, report=report, audit=audit,
-                        _persisted=[persisted, *extra_persists])
+                        _persisted=[persisted, *extra_persists],
+                        sets=sets)
 
 
 def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
                   quality_min: float = 0.2, jaccard_min: float = 0.5,
                   shingle_k: int = 3,
                   split_weights: dict[str, float] | None = None,
-                  split_seed: int = 42) -> CorpusResult:
+                  split_seed: int = 42,
+                  corpus_sets: DataFrame | None = None) -> CorpusResult:
     """Incremental corpus growth — the production shape (corpora are
     never rebuilt; batches land): admit from ``new_docs`` only what is
     clean, good, and novel against BOTH the existing corpus and the rest
@@ -287,11 +294,21 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # admitted anti-join, and the report counts; the combined sets feed
     # signature generation plus both verify sides.
     after_exact = after_exact.persist()
-    corpus_sets = _shingle_sets(corpus_docs, shingle_k) \
+    # corpus_sets: callers that maintain the corpus shingle index as
+    # state (the incremental production shape, or a memoized projection
+    # of the same corpus) pass it in; it must be the (doc_id, shs)
+    # relation _shingle_sets would compute over corpus_docs. Default
+    # recomputes. Batch-side sets reuse the prepare-tier relation
+    # (res.sets ⋉ after_exact — survivor text is unchanged, so the
+    # tokenize+shingle pass is not repaid).
+    cset = (corpus_sets.select("doc_id", "shs")
+            if corpus_sets is not None
+            else _shingle_sets(corpus_docs, shingle_k)) \
         .withColumn("is_new", F.lit(False))
-    batch_sets = _shingle_sets(after_exact, shingle_k) \
-        .withColumn("is_new", F.lit(True))
-    both = corpus_sets.unionByName(batch_sets).persist()
+    bset = (res.sets.join(after_exact.select("doc_id"), "doc_id",
+                          "left_semi")
+            .withColumn("is_new", F.lit(True)))
+    both = cset.unionByName(bset).persist()
     extra: list = [after_exact, both]
     bands = _mh_bands(_mh_signatures(both, persisted_out=extra,
                                      carry=("is_new",)),
