@@ -439,3 +439,90 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
     markers = [f for f in os.listdir(corpus_path)
                if f.startswith("_applied_")]
     assert markers == ["_applied_1"]
+
+
+def test_extend_corpus_accepts_precomputed_corpus_sets(spark):
+    """The corpus_sets state-reuse hook (round 12): passing the exact
+    (doc_id, shs) relation _shingle_sets would compute over the corpus
+    must change NOTHING — identical audit flags, identical admitted
+    docs — because it is the same relation, just not recomputed. This
+    is the contract the incremental production shape (persisted corpus
+    shingle index) relies on."""
+    from data_engineering_projects_spark.pipelines.corpus import (
+        _shingle_sets, extend_corpus)
+
+    corpus = _planted(spark).filter("doc_id in (1, 3, 7)") \
+        .select("doc_id", "text", "source", "lang")
+    batch = spark.createDataFrame([
+        (10, _words(64, "beta") + " drifted tail", "web", "en"),  # ~3
+        (11, _words(66, "delta"), "web", "en"),                   # novel
+    ], "doc_id long, text string, source string, lang string")
+
+    def decisions(**kw):
+        res = extend_corpus(corpus, batch, **kw)
+        out = sorted(
+            (r["doc_id"], r["exact_keep"], r["near_keep"],
+             r["corpus_keep"]) for r in res.audit.collect())
+        admitted = sorted(r["doc_id"] for r in res.docs.collect())
+        res.unpersist()
+        return out, admitted
+
+    base = decisions()
+    reused = decisions(corpus_sets=_shingle_sets(corpus, 3))
+    assert reused == base
+    # and the decisions themselves are the planted expectations:
+    # 10 is a near-dup of corpus doc 3 (dropped), 11 is admitted
+    assert base[1] == [11]
+
+
+def test_append_state_random_crash_sequences(spark, tmp_path):
+    """Property-style crash storm for _append_batch_with_marker: drive
+    batches 0..N-1 where each batch is preceded by a DETERMINISTIC
+    pseudo-random crash artifact (stale tmp, lost markers, marker
+    debris, duplicate redelivery), and assert the final state holds
+    exactly one row per batch regardless — the rename-is-commit
+    protocol's invariant. Uses a seeded schedule, not Hypothesis, so a
+    failure replays exactly."""
+    import os
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, read_corpus_state)
+
+    state = str(tmp_path / "storm")
+    rng = random.Random(1234)
+    N = 8
+
+    def apply(bid):
+        _append_batch_with_marker(
+            spark, state, bid,
+            lambda old: spark.range(1).select(F.lit(bid).alias("applied")))
+
+    for b in range(N):
+        if b > 0:
+            art = rng.choice(["tmp", "markers", "debris", "replay", "none"])
+            if art == "tmp":  # crash before rename left a stale tmp
+                shutil.copytree(os.path.join(state, f"batch={b-1}"),
+                                state + "__tmp")
+            elif art == "markers":  # crash after rename lost the marker
+                for f in os.listdir(state):
+                    if f.startswith("_applied_"):
+                        os.remove(os.path.join(state, f))
+            elif art == "debris":
+                open(os.path.join(state, "_applied_"), "w").close()
+                open(os.path.join(state, f"_applied_{b-1}.tmp"),
+                     "w").close()
+            elif art == "replay":
+                apply(rng.randrange(b))  # redeliver an old batch id
+        apply(b)
+
+    rows = sorted(r["applied"] for r in
+                  read_corpus_state(spark, state).collect())
+    assert rows == list(range(N))
+    markers = [f for f in os.listdir(state)
+               if f.startswith("_applied_") and
+               f[len("_applied_"):].isdigit()]
+    assert markers == [f"_applied_{N-1}"]
