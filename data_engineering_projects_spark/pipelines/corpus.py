@@ -223,7 +223,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
                   shingle_k: int = 3,
                   split_weights: dict[str, float] | None = None,
                   split_seed: int = 42,
-                  corpus_sets: DataFrame | None = None) -> CorpusResult:
+                  corpus_sets: DataFrame | None = None,
+                  corpus_bands: DataFrame | None = None) -> CorpusResult:
     """Incremental corpus growth — the production shape (corpora are
     never rebuilt; batches land): admit from ``new_docs`` only what is
     clean, good, and novel against BOTH the existing corpus and the rest
@@ -254,11 +255,18 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     the index and its hot-bucket cap are built over corpus ∪ batch (so
     cap decisions are identical to a combined self-join), but only
     (corpus band) × (batch band) joins run — corpus-corpus candidates,
-    quadratic-ish in corpus age, are never generated. This
-    self-contained API still recomputes corpus signatures per call; the
-    fully incremental shape additionally persists the corpus band index
-    as state — ``dedup_incremental_ingest`` (contract) demonstrates
-    that, so swap it in when corpus signature recompute dominates cost.
+    quadratic-ish in corpus age, are never generated.
+
+    State-reuse hooks (round 12 — the fully incremental production
+    shape; decisions identical by construction since each state IS the
+    relation the default path recomputes): ``corpus_sets`` = the
+    (doc_id, shs) shingle relation of ``corpus_docs`` (feeds the exact-
+    Jaccard verify's corpus side), ``corpus_bands`` = its
+    (doc_id, band, band_key) minhash band index (kills the last
+    per-batch term proportional to corpus age — the corpus-side
+    signature compute). :func:`streaming.jobs.corpus_extend_stream`
+    maintains both as derived append states; callers without state get
+    the self-contained recompute.
     """
     split_weights = split_weights or {"train": 0.9, "val": 0.05,
                                       "test": 0.05}
@@ -310,9 +318,23 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
             .withColumn("is_new", F.lit(True)))
     both = cset.unionByName(bset).persist()
     extra: list = [after_exact, both]
-    bands = _mh_bands(_mh_signatures(both, persisted_out=extra,
-                                     carry=("is_new",)),
-                      carry=("is_new",))
+    if corpus_bands is not None:
+        # band-index state (round 12): the caller maintains the corpus
+        # band index incrementally, so the corpus side's minhash — the
+        # last per-batch term proportional to corpus age — is never
+        # recomputed; only the batch side is signed. Decisions are
+        # identical by construction: the state IS the relation
+        # _mh_bands(_mh_signatures(cset)) would compute.
+        bands = (corpus_bands.select("doc_id", "band", "band_key")
+                 .withColumn("is_new", F.lit(False))
+                 .unionByName(
+                     _mh_bands(_mh_signatures(bset.drop("is_new"),
+                                              persisted_out=extra))
+                     .withColumn("is_new", F.lit(True))))
+    else:
+        bands = _mh_bands(_mh_signatures(both, persisted_out=extra,
+                                         carry=("is_new",)),
+                          carry=("is_new",))
     hot = _mh_hot_buckets(bands, _LSH_BUCKET_CAP)
     bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     bc = bands.filter(~F.col("is_new")).select("doc_id", "band", "band_key")

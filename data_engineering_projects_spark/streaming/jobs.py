@@ -385,6 +385,91 @@ def read_corpus_state(spark, corpus_path: str,
     return df if with_lineage else df.drop("batch")
 
 
+def _batch_dir_ids(path: str) -> set[int]:
+    """Committed batch ids of an append-layout state dir."""
+    import os
+    if not os.path.isdir(path):
+        return set()
+    return {int(f[len("batch="):]) for f in os.listdir(path)
+            if f.startswith("batch=") and f[len("batch="):].isdigit()}
+
+
+def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
+                         batch_id: int, kw: dict) -> None:
+    """One micro-batch of :func:`corpus_extend_stream`: the corpus
+    append plus its two DERIVED index states (round 12 — the ADVICE fix
+    made per-batch I/O O(batch); this makes per-batch COMPUTE O(batch)
+    too, by never re-tokenizing or re-signing the corpus):
+
+    - ``<corpus>__sets``: per-batch (doc_id, shs) hashed-shingle dirs —
+      the exact-Jaccard verify's corpus side;
+    - ``<corpus>__bands``: per-batch (doc_id, band, band_key) minhash
+      band index — the candidate probe's corpus side.
+
+    Each state appends under its own :func:`_append_batch_with_marker`
+    protocol, and each derived build reads the COMMITTED corpus (resp.
+    sets) ``batch=<bid>`` dir, so a crash between any two appends
+    re-derives deterministically on redelivery — the corpus is the
+    source of truth, the indexes are caches. The caches are consumed
+    only while their committed id set EXACTLY matches the corpus's
+    (checked per batch); any divergence (external deletion, states
+    added to a pre-existing corpus) degrades to the self-contained
+    recompute inside :func:`pipelines.corpus.extend_corpus` — caches
+    can go stale, answers cannot. To reset them, delete BOTH ``__sets``
+    and ``__bands`` dirs; they rebuild from the next batch on (and are
+    used again only once complete — which for an already-old corpus
+    means recompute until a fresh corpus lifetime)."""
+    import os
+
+    from ..contract.extensions import _mh_bands, _mh_signatures
+    from ..pipelines.corpus import (_shingle_sets, extend_corpus,
+                                    prepare_corpus)
+
+    sets_path = corpus_path + "__sets"
+    bands_path = corpus_path + "__bands"
+    shingle_k = kw.get("shingle_k", 3)
+    cleanups: list = []
+
+    def build(old):
+        if old is None:
+            res = prepare_corpus(batch_df, **kw)
+        else:
+            corpus_ids = _batch_dir_ids(corpus_path)
+            cs = cb = None
+            if corpus_ids and _batch_dir_ids(sets_path) == corpus_ids:
+                cs = spark.read.parquet(sets_path).drop("batch")
+                if _batch_dir_ids(bands_path) == corpus_ids:
+                    cb = spark.read.parquet(bands_path).drop("batch")
+            res = extend_corpus(old, batch_df, corpus_sets=cs,
+                                corpus_bands=cb, **kw)
+        cleanups.append(res)
+        return res.docs
+
+    try:
+        _append_batch_with_marker(spark, corpus_path, batch_id, build)
+    finally:
+        for r in cleanups:
+            r.unpersist()
+
+    bdir = os.path.join(corpus_path, f"batch={batch_id}")
+    _append_batch_with_marker(
+        spark, sets_path, batch_id,
+        lambda old: _shingle_sets(spark.read.parquet(bdir), shingle_k))
+    sdir = os.path.join(sets_path, f"batch={batch_id}")
+    sig_persists: list = []
+
+    def build_bands(old):
+        return _mh_bands(_mh_signatures(spark.read.parquet(sdir),
+                                        persisted_out=sig_persists))
+
+    try:
+        _append_batch_with_marker(spark, bands_path, batch_id,
+                                  build_bands)
+    finally:
+        for p in sig_persists:
+            p.unpersist()
+
+
 def corpus_extend_stream(docs: DataFrame, corpus_path: str,
                          checkpoint: str, *,
                          quality_min: float = 0.2,
@@ -404,7 +489,13 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
     cumulative I/O for a state documented as "the corpus only grows";
     per-batch I/O is now proportional to the batch). Read the state
     back with :func:`read_corpus_state` (drops the ``batch`` lineage
-    partition column). The streaming leg of
+    partition column). Two DERIVED index states (``<corpus>__sets``,
+    ``<corpus>__bands``) are maintained per batch under the same
+    protocol and fed back through ``extend_corpus``'s state-reuse
+    hooks, making per-batch COMPUTE O(batch) as well — the corpus is
+    never re-tokenized or re-signed (see
+    :func:`_corpus_stream_apply` for the cache-vs-truth contract).
+    The streaming leg of
     the corpus story: batches land forever, the corpus only grows, and
     every admission decision is the SAME decision the batch pipeline
     would make (corpus stability, id-identity replay skip, capped LSH
@@ -420,28 +511,13 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
     member of a near-dup family survives depends on arrival order
     (corpus stability keeps the first-arrived); the family count does
     not."""
-    from ..pipelines.corpus import extend_corpus, prepare_corpus
-
     kw = dict(quality_min=quality_min, jaccard_min=jaccard_min,
               shingle_k=shingle_k, split_weights=split_weights,
               split_seed=split_seed)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        cleanups = []
-
-        def build(old):
-            res = (prepare_corpus(batch_df, **kw) if old is None
-                   else extend_corpus(old, batch_df, **kw))
-            cleanups.append(res)
-            return res.docs
-
-        try:
-            _append_batch_with_marker(spark, corpus_path, batch_id,
-                                      build)
-        finally:
-            for r in cleanups:
-                r.unpersist()
+        _corpus_stream_apply(batch_df.sparkSession, corpus_path,
+                             batch_df, batch_id, kw)
 
     return (docs.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())

@@ -431,6 +431,22 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
     # (file->batch order is mtime-dependent; don't pin which is first)
     assert {lineage[1], lineage[4]} == {0, 1}
 
+    # derived index states (round 12): per-batch dirs mirror the corpus
+    # exactly, and their contents ARE the relations extend_corpus would
+    # recompute (sets: one row per corpus doc with non-empty shingles)
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids)
+    cids = _batch_dir_ids(corpus_path)
+    assert _batch_dir_ids(corpus_path + "__sets") == cids
+    assert _batch_dir_ids(corpus_path + "__bands") == cids
+    sets_state = spark.read.parquet(corpus_path + "__sets")
+    assert sorted(r["doc_id"] for r in sets_state.collect()) == \
+        sorted(rows)
+    bands_state = spark.read.parquet(corpus_path + "__bands")
+    assert set(bands_state.columns) == {"doc_id", "band", "band_key",
+                                        "batch"}
+    assert bands_state.count() == 8 * len(rows)  # _N_MINHASH per doc
+
     before = sorted(map(tuple, got.collect()))
     run("ckpt2")  # fresh checkpoint: every batch redelivered from id 0
     after = sorted(map(tuple,
@@ -439,6 +455,59 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
     markers = [f for f in os.listdir(corpus_path)
                if f.startswith("_applied_")]
     assert markers == ["_applied_1"]
+
+
+def test_corpus_stream_derived_state_crash_and_fallback(spark, tmp_path):
+    """_corpus_stream_apply (round 12): the derived shingle/band index
+    states are caches — a crash between the corpus append and the
+    derived appends heals on redelivery (re-derived from the committed
+    corpus batch dir), and a tampered/incomplete cache degrades to the
+    recompute path with IDENTICAL admissions, never wrong answers."""
+    import os
+    import shutil
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids, _corpus_stream_apply, read_corpus_state)
+
+    schema = "doc_id long, text string, source string, lang string"
+    kw = dict(quality_min=0.2, jaccard_min=0.5, shingle_k=3,
+              split_weights=None, split_seed=42)
+    corpus = str(tmp_path / "c")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    b0 = batch([(1, _words(60, "fama"), "web", "en"),
+                (2, _words(60, "famb"), "web", "en")])
+    b1 = batch([(3, _words(60, "famb") + " drift tail", "web", "en"),
+                (4, _words(70, "famc"), "books", "en")])
+    b2 = batch([(5, _words(64, "famd"), "web", "en")])
+
+    _corpus_stream_apply(spark, corpus, b0, 0, kw)
+    # crash AFTER the corpus append of batch 1, BEFORE the derived
+    # appends: simulate by wiping the derived dirs for batch 1 after a
+    # full apply, then redelivering batch 1
+    _corpus_stream_apply(spark, corpus, b1, 1, kw)
+    for st in ("__sets", "__bands"):
+        shutil.rmtree(os.path.join(corpus + st, "batch=1"))
+    assert _batch_dir_ids(corpus + "__sets") == {0}
+    _corpus_stream_apply(spark, corpus, b1, 1, kw)  # redelivery heals
+    assert _batch_dir_ids(corpus + "__sets") == {0, 1}
+    assert _batch_dir_ids(corpus + "__bands") == {0, 1}
+    admitted = sorted(r["doc_id"] for r in
+                      read_corpus_state(spark, corpus).collect())
+    assert admitted == [1, 2, 4]  # 3 is a near-dup of corpus doc 2
+
+    # tampered cache: delete the sets state entirely; batch 2 must
+    # still admit through the recompute fallback, and the caches
+    # resume appending (incomplete => unused, still correct)
+    shutil.rmtree(corpus + "__sets")
+    _corpus_stream_apply(spark, corpus, b2, 2, kw)
+    admitted = sorted(r["doc_id"] for r in
+                      read_corpus_state(spark, corpus).collect())
+    assert admitted == [1, 2, 4, 5]
+    assert _batch_dir_ids(corpus + "__sets") == {2}      # resumed
+    assert _batch_dir_ids(corpus + "__bands") == {0, 1, 2}
 
 
 def test_extend_corpus_accepts_precomputed_corpus_sets(spark):

@@ -705,7 +705,7 @@ def run_corpus_stream(spark, base: str, mults: list[int],
     from data_engineering_projects_spark.sources import load_table, widen
     from data_engineering_projects_spark.streaming.jobs import (
         _append_batch_with_marker, _apply_batch_with_state_swap,
-        read_corpus_state)
+        _corpus_stream_apply, read_corpus_state)
 
     results = []
     for mult in mults:
@@ -740,14 +740,24 @@ def run_corpus_stream(spark, base: str, mults: list[int],
                 t0 = time.perf_counter()
                 if mode == "append":
                     _append_batch_with_marker(spark, state, b, build)
+                elif mode == "append_index":
+                    # the full production body: corpus append + derived
+                    # shingle/band index states fed back through the
+                    # extend_corpus state-reuse hooks (per-batch compute
+                    # O(batch) — the corpus is never re-signed)
+                    _corpus_stream_apply(
+                        spark, state, batches[b], b,
+                        dict(quality_min=0.2, jaccard_min=0.5,
+                             shingle_k=3, split_weights=None,
+                             split_seed=42))
                 else:
                     _apply_batch_with_state_swap(spark, state, b, merge)
                 walls.append(round(time.perf_counter() - t0, 2))
                 for r in cleanups:
                     r.unpersist()
-            rows = (read_corpus_state(spark, state).count()
-                    if mode == "append"
-                    else spark.read.parquet(state).count())
+            rows = (spark.read.parquet(state).count()
+                    if mode == "swap"
+                    else read_corpus_state(spark, state).count())
             files = os.listdir(state)
             out = {
                 "mode": mode, "mult": mult, "rows": rows,
@@ -760,8 +770,10 @@ def run_corpus_stream(spark, base: str, mults: list[int],
             _sh.rmtree(state, ignore_errors=True)
             return out
 
-        recs = {m: drive(m) for m in ("append", "swap")}
-        assert recs["append"]["rows"] == recs["swap"]["rows"], recs
+        recs = {m: drive(m)
+                for m in ("append", "append_index", "swap")}
+        assert recs["append"]["rows"] == recs["swap"]["rows"] \
+            == recs["append_index"]["rows"], recs
         for rec in recs.values():
             results.append(rec)
             print(json.dumps(rec), flush=True)
