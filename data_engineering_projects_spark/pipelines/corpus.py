@@ -224,7 +224,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
                   split_weights: dict[str, float] | None = None,
                   split_seed: int = 42,
                   corpus_sets: DataFrame | None = None,
-                  corpus_bands: DataFrame | None = None) -> CorpusResult:
+                  corpus_bands: DataFrame | None = None,
+                  corpus_fps: DataFrame | None = None) -> CorpusResult:
     """Incremental corpus growth — the production shape (corpora are
     never rebuilt; batches land): admit from ``new_docs`` only what is
     clean, good, and novel against BOTH the existing corpus and the rest
@@ -262,11 +263,14 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     relation the default path recomputes): ``corpus_sets`` = the
     (doc_id, shs) shingle relation of ``corpus_docs`` (feeds the exact-
     Jaccard verify's corpus side), ``corpus_bands`` = its
-    (doc_id, band, band_key) minhash band index (kills the last
-    per-batch term proportional to corpus age — the corpus-side
-    signature compute). :func:`streaming.jobs.corpus_extend_stream`
-    maintains both as derived append states; callers without state get
-    the self-contained recompute.
+    (doc_id, band, band_key) minhash band index (kills the corpus-side
+    signature compute), ``corpus_fps`` = its distinct-able (fp)
+    fingerprint relation for the exact tier. With all three supplied
+    the corpus TEXT column is never read — per-batch corpus access
+    reduces to one pruned doc_id scan plus the fixed-width index
+    states. :func:`streaming.jobs.corpus_extend_stream` maintains all
+    three as derived append states; callers without state get the
+    self-contained recompute.
     """
     split_weights = split_weights or {"train": 0.9, "val": 0.05,
                                       "test": 0.05}
@@ -282,11 +286,16 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     batch = res.docs
 
     # exact tier vs corpus: the corpus text is already scrubbed, the
-    # batch text came scrubbed out of prepare_corpus — same identity
+    # batch text came scrubbed out of prepare_corpus — same identity.
+    # corpus_fps: the maintained (fp) fingerprint state, when supplied
+    # — with all three states the corpus TEXT column is never read in
+    # this function (only its pruned doc_id column, for the id skip).
     fp = md5_hash64(normalize_text(F.col("text")), seed=0)
-    corpus_fps = corpus_docs.select(fp.alias("__fp")).distinct()
+    cfps = (corpus_fps.select(F.col("fp").alias("__fp"))
+            if corpus_fps is not None
+            else corpus_docs.select(fp.alias("__fp"))).distinct()
     after_exact = (batch.withColumn("__fp", fp)
-                   .join(corpus_fps, "__fp", "left_anti").drop("__fp"))
+                   .join(cfps, "__fp", "left_anti").drop("__fp"))
 
     # near tier vs corpus, ONE-SIDED band probing (round 12 — previously
     # a self-join over the combined corpus ∪ batch band index generated

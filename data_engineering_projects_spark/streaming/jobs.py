@@ -404,7 +404,10 @@ def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
     - ``<corpus>__sets``: per-batch (doc_id, shs) hashed-shingle dirs —
       the exact-Jaccard verify's corpus side;
     - ``<corpus>__bands``: per-batch (doc_id, band, band_key) minhash
-      band index — the candidate probe's corpus side.
+      band index — the candidate probe's corpus side;
+    - ``<corpus>__fps``: per-batch (fp) content fingerprints — the
+      exact tier's corpus side. With all three, the corpus TEXT column
+      is never read per batch (only the pruned doc_id column).
 
     Each state appends under its own :func:`_append_batch_with_marker`
     protocol, and each derived build reads the COMMITTED corpus (resp.
@@ -427,21 +430,26 @@ def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
 
     sets_path = corpus_path + "__sets"
     bands_path = corpus_path + "__bands"
+    fps_path = corpus_path + "__fps"
     shingle_k = kw.get("shingle_k", 3)
     cleanups: list = []
+
+    def state_if_complete(path, corpus_ids):
+        if corpus_ids and _batch_dir_ids(path) == corpus_ids:
+            return spark.read.parquet(path).drop("batch")
+        return None
 
     def build(old):
         if old is None:
             res = prepare_corpus(batch_df, **kw)
         else:
             corpus_ids = _batch_dir_ids(corpus_path)
-            cs = cb = None
-            if corpus_ids and _batch_dir_ids(sets_path) == corpus_ids:
-                cs = spark.read.parquet(sets_path).drop("batch")
-                if _batch_dir_ids(bands_path) == corpus_ids:
-                    cb = spark.read.parquet(bands_path).drop("batch")
+            cs = state_if_complete(sets_path, corpus_ids)
+            cb = (state_if_complete(bands_path, corpus_ids)
+                  if cs is not None else None)
+            cf = state_if_complete(fps_path, corpus_ids)
             res = extend_corpus(old, batch_df, corpus_sets=cs,
-                                corpus_bands=cb, **kw)
+                                corpus_bands=cb, corpus_fps=cf, **kw)
         cleanups.append(res)
         return res.docs
 
@@ -468,6 +476,14 @@ def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
     finally:
         for p in sig_persists:
             p.unpersist()
+
+    def build_fps(old):
+        from ..functions.text import md5_hash64, normalize_text
+        return (spark.read.parquet(bdir)
+                .select(md5_hash64(normalize_text(F.col("text")),
+                                   seed=0).alias("fp")))
+
+    _append_batch_with_marker(spark, fps_path, batch_id, build_fps)
 
 
 def corpus_extend_stream(docs: DataFrame, corpus_path: str,

@@ -439,6 +439,8 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
     cids = _batch_dir_ids(corpus_path)
     assert _batch_dir_ids(corpus_path + "__sets") == cids
     assert _batch_dir_ids(corpus_path + "__bands") == cids
+    assert _batch_dir_ids(corpus_path + "__fps") == cids
+    assert spark.read.parquet(corpus_path + "__fps").count() == len(rows)
     sets_state = spark.read.parquet(corpus_path + "__sets")
     assert sorted(r["doc_id"] for r in sets_state.collect()) == \
         sorted(rows)
@@ -488,12 +490,13 @@ def test_corpus_stream_derived_state_crash_and_fallback(spark, tmp_path):
     # appends: simulate by wiping the derived dirs for batch 1 after a
     # full apply, then redelivering batch 1
     _corpus_stream_apply(spark, corpus, b1, 1, kw)
-    for st in ("__sets", "__bands"):
+    for st in ("__sets", "__bands", "__fps"):
         shutil.rmtree(os.path.join(corpus + st, "batch=1"))
     assert _batch_dir_ids(corpus + "__sets") == {0}
     _corpus_stream_apply(spark, corpus, b1, 1, kw)  # redelivery heals
     assert _batch_dir_ids(corpus + "__sets") == {0, 1}
     assert _batch_dir_ids(corpus + "__bands") == {0, 1}
+    assert _batch_dir_ids(corpus + "__fps") == {0, 1}
     admitted = sorted(r["doc_id"] for r in
                       read_corpus_state(spark, corpus).collect())
     assert admitted == [1, 2, 4]  # 3 is a near-dup of corpus doc 2
@@ -539,6 +542,19 @@ def test_extend_corpus_accepts_precomputed_corpus_sets(spark):
     base = decisions()
     reused = decisions(corpus_sets=_shingle_sets(corpus, 3))
     assert reused == base
+    # all three state hooks together (the full O(batch) stream shape)
+    from data_engineering_projects_spark.contract.extensions import (
+        _mh_bands, _mh_signatures)
+    from data_engineering_projects_spark.functions.text import (
+        md5_hash64, normalize_text)
+    sets3 = _shingle_sets(corpus, 3)
+    full = decisions(
+        corpus_sets=sets3,
+        corpus_bands=_mh_bands(_mh_signatures(sets3)),
+        corpus_fps=corpus.select(
+            md5_hash64(normalize_text(F.col("text")), seed=0)
+            .alias("fp")))
+    assert full == base
     # and the decisions themselves are the planted expectations:
     # 10 is a near-dup of corpus doc 3 (dropped), 11 is admitted
     assert base[1] == [11]
