@@ -394,60 +394,103 @@ def _batch_dir_ids(path: str) -> set[int]:
             if f.startswith("batch=") and f[len("batch="):].isdigit()}
 
 
+def _index_projection(docs_df: DataFrame, shingle_k: int) -> DataFrame:
+    """One row per doc: (doc_id, fp, shs, h0..h7) — fingerprint,
+    hashed shingle set, and UNEXPLODED minhash signature (NULL minima
+    for empty shingle sets, mirroring ``_mh_signatures``'s len>0
+    filter) in a single projection, so the stream's derived index is
+    ONE state append per batch instead of three."""
+    from ..contract.extensions import _MH_AB, _MH_P
+    from ..functions.text import (md5_hash64, normalize_text,
+                                  shingles_from_tokens, tokens)
+
+    hashed = F.transform(shingles_from_tokens(tokens(F.col("text")),
+                                              shingle_k),
+                         lambda s: md5_hash64(s, seed=0))
+    shs = F.array_distinct(hashed)
+    cols = [F.col("doc_id"),
+            md5_hash64(normalize_text(F.col("text")), seed=0).alias("fp"),
+            shs.alias("shs")]
+    def perm(a, b):
+        # unary lambda: a second parameter would bind the HOF's index
+        return lambda x: (F.lit(a) * (x % _MH_P) + F.lit(b)) % _MH_P
+
+    for i, (a, b) in enumerate(_MH_AB):
+        h = F.array_min(F.transform(shs, perm(a, b)))
+        cols.append(F.when(F.size(shs) > 0, h).alias(f"h{i}"))
+    return docs_df.select(*cols)
+
+
+def _bands_from_index(idx: DataFrame) -> DataFrame:
+    """Reconstruct the (doc_id, band, band_key) band index from the
+    combined ``__index`` state — a plan-side explode, no extra state:
+    value-identical to ``_mh_bands(_mh_signatures(sets))`` because the
+    stored minima use the same permutations and the NULL rows mirror
+    the len>0 filter."""
+    from ..contract.extensions import _N_MINHASH
+
+    return (idx.filter(F.col("h0").isNotNull())
+            .select("doc_id", F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         F.col(f"h{i}").alias("band_key"))
+                for i in range(_N_MINHASH)])).alias("bk"))
+            .select("doc_id", "bk.band", "bk.band_key"))
+
+
 def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
-                         batch_id: int, kw: dict) -> None:
+                         batch_id: int, kw: dict,
+                         maintain_index: bool = True) -> None:
     """One micro-batch of :func:`corpus_extend_stream`: the corpus
-    append plus its two DERIVED index states (round 12 — the ADVICE fix
-    made per-batch I/O O(batch); this makes per-batch COMPUTE O(batch)
-    too, by never re-tokenizing or re-signing the corpus):
+    append plus ONE derived index state (round 12 — the ADVICE fix made
+    per-batch I/O O(batch); this makes per-batch COMPUTE O(batch) too,
+    by never re-tokenizing, re-hashing, or re-signing the corpus):
 
-    - ``<corpus>__sets``: per-batch (doc_id, shs) hashed-shingle dirs —
-      the exact-Jaccard verify's corpus side;
-    - ``<corpus>__bands``: per-batch (doc_id, band, band_key) minhash
-      band index — the candidate probe's corpus side;
-    - ``<corpus>__fps``: per-batch (fp) content fingerprints — the
-      exact tier's corpus side. With all three, the corpus TEXT column
-      is never read per batch (only the pruned doc_id column).
+    - ``<corpus>__index``: per-batch (doc_id, fp, shs, h0..h7) dirs —
+      fingerprints (exact tier), hashed shingle sets (Jaccard verify),
+      and unexploded minhash signatures (band probe, exploded
+      plan-side by :func:`_bands_from_index` at read). With it, the
+      corpus TEXT column is never read per batch — corpus access
+      reduces to the pruned doc_id scan of the id-identity skip plus
+      this fixed-width state. A first cut maintained three separate
+      states; the corpus_stream stress measured their three append
+      jobs at ~1.5 s/batch of pure fixed overhead, so they were
+      consolidated into one projection/one append.
 
-    Each state appends under its own :func:`_append_batch_with_marker`
-    protocol, and each derived build reads the COMMITTED corpus (resp.
-    sets) ``batch=<bid>`` dir, so a crash between any two appends
-    re-derives deterministically on redelivery — the corpus is the
-    source of truth, the indexes are caches. The caches are consumed
-    only while their committed id set EXACTLY matches the corpus's
-    (checked per batch); any divergence (external deletion, states
-    added to a pre-existing corpus) degrades to the self-contained
-    recompute inside :func:`pipelines.corpus.extend_corpus` — caches
-    can go stale, answers cannot. To reset them, delete BOTH ``__sets``
-    and ``__bands`` dirs; they rebuild from the next batch on (and are
-    used again only once complete — which for an already-old corpus
-    means recompute until a fresh corpus lifetime)."""
+    The state appends under the same :func:`_append_batch_with_marker`
+    protocol, and its build reads the COMMITTED corpus ``batch=<bid>``
+    dir, so a crash between the two appends re-derives
+    deterministically on redelivery — the corpus is the source of
+    truth, the index is a cache. The cache is consumed only while its
+    committed id set EXACTLY matches the corpus's (checked per batch);
+    any divergence (external deletion, a state added to a pre-existing
+    corpus) degrades to the self-contained recompute inside
+    :func:`pipelines.corpus.extend_corpus` — the cache can go stale,
+    answers cannot. To reset it, delete the ``__index`` dir; it
+    resumes appending from the next batch (and is used again only once
+    complete — for an already-old corpus that means recompute until a
+    fresh corpus lifetime)."""
     import os
 
-    from ..contract.extensions import _mh_bands, _mh_signatures
-    from ..pipelines.corpus import (_shingle_sets, extend_corpus,
-                                    prepare_corpus)
+    from ..pipelines.corpus import extend_corpus, prepare_corpus
 
-    sets_path = corpus_path + "__sets"
-    bands_path = corpus_path + "__bands"
-    fps_path = corpus_path + "__fps"
+    index_path = corpus_path + "__index"
     shingle_k = kw.get("shingle_k", 3)
     cleanups: list = []
-
-    def state_if_complete(path, corpus_ids):
-        if corpus_ids and _batch_dir_ids(path) == corpus_ids:
-            return spark.read.parquet(path).drop("batch")
-        return None
 
     def build(old):
         if old is None:
             res = prepare_corpus(batch_df, **kw)
         else:
             corpus_ids = _batch_dir_ids(corpus_path)
-            cs = state_if_complete(sets_path, corpus_ids)
-            cb = (state_if_complete(bands_path, corpus_ids)
-                  if cs is not None else None)
-            cf = state_if_complete(fps_path, corpus_ids)
+            cs = cb = cf = None
+            if maintain_index and corpus_ids \
+                    and _batch_dir_ids(index_path) == corpus_ids:
+                idx = spark.read.parquet(index_path).drop("batch") \
+                    .persist()
+                cleanups.append(idx)
+                cs = idx.select("doc_id", "shs")
+                cb = _bands_from_index(idx)
+                cf = idx.select("fp")
             res = extend_corpus(old, batch_df, corpus_sets=cs,
                                 corpus_bands=cb, corpus_fps=cf, **kw)
         cleanups.append(res)
@@ -459,31 +502,12 @@ def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
         for r in cleanups:
             r.unpersist()
 
-    bdir = os.path.join(corpus_path, f"batch={batch_id}")
-    _append_batch_with_marker(
-        spark, sets_path, batch_id,
-        lambda old: _shingle_sets(spark.read.parquet(bdir), shingle_k))
-    sdir = os.path.join(sets_path, f"batch={batch_id}")
-    sig_persists: list = []
-
-    def build_bands(old):
-        return _mh_bands(_mh_signatures(spark.read.parquet(sdir),
-                                        persisted_out=sig_persists))
-
-    try:
-        _append_batch_with_marker(spark, bands_path, batch_id,
-                                  build_bands)
-    finally:
-        for p in sig_persists:
-            p.unpersist()
-
-    def build_fps(old):
-        from ..functions.text import md5_hash64, normalize_text
-        return (spark.read.parquet(bdir)
-                .select(md5_hash64(normalize_text(F.col("text")),
-                                   seed=0).alias("fp")))
-
-    _append_batch_with_marker(spark, fps_path, batch_id, build_fps)
+    if maintain_index:
+        bdir = os.path.join(corpus_path, f"batch={batch_id}")
+        _append_batch_with_marker(
+            spark, index_path, batch_id,
+            lambda old: _index_projection(spark.read.parquet(bdir),
+                                          shingle_k))
 
 
 def corpus_extend_stream(docs: DataFrame, corpus_path: str,
@@ -492,7 +516,8 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
                          jaccard_min: float = 0.5,
                          shingle_k: int = 3,
                          split_weights: dict[str, float] | None = None,
-                         split_seed: int = 42):
+                         split_seed: int = 42,
+                         maintain_index: bool = True):
     """Continuous training-corpus ingestion: each micro-batch of raw
     (doc_id, text, source, lang) docs is admitted through the FULL
     batch pipeline — :func:`pipelines.corpus.prepare_corpus` for the
@@ -505,12 +530,19 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
     cumulative I/O for a state documented as "the corpus only grows";
     per-batch I/O is now proportional to the batch). Read the state
     back with :func:`read_corpus_state` (drops the ``batch`` lineage
-    partition column). Two DERIVED index states (``<corpus>__sets``,
-    ``<corpus>__bands``) are maintained per batch under the same
-    protocol and fed back through ``extend_corpus``'s state-reuse
-    hooks, making per-batch COMPUTE O(batch) as well — the corpus is
-    never re-tokenized or re-signed (see
+    partition column). With ``maintain_index`` (default), one DERIVED
+    index state (``<corpus>__index``: fingerprints + shingle sets +
+    minhash signatures in a single projection) is maintained per batch
+    under the same protocol and fed back through ``extend_corpus``'s
+    state-reuse hooks, making per-batch COMPUTE O(batch) as well — the
+    corpus text is never re-read, re-tokenized, or re-signed (see
     :func:`_corpus_stream_apply` for the cache-vs-truth contract).
+    When to flip it OFF: the index trades reading |index| bytes for
+    recomputing over |text| bytes, so it wins when docs are large
+    (real corpora: KBs of text vs ~8 bytes per distinct shingle) and
+    is a measured wash-to-loss when |index| ≈ |text| (the short-doc
+    fixture regime — SCALING.md corpus_stream, ~1.4 s/batch flat
+    overhead vs a slowly rising recompute).
     The streaming leg of
     the corpus story: batches land forever, the corpus only grows, and
     every admission decision is the SAME decision the batch pipeline
@@ -533,7 +565,8 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _corpus_stream_apply(batch_df.sparkSession, corpus_path,
-                             batch_df, batch_id, kw)
+                             batch_df, batch_id, kw,
+                             maintain_index=maintain_index)
 
     return (docs.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())

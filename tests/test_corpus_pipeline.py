@@ -431,23 +431,17 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
     # (file->batch order is mtime-dependent; don't pin which is first)
     assert {lineage[1], lineage[4]} == {0, 1}
 
-    # derived index states (round 12): per-batch dirs mirror the corpus
-    # exactly, and their contents ARE the relations extend_corpus would
-    # recompute (sets: one row per corpus doc with non-empty shingles)
+    # derived index state (round 12): per-batch dirs mirror the corpus
+    # exactly, and its contents ARE the relations extend_corpus would
+    # recompute (one row per corpus doc: fp + shingle set + signature)
     from data_engineering_projects_spark.streaming.jobs import (
-        _batch_dir_ids)
+        _batch_dir_ids, _bands_from_index)
     cids = _batch_dir_ids(corpus_path)
-    assert _batch_dir_ids(corpus_path + "__sets") == cids
-    assert _batch_dir_ids(corpus_path + "__bands") == cids
-    assert _batch_dir_ids(corpus_path + "__fps") == cids
-    assert spark.read.parquet(corpus_path + "__fps").count() == len(rows)
-    sets_state = spark.read.parquet(corpus_path + "__sets")
-    assert sorted(r["doc_id"] for r in sets_state.collect()) == \
-        sorted(rows)
-    bands_state = spark.read.parquet(corpus_path + "__bands")
-    assert set(bands_state.columns) == {"doc_id", "band", "band_key",
-                                        "batch"}
-    assert bands_state.count() == 8 * len(rows)  # _N_MINHASH per doc
+    assert _batch_dir_ids(corpus_path + "__index") == cids
+    idx = spark.read.parquet(corpus_path + "__index")
+    assert sorted(r["doc_id"] for r in idx.collect()) == sorted(rows)
+    assert {"doc_id", "fp", "shs", "h0", "h7"} <= set(idx.columns)
+    assert _bands_from_index(idx).count() == 8 * len(rows)  # _N_MINHASH
 
     before = sorted(map(tuple, got.collect()))
     run("ckpt2")  # fresh checkpoint: every batch redelivered from id 0
@@ -486,31 +480,27 @@ def test_corpus_stream_derived_state_crash_and_fallback(spark, tmp_path):
     b2 = batch([(5, _words(64, "famd"), "web", "en")])
 
     _corpus_stream_apply(spark, corpus, b0, 0, kw)
-    # crash AFTER the corpus append of batch 1, BEFORE the derived
-    # appends: simulate by wiping the derived dirs for batch 1 after a
+    # crash AFTER the corpus append of batch 1, BEFORE the index
+    # append: simulate by wiping the index dir for batch 1 after a
     # full apply, then redelivering batch 1
     _corpus_stream_apply(spark, corpus, b1, 1, kw)
-    for st in ("__sets", "__bands", "__fps"):
-        shutil.rmtree(os.path.join(corpus + st, "batch=1"))
-    assert _batch_dir_ids(corpus + "__sets") == {0}
+    shutil.rmtree(os.path.join(corpus + "__index", "batch=1"))
+    assert _batch_dir_ids(corpus + "__index") == {0}
     _corpus_stream_apply(spark, corpus, b1, 1, kw)  # redelivery heals
-    assert _batch_dir_ids(corpus + "__sets") == {0, 1}
-    assert _batch_dir_ids(corpus + "__bands") == {0, 1}
-    assert _batch_dir_ids(corpus + "__fps") == {0, 1}
+    assert _batch_dir_ids(corpus + "__index") == {0, 1}
     admitted = sorted(r["doc_id"] for r in
                       read_corpus_state(spark, corpus).collect())
     assert admitted == [1, 2, 4]  # 3 is a near-dup of corpus doc 2
 
-    # tampered cache: delete the sets state entirely; batch 2 must
-    # still admit through the recompute fallback, and the caches
-    # resume appending (incomplete => unused, still correct)
-    shutil.rmtree(corpus + "__sets")
+    # tampered cache: delete the index state entirely; batch 2 must
+    # still admit through the recompute fallback, and the cache
+    # resumes appending (incomplete => unused, still correct)
+    shutil.rmtree(corpus + "__index")
     _corpus_stream_apply(spark, corpus, b2, 2, kw)
     admitted = sorted(r["doc_id"] for r in
                       read_corpus_state(spark, corpus).collect())
     assert admitted == [1, 2, 4, 5]
-    assert _batch_dir_ids(corpus + "__sets") == {2}      # resumed
-    assert _batch_dir_ids(corpus + "__bands") == {0, 1, 2}
+    assert _batch_dir_ids(corpus + "__index") == {2}     # resumed
 
 
 def test_extend_corpus_accepts_precomputed_corpus_sets(spark):
@@ -558,6 +548,44 @@ def test_extend_corpus_accepts_precomputed_corpus_sets(spark):
     # and the decisions themselves are the planted expectations:
     # 10 is a near-dup of corpus doc 3 (dropped), 11 is admitted
     assert base[1] == [11]
+
+
+def test_index_projection_matches_componentwise_relations(spark):
+    """The combined __index state must be value-identical to the three
+    relations extend_corpus's hooks expect: shs == _shingle_sets, the
+    reconstructed bands == _mh_bands(_mh_signatures(sets)), fp == the
+    exact-tier fingerprint — including an empty-text doc (NULL minima,
+    excluded from bands exactly like the len>0 signature filter)."""
+    from data_engineering_projects_spark.contract.extensions import (
+        _mh_bands, _mh_signatures)
+    from data_engineering_projects_spark.functions.text import (
+        md5_hash64, normalize_text)
+    from data_engineering_projects_spark.pipelines.corpus import (
+        _shingle_sets)
+    from data_engineering_projects_spark.streaming.jobs import (
+        _bands_from_index, _index_projection)
+
+    docs = spark.createDataFrame(
+        [(1, _words(40, "p"), "web", "en"),
+         (2, _words(5, "q") , "web", "en"),
+         (3, "", "web", "en")],  # empty: no shingles, NULL minima
+        "doc_id long, text string, source string, lang string")
+    idx = _index_projection(docs, 3)
+
+    sets = {r["doc_id"]: sorted(r["shs"]) for r in
+            _shingle_sets(docs, 3).collect()}
+    got_sets = {r["doc_id"]: sorted(r["shs"]) for r in idx.collect()}
+    assert got_sets == sets
+
+    want_bands = sorted(map(tuple, _mh_bands(_mh_signatures(
+        _shingle_sets(docs, 3))).collect()))
+    got_bands = sorted(map(tuple, _bands_from_index(idx).collect()))
+    assert got_bands == want_bands and len(got_bands) == 2 * 8
+
+    want_fp = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", md5_hash64(normalize_text(F.col("text")), seed=0)
+        .alias("fp")).collect()}
+    assert {r["doc_id"]: r["fp"] for r in idx.collect()} == want_fp
 
 
 def test_append_state_random_crash_sequences(spark, tmp_path):
