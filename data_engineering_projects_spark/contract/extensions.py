@@ -2229,7 +2229,7 @@ def _pii_scrub_oracle() -> str:
             f"WHEN 2 THEN '{_PII_CARDS[2]}' ELSE '{_PII_CARDS[3]}' END")
     return f"""
 SELECT doc_id,
-       substring(regexp_replace(text, '[^a-zA-Z ]', '', 'g'), 1, 40)
+       substring(regexp_replace(COALESCE(text, ''), '[^a-zA-Z ]', '', 'g'), 1, 40)
          || ' contact [EMAIL] ssn [SSN] ph [PHONE] ip [IPV4] card '
          || '[CREDIT_CARD] ref {_PII_BAD_CARD} end' AS scrubbed,
        CAST(1 AS INT) AS n_email, CAST(1 AS INT) AS n_ssn,
@@ -2269,7 +2269,13 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     s = lambda c: c.cast("string")  # noqa: E731
     did = F.col("doc_id")
-    alpha = F.substring(F.regexp_replace("text", "[^a-zA-Z ]", ""), 1, 40)
+    # COALESCE(text,'') on BOTH sides (round-13 ADVICE): the oracle emits
+    # constant counts per row, so the planted payload must be total on
+    # the fixture schema — a NULL-text doc would otherwise NULL the whole
+    # concat on the Spark side while the oracle still counted 1s.
+    alpha = F.substring(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                         "[^a-zA-Z ]", ""), 1, 40)
     email = F.concat(F.lit("user"), s(did), F.lit("@example.com"))
     ssn = F.concat(s(did % 900 + 100), F.lit("-"),
                    F.lpad(s(did % 100), 2, "0"), F.lit("-"),

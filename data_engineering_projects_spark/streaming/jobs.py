@@ -274,7 +274,15 @@ def _apply_batch_with_state_swap(spark, state_path: str, batch_id: int,
     serving reads through a versioned-table registry
     (``plans/models.py``) removes the window entirely. State that IS
     the dataset should use :func:`_append_batch_with_marker` instead,
-    whose committed files are never renamed away."""
+    whose committed files are never renamed away.
+
+    **Durability contract**: PROCESS-crash-safe, not power-loss-safe —
+    no fsync is issued, so on power loss the Spark checkpoint commit can
+    survive while this swap's rename is lost; the batch is then never
+    redelivered and its merge is missing. Acceptable here because swap
+    state is derived/rebuildable (sketches, rollups); state that is the
+    dataset uses the append helper, which fsyncs through its commit
+    rename (round 13)."""
     import os
     import shutil
 
@@ -311,6 +319,36 @@ def _apply_batch_with_state_swap(spark, state_path: str, batch_id: int,
     shutil.rmtree(bak, ignore_errors=True)
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory inode (its entry list) — no-op on platforms
+    whose os module lacks O_DIRECTORY (the durability upgrade is
+    Linux-targeted; semantics degrade to process-crash-safe elsewhere)."""
+    import os
+    flag = getattr(os, "O_DIRECTORY", None)
+    if flag is None:  # pragma: no cover — non-POSIX fallback
+        return
+    fd = os.open(path, os.O_RDONLY | flag)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every regular file under ``path`` plus each directory, so a
+    subsequent rename publishes fully-durable contents (rename ordering:
+    data first, then the dir entries, then the commit rename)."""
+    import os
+    for root, _dirs, files in os.walk(path, topdown=False):
+        for f in files:
+            fd = os.open(os.path.join(root, f), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        _fsync_dir(root)
+
+
 def _append_batch_with_marker(spark, state_path: str, batch_id: int,
                               build) -> None:
     """Append-layout variant of the foreachBatch state discipline, for
@@ -338,7 +376,20 @@ def _append_batch_with_marker(spark, state_path: str, batch_id: int,
     the rows the batch appends (not old ∪ new). Readers see one extra
     Hive-partition column ``batch`` (admission lineage) —
     :func:`read_corpus_state` drops it. Single writer per ``state_path``
-    assumed."""
+    assumed.
+
+    **Durability** (round 13, from ADVICE): rename-is-commit alone is
+    process-crash-safe but not power-loss-safe — the OS can persist the
+    Spark checkpoint commit while the rename (or the renamed files'
+    contents) is still only in the page cache, after which the batch is
+    never redelivered yet its rows are missing. So before the rename the
+    tmp dir's files and the dir itself are fsync'd, and after the rename
+    the PARENT is fsync'd, making the commit point durable in rename
+    order. Cost is O(batch files) per batch. (The swap helper
+    :func:`_apply_batch_with_state_swap` remains process-crash-safe only, as
+    its docstring records — it serves derived/sketch state where a
+    power-loss rebuild is acceptable; the append layout IS the dataset.)
+    """
     import os
     import shutil
 
@@ -366,7 +417,9 @@ def _append_batch_with_marker(spark, state_path: str, batch_id: int,
         tmp = state_path + "__tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         new_rows.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, dst)  # commit point
+        _fsync_tree(tmp)       # data durable BEFORE the commit rename
+        os.rename(tmp, dst)    # commit point
+        _fsync_dir(state_path)  # the rename itself durable
     # heal/advance the single high-watermark marker (write-then-sweep:
     # a crash between the two leaves extra markers, max() still correct)
     open(os.path.join(state_path, f"_applied_{batch_id}"), "w").close()
@@ -437,6 +490,51 @@ def _bands_from_index(idx: DataFrame) -> DataFrame:
             .select("doc_id", "bk.band", "bk.band_key"))
 
 
+def _reconcile_index(spark, corpus_path: str, index_path: str,
+                     shingle_k: int) -> None:
+    """Restore ``<corpus>__index`` ↔ corpus batch-dir parity (round 13,
+    from ADVICE + verdict #5): a diverged cache — index dir wiped or
+    ``maintain_index`` enabled over a pre-existing corpus — could never
+    reconverge under append-only maintenance (the exact-id-set check
+    failed every batch forever, paying full corpus recompute PLUS index
+    maintenance). Since the corpus is the source of truth and each
+    index dir is a deterministic O(that batch) projection of its
+    committed corpus dir, parity is always reachable:
+
+    - index dirs with no corpus counterpart (external corpus deletion /
+      reset) are dropped — stale cache entries, never authoritative;
+    - missing index dirs are backfilled by running
+      :func:`_index_projection` over the corresponding committed corpus
+      ``batch=<bid>`` dir, committed under the same durable
+      tmp → fsync → rename discipline (dirs only; the high-watermark
+      marker is untouched — dir presence is authoritative and max()
+      is unchanged by backfilling older ids).
+
+    Cost: one-time O(missing batches); enabling the index on an old
+    corpus pays one full-corpus projection ONCE instead of an unbounded
+    per-batch recompute. No-op at parity (two dir listings)."""
+    import os
+    import shutil
+
+    corpus_ids = _batch_dir_ids(corpus_path)
+    index_ids = _batch_dir_ids(index_path)
+    if index_ids == corpus_ids:
+        return
+    os.makedirs(index_path, exist_ok=True)
+    for bid in sorted(index_ids - corpus_ids):
+        shutil.rmtree(os.path.join(index_path, f"batch={bid}"),
+                      ignore_errors=True)
+    tmp = index_path + "__tmp"
+    for bid in sorted(corpus_ids - index_ids):
+        src = os.path.join(corpus_path, f"batch={bid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        _index_projection(spark.read.parquet(src), shingle_k) \
+            .write.mode("overwrite").parquet(tmp)
+        _fsync_tree(tmp)
+        os.rename(tmp, os.path.join(index_path, f"batch={bid}"))
+    _fsync_dir(index_path)
+
+
 def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
                          batch_id: int, kw: dict,
                          maintain_index: bool = True) -> None:
@@ -462,13 +560,13 @@ def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
     deterministically on redelivery — the corpus is the source of
     truth, the index is a cache. The cache is consumed only while its
     committed id set EXACTLY matches the corpus's (checked per batch);
-    any divergence (external deletion, a state added to a pre-existing
-    corpus) degrades to the self-contained recompute inside
-    :func:`pipelines.corpus.extend_corpus` — the cache can go stale,
-    answers cannot. To reset it, delete the ``__index`` dir; it
-    resumes appending from the next batch (and is used again only once
-    complete — for an already-old corpus that means recompute until a
-    fresh corpus lifetime)."""
+    a diverged cache (external deletion, a state added to a
+    pre-existing corpus, a mid-life reset) is RECONCILED up front each
+    batch by :func:`_reconcile_index` — stale entries dropped, missing
+    dirs backfilled from their committed corpus dirs — so divergence
+    costs one bounded catch-up, never a permanent recompute+maintain
+    double-pay (round 13; previously a wiped index could never
+    reconverge). Answers never depend on the cache either way."""
     import os
 
     from ..pipelines.corpus import extend_corpus, prepare_corpus
@@ -476,6 +574,9 @@ def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
     index_path = corpus_path + "__index"
     shingle_k = kw.get("shingle_k", 3)
     cleanups: list = []
+
+    if maintain_index and _batch_dir_ids(corpus_path):
+        _reconcile_index(spark, corpus_path, index_path, shingle_k)
 
     def build(old):
         if old is None:

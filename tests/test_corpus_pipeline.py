@@ -493,14 +493,81 @@ def test_corpus_stream_derived_state_crash_and_fallback(spark, tmp_path):
     assert admitted == [1, 2, 4]  # 3 is a near-dup of corpus doc 2
 
     # tampered cache: delete the index state entirely; batch 2 must
-    # still admit through the recompute fallback, and the cache
-    # resumes appending (incomplete => unused, still correct)
+    # still admit correctly, and (round 13) the reconcile BACKFILLS the
+    # wiped dirs from the committed corpus dirs — the cache reconverges
+    # to full parity instead of staying permanently incomplete
     shutil.rmtree(corpus + "__index")
     _corpus_stream_apply(spark, corpus, b2, 2, kw)
     admitted = sorted(r["doc_id"] for r in
                       read_corpus_state(spark, corpus).collect())
     assert admitted == [1, 2, 4, 5]
-    assert _batch_dir_ids(corpus + "__index") == {2}     # resumed
+    assert _batch_dir_ids(corpus + "__index") == {0, 1, 2}  # reconverged
+
+
+def test_reconcile_index_backfills_and_drops_stale(spark, tmp_path):
+    """_reconcile_index (round 13): a diverged __index cache reconverges
+    — missing batch dirs are backfilled from the committed corpus dirs
+    (value-identical to the dirs the stream would have written), stale
+    extra dirs are dropped, parity is a no-op, and a mid-life
+    maintain_index enable pays one bounded catch-up instead of a
+    permanent recompute+maintain double-pay."""
+    import os
+    import shutil
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids, _corpus_stream_apply, _reconcile_index,
+        read_corpus_state)
+
+    schema = "doc_id long, text string, source string, lang string"
+    kw = dict(quality_min=0.2, jaccard_min=0.5, shingle_k=3,
+              split_weights=None, split_seed=42)
+    corpus = str(tmp_path / "c")
+    idx = corpus + "__index"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # build batches 0..2 WITHOUT index maintenance (pre-existing corpus)
+    _corpus_stream_apply(spark, corpus, batch(
+        [(1, _words(60, "ra"), "web", "en")]), 0, kw,
+        maintain_index=False)
+    _corpus_stream_apply(spark, corpus, batch(
+        [(2, _words(60, "rb"), "web", "en")]), 1, kw,
+        maintain_index=False)
+    _corpus_stream_apply(spark, corpus, batch(
+        [(3, _words(60, "rc"), "web", "en")]), 2, kw,
+        maintain_index=False)
+    assert not os.path.isdir(idx)
+
+    # enabling the index mid-life: the next apply backfills 0..2 and
+    # appends 3 — full parity after ONE batch, and the cache content
+    # for backfilled dirs matches a from-scratch projection
+    _corpus_stream_apply(spark, corpus, batch(
+        [(4, _words(60, "rd"), "web", "en")]), 3, kw)
+    assert _batch_dir_ids(idx) == {0, 1, 2, 3}
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(idx).collect())
+    assert got == [1, 2, 3, 4]
+
+    # stale extra dir (corpus reset beneath the cache): dropped
+    shutil.rmtree(os.path.join(corpus, "batch=3"))
+    os.remove(os.path.join(corpus, "_applied_3"))
+    open(os.path.join(corpus, "_applied_2"), "w").close()
+    _reconcile_index(spark, corpus, idx, 3)
+    assert _batch_dir_ids(idx) == {0, 1, 2}
+
+    # parity: reconcile is a pure no-op (mtimes untouched)
+    before = {f: os.path.getmtime(os.path.join(idx, f))
+              for f in os.listdir(idx)}
+    _reconcile_index(spark, corpus, idx, 3)
+    after = {f: os.path.getmtime(os.path.join(idx, f))
+             for f in os.listdir(idx)}
+    assert after == before
+
+    # admissions still correct end-to-end after all the churn
+    admitted = sorted(r["doc_id"] for r in
+                      read_corpus_state(spark, corpus).collect())
+    assert admitted == [1, 2, 3]
 
 
 def test_extend_corpus_accepts_precomputed_corpus_sets(spark):
