@@ -412,38 +412,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle SQL), bounding candidate cardinality against mega-dup
     clusters — see the cap's own doc for the recall contract."""
     # read 3x (signatures + both verify sides): the shared memoized
-    # persisted copy — see dedup_ngram_jaccard.
+    # persisted copy — see dedup_ngram_jaccard. Signatures likewise ride
+    # the session-shared memo (round 13): every minhash-family query in
+    # a sweep reuses ONE persisted signature relation.
     sets = _shared_shingle_sets(spark, sf_dir)
-    return _mh_verify(sets, _mh_candidates(sets))
+    return _mh_verify(sets, _mh_candidates(
+        sets, sigs=_shared_mh_signatures(spark, sf_dir)))
 
 
 def _mh_signatures(sets: DataFrame,
                    persisted_out: list | None = None,
                    carry: tuple = ()) -> DataFrame:
-    """(doc_id, h0..h7) MinHash signature relation, persisted: doc_id +
-    8 longs (fixed 72 bytes/doc at any corpus size). The shingle->
-    minhash HOF transform is the expensive compute here, and it
-    statically appears once per consumer — BOTH self-join sides plus
-    (round 10) the hot-bucket list — so without the persist it would
-    run 3x per query; with it, once."""
-    def perm(a, b):
-        # must return a UNARY lambda: a second parameter would be bound to
-        # the HOF's element-index argument by PySpark.
-        return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
+    """(doc_id, h0..h7) MinHash signature relation, persisted AND
+    eagerly materialized: doc_id + 8 longs (fixed 72 bytes/doc at any
+    corpus size). The shingle->minhash HOF transform is the expensive
+    compute here, and it statically appears once per consumer — BOTH
+    self-join sides plus (round 10) the hot-bucket list.
 
-    # ``carry`` (round 12): passthrough columns (e.g. a corpus/batch side
-    # flag) preserved onto the signature relation so one-sided band
-    # probing can split the index without a join back to the input.
-    mh = sets.filter(F.size("shs") > 0).select(
-        "doc_id", *carry,
-        *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
-          for i, (a, b) in enumerate(_MH_AB)]).persist()
+    Eager count (round 13): a lazy persist does NOT deduplicate that
+    compute under AQE — the consumers' query stages materialize
+    CONCURRENTLY, and every stage that starts before the first finishes
+    re-runs the full un-cached lineage (text -> tokenize -> shingle ->
+    sign) in parallel; the cache only helps sequential reuse. Measured
+    on corpus_extend_admissions at sf0.1: 215 s of executor time for a
+    13.8 s wall, with the signature subtree appearing 2-4x as identical
+    sibling stages (27 s + 23 s twins). One count() materializes the
+    cache in a single pass before the fan-out; the +1 job is fixed
+    ~50 ms scheduling. Same job count at 1000 executors — the pass was
+    always implied by persist semantics, eager just serializes it
+    ahead of the consumers."""
+    mh = _mh_signature_cols(sets, carry).persist()
+    mh.count()
     if persisted_out is not None:
         # let long-lived callers (pipelines/corpus.py) release this
         # persist when they are done — registry queries are one-shot
         # and covered by the bench deep-free instead
         persisted_out.append(mh)
     return mh
+
+
+def _mh_signature_cols(sets: DataFrame, carry: tuple = ()) -> DataFrame:
+    """The raw (unpersisted) signature projection behind
+    :func:`_mh_signatures` — split out in round 13 so the session-shared
+    memo (:func:`_shared_mh_signatures`) can persist it under the memo
+    discipline instead of double-persisting.
+
+    ``carry`` (round 12): passthrough columns (e.g. a corpus/batch side
+    flag) preserved onto the signature relation so one-sided band
+    probing can split the index without a join back to the input."""
+    def perm(a, b):
+        # must return a UNARY lambda: a second parameter would be bound to
+        # the HOF's element-index argument by PySpark.
+        return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
+
+    return sets.filter(F.size("shs") > 0).select(
+        "doc_id", *carry,
+        *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_AB)])
 
 
 def _mh_bands(mh: DataFrame, carry: tuple = ()) -> DataFrame:
@@ -470,7 +495,8 @@ def _mh_hot_buckets(bands: DataFrame, bucket_cap: int) -> DataFrame:
 
 def _mh_candidates(sets: DataFrame,
                    bucket_cap: int | None = _LSH_BUCKET_CAP,
-                   persisted_out: list | None = None) -> DataFrame:
+                   persisted_out: list | None = None,
+                   sigs: DataFrame | None = None) -> DataFrame:
     """LSH band-bucket candidate generation over a (doc_id, shs) relation:
     (doc_a, doc_b, n_shared_bands), PRE-verification. Split out of
     ``dedup_minhash_lsh`` (round 9) so the end-to-end pipeline stress can
@@ -486,8 +512,14 @@ def _mh_candidates(sets: DataFrame,
     rides a broadcast anti-join — the stop-shingle pattern from
     ``dedup_ngram_jaccard``. ``bucket_cap=None`` omits the hot-list
     stage entirely (the pre-cap plan — stress/measurement tooling only;
-    contract queries always run capped)."""
-    bands = _mh_bands(_mh_signatures(sets, persisted_out))
+    contract queries always run capped).
+
+    ``sigs`` (round 13): a precomputed signature relation for ``sets``
+    (the session-shared memo, or a maintained state) — decision-identical
+    by construction since signatures are row-local; skips the per-query
+    signature persist entirely."""
+    bands = _mh_bands(sigs if sigs is not None
+                      else _mh_signatures(sets, persisted_out))
     if bucket_cap is not None:
         hot = _mh_hot_buckets(bands, bucket_cap)
         bands = bands.join(F.broadcast(hot), ["band", "band_key"],
@@ -672,6 +704,11 @@ def _shared_persist(spark: SparkSession, sf_dir: str, tag: str,
         except Exception:
             pass
         df = df.persist()
+        # eager (round 13): the first consumer query's AQE stages
+        # materialize concurrently, so a lazy memo would be recomputed
+        # once per sibling stage on its first use (see _mh_signatures);
+        # one count() builds the cache in a single pass.
+        df.count()
         _SHARED_PERSISTED[key] = df
     return df
 
@@ -690,6 +727,35 @@ def _shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan per call (round-3 ADVICE)."""
     return _shared_persist(spark, sf_dir, "shingle_sets",
                            lambda: _doc_shingle_sets(spark, sf_dir))
+
+
+def _shared_mh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc MinHash signature relation over the shared shingle
+    sets, persisted once per (session, sf_dir) — round 13: the signature
+    projection is row-local, so any query needing signatures for a
+    SUBSET of documents semi-joins this relation by doc_id with
+    decision-identical results (the same reuse contract as
+    ``extend_corpus``'s ``corpus_bands`` hook). Consumers:
+    ``dedup_minhash_lsh`` (and through it the ``_mh_pairs`` memo →
+    both clustering queries), ``corpus_extend_admissions``."""
+    return _shared_persist(
+        spark, sf_dir, "mh_signatures",
+        lambda: _mh_signature_cols(_shared_shingle_sets(spark, sf_dir)))
+
+
+def _shared_doc_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, fp) normalized-text fingerprint relation,
+    persisted once per (session, sf_dir) — the exact-tier identity
+    ``extend_corpus`` fingerprints on (md5 of normalized raw text;
+    row-local, so subset semi-joins are decision-identical)."""
+    from ..functions.text import md5_hash64, normalize_text
+
+    def build():
+        d = widen(load_table(spark, sf_dir, "documents"))
+        return d.select(
+            "doc_id",
+            md5_hash64(normalize_text(F.col("text")), seed=0).alias("fp"))
+    return _shared_persist(spark, sf_dir, "doc_fps", build)
 
 
 def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2037,22 +2103,9 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-fingerprint check misses entirely (zero exact-dup fingerprints
     in the corpus)."""
     sets = _shared_shingle_sets(spark, sf_dir)
-
-    def perm(a, b):
-        return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
-
-    # persisted for the same reason as _mh_candidates: the signature
-    # transform statically feeds the hot list + both band-join sides
-    mh = sets.filter(F.size("shs") > 0).select(
-        "doc_id",
-        *[F.array_min(F.transform("shs", perm(a, b))).alias(f"h{i}")
-          for i, (a, b) in enumerate(_MH_AB)]).persist()
-    bands = mh.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("band_key"))
-            for i in range(_N_MINHASH)])).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_key")
+    # signatures from the session-shared memo (round 13): identical
+    # projection, one persisted copy across the minhash family
+    bands = _mh_bands(_shared_mh_signatures(spark, sf_dir))
     # same mega-bucket cap as _mh_candidates: an oversized bucket on the
     # EXISTING side would make every incoming doc that touches it emit
     # bucket-size candidates; cap computed over both sides together so
@@ -2414,14 +2467,22 @@ def corpus_extend_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "text", "source", "lang"))
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     batch = d.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 1))
-    # corpus-side shingle index from the session's memoized projection
-    # (the state-reuse hook extend_corpus documents): the fixture corpus
-    # is raw documents rows, so the shared relation ⋉ corpus ids IS
-    # _shingle_sets(corpus) — same expression, same persisted copy every
-    # dedup query shares.
-    csets = _shared_shingle_sets(spark, sf_dir).join(
-        corpus.select("doc_id"), "doc_id", "left_semi")
-    res = extend_corpus(corpus, batch, corpus_sets=csets)
+    # ALL THREE corpus-side state hooks from the session's memoized
+    # projections (the state-reuse shape extend_corpus documents; round
+    # 13 added bands + fps — previously only sets): the fixture corpus is
+    # raw documents rows, so each shared relation ⋉ corpus ids IS the
+    # relation the default path recomputes — same expression, same
+    # persisted copy every dedup query shares; with all three the corpus
+    # TEXT column is never read in the corpus tier.
+    cids = corpus.select("doc_id")
+    csets = _shared_shingle_sets(spark, sf_dir).join(cids, "doc_id",
+                                                     "left_semi")
+    cbands = _mh_bands(_shared_mh_signatures(spark, sf_dir).join(
+        cids, "doc_id", "left_semi"))
+    cfps = _shared_doc_fps(spark, sf_dir).join(cids, "doc_id",
+                                               "left_semi").select("fp")
+    res = extend_corpus(corpus, batch, corpus_sets=csets,
+                        corpus_bands=cbands, corpus_fps=cfps)
     out = (res.audit.select(
         "doc_id", "has_text", "quality_ok", "exact_keep", "near_keep",
         "corpus_keep", F.col("q").alias("quality_score"))

@@ -153,12 +153,16 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     # near dedup over exact survivors: LSH candidates -> exact-Jaccard
     # verify -> bounded min-label CC -> quality keeper per cluster.
     survivors = persisted.filter("exact_keep")
-    # persisted (round 12): the shingle-set relation is read by BOTH
-    # verify sides plus signature generation, and the pipeline's eager
-    # actions (the CC edge checkpoint, then the caller's audit
-    # materialization) would otherwise each re-pay the tokenize+shingle
-    # projection — measured 13 s -> ~7 s on the contract fixture.
+    # persisted AND eagerly materialized (rounds 12+13): the shingle-set
+    # relation is read by BOTH verify sides plus signature generation,
+    # and those consumers' query stages materialize CONCURRENTLY under
+    # AQE — a lazy persist leaves each of them re-running the full
+    # scrub+quality+window+tokenize+shingle lineage in parallel before
+    # the cache lands (the r12 "13 s -> 7 s" persist only fixed the
+    # sequential re-pay). One count() builds the cache — and the
+    # upstream `persisted` frame's — in a single pass before fan-out.
     sets = _shingle_sets(survivors, shingle_k).persist()
+    sets.count()
     extra_persists: list = [sets]
     # threshold on the RAW jaccard inside the verify (round 12): the
     # rounded output column sits one ulp from the oracle's decision at
@@ -311,6 +315,9 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # admitted anti-join, and the report counts; the combined sets feed
     # signature generation plus both verify sides.
     after_exact = after_exact.persist()
+    after_exact.count()  # eager: see prepare_corpus — concurrent AQE
+    # stages (bset semi-join, admitted anti-join, report counts) would
+    # otherwise each re-run the exact-tier anti-join lineage in parallel
     # corpus_sets: callers that maintain the corpus shingle index as
     # state (the incremental production shape, or a memoized projection
     # of the same corpus) pass it in; it must be the (doc_id, shs)
@@ -326,6 +333,9 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
                           "left_semi")
             .withColumn("is_new", F.lit(True)))
     both = cset.unionByName(bset).persist()
+    both.count()  # eager: both feeds signature generation plus the two
+    # verify sides — concurrent stage materialization would re-run the
+    # corpus-side set recompute (or memo scan + semi-join) per consumer
     extra: list = [after_exact, both]
     if corpus_bands is not None:
         # band-index state (round 12): the caller maintains the corpus
