@@ -402,6 +402,7 @@ def _append_batch_with_marker(spark, state_path: str, batch_id: int,
         return ids
 
     os.makedirs(state_path, exist_ok=True)
+    _heal_compaction(state_path)  # finish a crashed compaction first
     if batch_id < max(applied_ids()):
         return  # replayed batch: already committed (dir or marker).
     # batch_id == watermark falls through: the dir check below skips the
@@ -427,6 +428,111 @@ def _append_batch_with_marker(spark, state_path: str, batch_id: int,
         if (f.startswith("_applied_") and f[len("_applied_"):].isdigit()
                 and int(f[len("_applied_"):]) < batch_id):
             os.remove(os.path.join(state_path, f))
+
+
+_COMPACT_READY = ".compact_ready_"
+
+
+def _heal_compaction(state_path: str) -> None:
+    """Finish an interrupted :func:`compact_append_state` (idempotent;
+    called by the writer at the top of every batch append). The intent
+    marker ``.compact_ready_<K>`` holds the fully-written combined dir;
+    once it exists the compaction is COMMITTED and completing it is pure
+    mechanics: remove the now-redundant ``batch=<i≤K>`` dirs, then
+    rename the combined dir into place as ``batch=<K>``."""
+    import os
+    import shutil
+
+    if not os.path.isdir(state_path):
+        return
+    for f in os.listdir(state_path):
+        if not (f.startswith(_COMPACT_READY)
+                and f[len(_COMPACT_READY):].isdigit()):
+            continue
+        k = int(f[len(_COMPACT_READY):])
+        for g in list(os.listdir(state_path)):
+            if g.startswith("batch=") and g[len("batch="):].isdigit() \
+                    and int(g[len("batch="):]) <= k:
+                shutil.rmtree(os.path.join(state_path, g))
+        os.rename(os.path.join(state_path, f),
+                  os.path.join(state_path, f"batch={k}"))
+        _fsync_dir(state_path)
+
+
+def compact_append_state(spark, state_path: str,
+                         upto: int | None = None) -> int | None:
+    """Rewrite every committed ``batch=<i ≤ K>`` dir of an append-layout
+    state into ONE ``batch=<K>`` dir (round 13, verdict #6): one
+    partition dir per micro-batch is the right write path, but at
+    minutes-cadence a long-lived stream accumulates 100k+ dirs — a
+    listing/small-file problem. K = the largest committed id ≤ ``upto``
+    (default: all of them). Returns K, or None when fewer than two dirs
+    qualify (nothing to do).
+
+    Invariants preserved:
+
+    - **rows**: the combined dir holds exactly the union of the
+      compacted dirs' rows (read before anything is removed);
+    - **watermark**: the ``_applied_<wm>`` marker is untouched and
+      ``wm >= K``, so ``max(applied_ids)`` — and therefore replay
+      skipping — is unchanged at every step, including mid-crash;
+    - **dir presence authoritative**: after completion the dir set is
+      ``{K} ∪ {i > K}``; during the (writer-only) completion window a
+      missing ``batch=<i ≤ K>`` dir is always covered by the committed
+      intent marker, which :func:`_heal_compaction` finishes on the
+      next batch append after a crash.
+
+    Crash protocol (single writer, between batches): (1) combined rows
+    written to a sibling tmp and fsync'd; (2) tmp renamed INTO the state
+    dir as ``.compact_ready_<K>`` — the commit point (dot-prefixed:
+    invisible to Spark's file listing and to ``applied_ids``); (3) dirs
+    ``i <= K`` removed; (4) ready-dir renamed to ``batch=<K>``. A crash
+    before (2) leaves only ignorable debris; after (2) the heal replays
+    (3)-(4) idempotently.
+
+    Lineage coarsens: rows from compacted batches now carry
+    ``batch = K`` ("admitted at or before K"); exact per-batch lineage
+    is traded for the bounded dir count, which is the point.
+
+    **Reader contract caveat**: this is the ONE maintenance operation
+    that removes committed dirs, so a concurrent ad-hoc reader mid-scan
+    can hit ENOENT during (3)-(4) — the same retry-on-ENOENT contract
+    as the swap helper; readers served through the versioned-table
+    registry (``plans/models.py``) or between maintenance windows never
+    see it. The per-batch append path remains rename-only.
+
+    **Derived ``__index`` state**: compact it with the same call and
+    the same ``upto`` (same layout), or simply leave it —
+    :func:`_reconcile_index` treats the corpus as the source of truth
+    and reconverges the index over the compacted dirs on the next
+    batch (drops stale ids, backfills ``batch=<K>`` in one bounded
+    pass)."""
+    import os
+    import shutil
+
+    _heal_compaction(state_path)
+    ids = sorted(_batch_dir_ids(state_path))
+    todo = [i for i in ids if upto is None or i <= upto]
+    if len(todo) < 2:
+        return None
+    k = todo[-1]
+    paths = [os.path.join(state_path, f"batch={i}") for i in todo]
+    tmp = state_path + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # read via the parent so empty (schema-only) dirs and partition
+    # pruning behave; batch <= K selects exactly the compacted dirs
+    rows = (spark.read.parquet(state_path)
+            .filter(F.col("batch") <= k).drop("batch"))
+    rows.write.mode("overwrite").parquet(tmp)
+    _fsync_tree(tmp)
+    ready = os.path.join(state_path, f"{_COMPACT_READY}{k}")
+    os.rename(tmp, ready)        # commit point
+    _fsync_dir(state_path)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    os.rename(ready, os.path.join(state_path, f"batch={k}"))
+    _fsync_dir(state_path)
+    return k
 
 
 def read_corpus_state(spark, corpus_path: str,
@@ -618,7 +724,8 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
                          shingle_k: int = 3,
                          split_weights: dict[str, float] | None = None,
                          split_seed: int = 42,
-                         maintain_index: bool = True):
+                         maintain_index: bool = True,
+                         compact_every: int | None = None):
     """Continuous training-corpus ingestion: each micro-batch of raw
     (doc_id, text, source, lang) docs is admitted through the FULL
     batch pipeline — :func:`pipelines.corpus.prepare_corpus` for the
@@ -659,15 +766,31 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
     Batching note (pinned by the batch-tier property tests): WHICH
     member of a near-dup family survives depends on arrival order
     (corpus stability keeps the first-arrived); the family count does
-    not."""
+    not.
+
+    ``compact_every`` (round 13): when set, the writer folds the state
+    into one ``batch=<K>`` dir via :func:`compact_append_state` whenever
+    the committed dir count reaches the threshold, bounding dir count at
+    ~``compact_every`` for arbitrarily long-lived streams (the
+    minutes-cadence listing/small-file concern). Runs between batches in
+    the single writer; see the compaction docstring for the crash
+    protocol and the ad-hoc-reader caveat. Default off — daily-cadence
+    streams never need it."""
     kw = dict(quality_min=quality_min, jaccard_min=jaccard_min,
               shingle_k=shingle_k, split_weights=split_weights,
               split_seed=split_seed)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _corpus_stream_apply(batch_df.sparkSession, corpus_path,
+        spark = batch_df.sparkSession
+        _corpus_stream_apply(spark, corpus_path,
                              batch_df, batch_id, kw,
                              maintain_index=maintain_index)
+        if compact_every and len(_batch_dir_ids(corpus_path)) \
+                >= compact_every:
+            k = compact_append_state(spark, corpus_path)
+            if maintain_index and k is not None:
+                compact_append_state(spark, corpus_path + "__index",
+                                     upto=k)
 
     return (docs.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())

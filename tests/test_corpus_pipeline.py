@@ -570,6 +570,54 @@ def test_reconcile_index_backfills_and_drops_stale(spark, tmp_path):
     assert admitted == [1, 2, 3]
 
 
+def test_corpus_stream_compaction_keeps_decisions_and_cache(spark,
+                                                            tmp_path):
+    """Compacting the corpus AND its __index to the same K (round 13)
+    preserves admissions bit-for-bit, keeps the id-set parity the cache
+    check needs, and bounds the dir count — the long-lived-stream
+    maintenance path."""
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids, _corpus_stream_apply, compact_append_state,
+        read_corpus_state)
+
+    schema = "doc_id long, text string, source string, lang string"
+    kw = dict(quality_min=0.2, jaccard_min=0.5, shingle_k=3,
+              split_weights=None, split_seed=42)
+    corpus = str(tmp_path / "c")
+    idx = corpus + "__index"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    _corpus_stream_apply(spark, corpus, batch(
+        [(1, _words(60, "ca"), "web", "en"),
+         (2, _words(60, "cb"), "web", "en")]), 0, kw)
+    _corpus_stream_apply(spark, corpus, batch(
+        [(3, _words(60, "cc"), "web", "en")]), 1, kw)
+    _corpus_stream_apply(spark, corpus, batch(
+        [(4, _words(60, "cb") + " drift tail", "web", "en")]), 2, kw)
+    assert sorted(r["doc_id"] for r in
+                  read_corpus_state(spark, corpus).collect()) == [1, 2, 3]
+
+    k = compact_append_state(spark, corpus)
+    assert k == 2 and _batch_dir_ids(corpus) == {2}
+    compact_append_state(spark, idx, upto=k)
+    assert _batch_dir_ids(idx) == {2}  # parity preserved -> cache usable
+
+    # next batch: near-dup of compacted doc 3 dropped, novel admitted —
+    # the compacted corpus + index drive the SAME decisions
+    _corpus_stream_apply(spark, corpus, batch(
+        [(5, _words(60, "cc") + " tiny drift", "web", "en"),
+         (6, _words(70, "cd"), "books", "en")]), 3, kw)
+    assert sorted(r["doc_id"] for r in
+                  read_corpus_state(spark, corpus).collect()) == [1, 2, 3, 6]
+    assert _batch_dir_ids(corpus) == {2, 3}
+    assert _batch_dir_ids(idx) == {2, 3}
+    idx_ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(idx).collect())
+    assert idx_ids == [1, 2, 3, 6]
+
+
 def test_extend_corpus_accepts_precomputed_corpus_sets(spark):
     """The corpus_sets state-reuse hook (round 12): passing the exact
     (doc_id, shs) relation _shingle_sets would compute over the corpus

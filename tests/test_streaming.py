@@ -789,3 +789,100 @@ def test_append_state_crash_matrix(spark, tmp_path):
 
     _append_batch_with_marker(spark, state, 5, probe)
     assert seen["n"] == 4  # rows 0,1,3,4 visible to batch 5's build
+
+
+def test_compact_append_state_crash_matrix(spark, tmp_path):
+    """compact_append_state (round 13): folding batch dirs <= K into one
+    batch=K preserves rows, watermark, and replay semantics at every
+    crash point of the intent-marker protocol — and the heal pass built
+    into the next batch append finishes an interrupted compaction."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _batch_dir_ids, compact_append_state,
+        read_corpus_state)
+
+    state = str(tmp_path / "corpus")
+
+    def apply(bid, n_rows=1):
+        _append_batch_with_marker(
+            spark, state, bid,
+            lambda old: spark.range(n_rows).select(
+                F.lit(bid).alias("applied"),
+                (F.lit(bid) * 10 + F.col("id")).alias("row_id")))
+
+    def rows():
+        return sorted(r["row_id"] for r in read_corpus_state(
+            spark, state).collect())
+
+    def markers():
+        return sorted(f for f in os.listdir(state)
+                      if f.startswith("_applied_"))
+
+    for b in range(5):
+        apply(b, n_rows=2 if b % 2 == 0 else 1)
+    all_rows = rows()
+    assert _batch_dir_ids(state) == {0, 1, 2, 3, 4}
+
+    # partial compaction: dirs <= 2 fold into batch=2; rows identical,
+    # watermark marker untouched, later dirs untouched
+    assert compact_append_state(spark, state, upto=2) == 2
+    assert _batch_dir_ids(state) == {2, 3, 4}
+    assert rows() == all_rows and markers() == ["_applied_4"]
+    # lineage coarsened: every compacted row now carries batch=2
+    lin = read_corpus_state(spark, state, with_lineage=True)
+    assert sorted(set(r["batch"] for r in lin.collect())) == [2, 3, 4]
+
+    # replay of a compacted-away id: still skipped (watermark intact)
+    apply(1, n_rows=9)
+    assert rows() == all_rows
+
+    # nothing-to-do: single dir in range -> None, state untouched
+    assert compact_append_state(spark, state, upto=2) is None
+
+    # crash BEFORE the intent rename: sibling tmp is ignorable debris
+    os.makedirs(state + "__compact", exist_ok=True)
+    open(os.path.join(state + "__compact", "junk"), "w").close()
+    assert compact_append_state(spark, state) == 4
+    assert _batch_dir_ids(state) == {4} and rows() == all_rows
+
+    # extend, then crash AFTER the intent rename (commit point), BEFORE
+    # removals: simulate by recreating the ready dir from a full copy
+    apply(5)
+    apply(6)
+    all_rows = rows()
+    # build the combined dir exactly as step (1)-(2) would
+    combined = (read_corpus_state(spark, state))
+    tmp = state + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(state, ".compact_ready_6"))
+    # the next batch append heals first: old dirs removed, ready renamed
+    apply(7)
+    assert _batch_dir_ids(state) == {6, 7}
+    assert rows() == all_rows + [70]
+    assert markers() == ["_applied_7"]
+
+    # crash MID-removal (after some dirs <= K deleted): rows covered by
+    # the committed ready dir; heal completes idempotently
+    apply(8)
+    all_rows = rows()
+    combined = read_corpus_state(spark, state)
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(state, ".compact_ready_8"))
+    shutil.rmtree(os.path.join(state, "batch=6"))   # partial removal
+    apply(9)
+    assert _batch_dir_ids(state) == {8, 9}
+    assert rows() == all_rows + [90]
+
+    # builds after compaction see the full state (old side intact)
+    seen = {}
+    _append_batch_with_marker(
+        spark, state, 10,
+        lambda old: (seen.setdefault("n", old.count()),
+                     old.limit(0))[1])
+    assert seen["n"] == len(all_rows) + 1
