@@ -126,10 +126,10 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry swaps (rounds 11+12): contract.RETIRED entries stay
+    # Registry swaps (rounds 11-13): contract.RETIRED entries stay
     # importable for tests/tooling but leave the driver registry (count
     # stays 128); swapped-in queries with no driver row yet
-    # (docs_pii_scrub, corpus_extend_admissions at r12) are fronted
+    # (subset_star_closure, events_sketch_drift at r13) are fronted
     # automatically by the staleness order.
     from data_engineering_projects_spark.contract import RETIRED
     return _ordered({k: v for k, v in QUERIES.items() if k not in RETIRED})

@@ -91,9 +91,26 @@ ORACLES: dict[str, str] = {}
 #:   monotone nprobe-growth property remains covered by
 #:   ``embed_knn_ivf_nprobe`` (same train/assign/search path, probe
 #:   selection included) and the sweep's property test.
+#: Round 13 (r12 verdict #4 — graduating the last two deterministic,
+#: oracle-renderable tier-2 components; z-order's pruning effect stays a
+#: pytest/stress contract, being a file-count metric rather than a
+#: relation — decision recorded in COVERAGE.md):
+#: - ``dedup_clusters_chain`` → ``subset_star_closure``: connected
+#:   components stay DOUBLE-covered by two independent driver-checked
+#:   algorithms (``dedup_clusters`` min-label propagation,
+#:   ``dedup_clusters_star`` star contraction — both against the same
+#:   min-label oracle); the chain variant's unique value (shrinking
+#:   edge-list iteration) remains pinned by its own tests and the
+#:   iterative stress family.
+#: - ``embed_knn_brute`` → ``events_sketch_drift``: the brute-force
+#:   cosine top-k result contract remains driver-checked via
+#:   ``embed_knn_blas`` (SAME oracle SQL, same rank/rounding rules);
+#:   HOF==BLAS equality is pinned in tests/test_similarity.py, and the
+#:   IVF recall grid measures against the brute baseline in stress.
 RETIRED: frozenset[str] = frozenset({
     "embed_knn_ivf", "dedup_simhash",
     "dedup_minhash_sweep", "embed_knn_ivf_sweep",
+    "dedup_clusters_chain", "embed_knn_brute",
 })
 
 

@@ -2489,3 +2489,228 @@ def corpus_extend_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True))
     res.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-13 registry swap: FK-closed subsetting + sketch drift under the oracle
+# (r12 verdict #4 — the last two deterministic, oracle-renderable tier-2
+# components graduate; the retired pair is recorded in contract/__init__.py)
+# ---------------------------------------------------------------------------
+
+#: (child, child_col, parent, parent_col) edges of the TPC-H-ish star —
+#: the same graph the subset tests exercise, including the nation
+#: diamond (customer AND supplier both reference nation) that naive
+#: per-edge closure orphans.
+_SUBSET_FKS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+_SUBSET_FRACTION = 0.2
+_SUBSET_SEED = 42
+_SUBSET_CK_SEED = 11
+#: (table, checksum-key expression) — lineitem's composite PK renders as
+#: one string on both engines.
+_SUBSET_PKS = [
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("lineitem", None),  # composite, handled inline
+]
+
+
+def _subset_closure_oracle() -> str:
+    """Full SQL replay of the subset_star closure: anchor bucket filter
+    (shared md5_hash64, positive so %% == pmod), downward semi-joins in
+    topological order, upward union-of-referenced-keys — including the
+    nation diamond (customer ∪ supplier). One (tbl, n_rows, key_ck) row
+    per table; bit_xor of the keyed hash is order-independent and
+    overflow-free on both engines."""
+    bucket = md5_hash64_sql("CAST(o_orderkey AS VARCHAR)",
+                            seed=_SUBSET_SEED)
+    cut = int(round(_SUBSET_FRACTION * 10_000))
+
+    def ck(expr):
+        return f"bit_xor({md5_hash64_sql(expr, seed=_SUBSET_CK_SEED)})"
+
+    rows = []
+    for tbl, pk in _SUBSET_PKS:
+        alias = {"region": "r", "nation": "n", "customer": "c",
+                 "supplier": "s", "part": "p", "orders": "o",
+                 "lineitem": "li"}[tbl]
+        key = (f"CAST(l_orderkey AS VARCHAR) || ':' || "
+               f"CAST(l_linenumber AS VARCHAR)" if pk is None
+               else f"CAST({pk} AS VARCHAR)")
+        rows.append(f"SELECT '{tbl}' AS tbl, COUNT(*) AS n_rows, "
+                    f"{ck(key)} AS key_ck FROM {alias}")
+    return f"""
+WITH o AS (SELECT * FROM orders WHERE {bucket} % 10000 < {cut}),
+li AS (SELECT lineitem.* FROM lineitem
+       SEMI JOIN o ON lineitem.l_orderkey = o.o_orderkey),
+c AS (SELECT customer.* FROM customer
+      SEMI JOIN o ON customer.c_custkey = o.o_custkey),
+p AS (SELECT part.* FROM part
+      SEMI JOIN li ON part.p_partkey = li.l_partkey),
+s AS (SELECT supplier.* FROM supplier
+      SEMI JOIN li ON supplier.s_suppkey = li.l_suppkey),
+n AS (SELECT * FROM nation
+      WHERE n_nationkey IN (SELECT c_nationkey FROM c)
+         OR n_nationkey IN (SELECT s_nationkey FROM s)),
+r AS (SELECT region.* FROM region
+      SEMI JOIN n ON region.r_regionkey = n.n_regionkey)
+{" UNION ALL ".join(rows)}
+"""
+
+
+@query("subset_star_closure", _subset_closure_oracle())
+def subset_star_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-consistent star subsetting (operators/subset.py::subset_star)
+    under the driver oracle — the round-13 graduation of the tier-2
+    subsetting tool (r12 verdict #4). The operator anchors on 20% of
+    orders (shared cross-engine md5_hash64 bucket — round 13 switched
+    the bucket hash from Spark-private xxhash64 exactly so this replay
+    is possible), closes DOWNWARD (lineitem follows kept orders, both
+    parents applied in topological order) and UPWARD (customer keeps
+    orders' referenced keys; part/supplier keep lineitem's; nation keeps
+    customer ∪ supplier — the diamond; region keeps nation's). The
+    emitted relation is one (tbl, n_rows, key_ck) row per table, where
+    key_ck is the bit_xor of the seeded key hash over the SUBSET's
+    primary keys — any orphaned or extra row in any table breaks count
+    or checksum; the oracle replays the entire closure in SQL.
+
+    100 TB: every edge is a semi-join on a key (broadcast-able kept-key
+    sides for dimension-sized parents, shuffle semi-joins for facts);
+    no window, no text, no driver state. The subset decision is pure
+    hash arithmetic, so the same call yields the same subset on any
+    cluster — the reproducibility contract dev/CI subsetting needs."""
+    from ..operators.subset import FK, subset_star
+
+    tables = {t: load_table(spark, sf_dir, t)
+              for t in ["region", "nation", "customer", "supplier",
+                        "part", "orders", "lineitem"]}
+    sub = subset_star(tables, "orders", "o_orderkey",
+                      [FK(*e) for e in _SUBSET_FKS],
+                      fraction=_SUBSET_FRACTION, seed=_SUBSET_SEED)
+
+    def ck_row(tbl, pk):
+        key = (F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                        F.col("l_linenumber").cast("string"))
+               if pk is None else F.col(pk).cast("string"))
+        return sub[tbl].agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(md5_hash64(key, seed=_SUBSET_CK_SEED))
+             .alias("key_ck")).select("tbl", "n_rows", "key_ck")
+
+    out = None
+    for tbl, pk in _SUBSET_PKS:
+        row = ck_row(tbl, pk)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sketch_drift_oracle() -> str:
+    """Exact replay of the drift REPORT GRAIN plus literal TRUE for the
+    sketch-accuracy booleans (the star_pricing_p95_approx rank-bound
+    discipline): per (event_type, day) cells that have a COMPLETE
+    7-distinct-prior-day trailing window, the exact row count and
+    baseline_days; the Spark side must earn within_day/within_base by
+    rank-checking its sketch quantiles against the raw data."""
+    return """
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_rows
+  FROM events GROUP BY 1, 2),
+complete AS (
+  SELECT c.event_type, c.day, c.n_rows,
+         (SELECT COUNT(DISTINCT h.day) FROM cells h
+          WHERE h.event_type = c.event_type
+            AND h.day >= c.day - INTERVAL 7 DAY AND h.day < c.day)
+           AS prior_days
+  FROM cells c)
+SELECT event_type, day, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(7 AS BIGINT) AS baseline_days,
+       TRUE AS within_day, TRUE AS within_base
+FROM complete WHERE prior_days = 7
+"""
+
+
+@query("events_sketch_drift", _sketch_drift_oracle())
+def events_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring from the mergeable-sketch partition
+    table (operators/sketches.py::sketch_drift) under the driver oracle —
+    the round-13 graduation of the last tier-2 sketch component (r12
+    verdict #4). The pipeline: per-(event_type, day) KLL partitions over
+    `value` (build_sketch_partitions), then the drift report — each
+    day's median vs the merged trailing-7-day baseline sketch, emitted
+    only for complete windows. The oracle pins the REPORT GRAIN exactly
+    (which cells qualify, their raw row counts, baseline_days == 7);
+    the sketch quantiles themselves are run-varying by design (KLL
+    compaction is randomized, no seed exposed), so they ride the
+    star_pricing_p95_approx rank-bound discipline: Spark joins the
+    (tiny) drift report back over raw events and asserts each quantile's
+    rank interval overlaps [floor((p-eps)n), ceil((p+eps)n)] with eps =
+    4x the published 99%-confidence KLL bound (~10 sigma — see the
+    flake-odds triage note on star_pricing_p95_approx, same contract).
+
+    100 TB: the drift query itself touches ZERO raw rows — sketch-grain
+    x window_days joins over a KB-sized state table; only this driver
+    row's VERIFICATION pass rescans events (twice, broadcast-joined
+    against the ~100-row report), which is the price of oracle-checking
+    a randomized sketch, not part of the production plan."""
+    from ..operators.sketches import (build_sketch_partitions,
+                                      kll_rank_error, sketch_drift)
+
+    kll_k = 2048
+    eps = 4.0 * kll_rank_error(kll_k)
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", F.to_date("ts").alias("day"), "value"))
+    sk = build_sketch_partitions(ev, ["event_type", "day"], ["value"],
+                                 kll_k=kll_k)
+    drift = sketch_drift(sk, ["event_type"], "day", "value",
+                         prob=0.5, window_days=7)
+    rep = F.broadcast(drift.select(
+        "event_type", "day", "day_q", "baseline_q",
+        "n_rows", "baseline_days"))
+
+    def bound_ok(lt, le, n):
+        lo = F.floor((F.lit(0.5) - eps) * n)
+        hi = F.ceil((F.lit(0.5) + eps) * n)
+        return (F.col(le) >= lo) & (F.col(lt) + 1 <= hi)
+
+    day_ranks = (ev.join(rep, ["event_type", "day"])
+                 .groupBy("event_type", "day")
+                 .agg(F.sum((F.col("value") < F.col("day_q"))
+                            .cast("long")).alias("lt"),
+                      F.sum((F.col("value") <= F.col("day_q"))
+                            .cast("long")).alias("le"),
+                      F.count(F.lit(1)).alias("n"))
+                 .select("event_type", "day",
+                         bound_ok("lt", "le", F.col("n"))
+                         .alias("within_day")))
+    hist = ev.select(F.col("event_type").alias("h_type"),
+                     F.col("day").alias("h_day"), "value")
+    repb = F.broadcast(drift.select(
+        F.col("event_type").alias("r_type"), F.col("day").alias("r_day"),
+        "baseline_q"))
+    base_ranks = (hist.join(repb, (F.col("h_type") == F.col("r_type"))
+                            & (F.col("h_day") >= F.date_sub("r_day", 7))
+                            & (F.col("h_day") < F.col("r_day")))
+                  .groupBy("r_type", "r_day")
+                  .agg(F.sum((F.col("value") < F.col("baseline_q"))
+                             .cast("long")).alias("lt"),
+                       F.sum((F.col("value") <= F.col("baseline_q"))
+                             .cast("long")).alias("le"),
+                       F.count(F.lit(1)).alias("n"))
+                  .select(F.col("r_type").alias("event_type"),
+                          F.col("r_day").alias("day"),
+                          bound_ok("lt", "le", F.col("n"))
+                          .alias("within_base")))
+    return (drift.select("event_type", "day", "n_rows", "baseline_days")
+            .join(day_ranks, ["event_type", "day"])
+            .join(base_ranks, ["event_type", "day"])
+            .select("event_type", "day", "n_rows", "baseline_days",
+                    "within_day", "within_base"))

@@ -63,13 +63,20 @@ def subset_star(tables: dict[str, DataFrame], anchor: str,
                 anchor_key: str, fks: list[FK], fraction: float,
                 seed: int = 42) -> dict[str, DataFrame]:
     """Return FK-closed subsets of ``tables`` anchored on a
-    deterministic ``fraction`` of ``anchor``'s keys (xxhash64 bucket —
-    same seed, same subset, any cluster). Tables not named in any FK
-    edge pass through unchanged. Raises on a cycle among parent
-    tables (a snowflake schema is a DAG; cycles need manual cuts)."""
+    deterministic ``fraction`` of ``anchor``'s keys (md5_hash64 bucket —
+    same seed, same subset, any cluster AND any engine: round 13
+    switched the bucket hash from Spark-private xxhash64 to the repo's
+    shared cross-engine hash so the whole closure replays in the DuckDB
+    oracle, graduating this operator to a driver row). Tables not named
+    in any FK edge pass through unchanged. Raises on a cycle among
+    parent tables (a snowflake schema is a DAG; cycles need manual
+    cuts)."""
+    from ..functions.text import md5_hash64
+
     out = dict(tables)
     out[anchor] = tables[anchor].filter(
-        F.pmod(F.xxhash64(F.col(anchor_key), F.lit(seed)), F.lit(10_000))
+        F.pmod(md5_hash64(F.col(anchor_key).cast("string"), seed=seed),
+               F.lit(10_000))
         < F.lit(int(round(fraction * 10_000))))
 
     # 1. downward: restrict the anchor's descendants. Two subtleties a
