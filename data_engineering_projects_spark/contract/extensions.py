@@ -302,6 +302,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (kept.withColumn(
             "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
           .persist())
+    sh.count()  # eager: both self-join sides materialize concurrently
+    # under AQE — a lazy persist would run the explode+anti+window
+    # lineage twice in parallel (see _mh_signatures, round 13)
     a, b = sh.alias("a"), sh.alias("b")
     jac = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                   & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1020,6 +1023,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; a bucket-size cap is NOT the tool here because all 256
     buckets saturate together (cf. ``_LSH_BUCKET_CAP`` doc)."""
     sims = dedup_simhash(spark, sf_dir).persist()
+    sims.count()  # eager: the band-join sides + Hamming verify consume
+    # sims concurrently under AQE; lazy persist would re-run the full
+    # per-doc simhash fold per consumer (see _mh_signatures, round 13)
     bands = sims.select(
         "doc_id", "simhash",
         F.explode(F.array(

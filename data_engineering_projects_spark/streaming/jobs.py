@@ -694,6 +694,8 @@ def _corpus_stream_apply(spark, corpus_path: str, batch_df: DataFrame,
                     and _batch_dir_ids(index_path) == corpus_ids:
                 idx = spark.read.parquet(index_path).drop("batch") \
                     .persist()
+                idx.count()  # eager: cs/cb/cf consume idx from three
+                # concurrent AQE stages (see _mh_signatures, round 13)
                 cleanups.append(idx)
                 cs = idx.select("doc_id", "shs")
                 cb = _bands_from_index(idx)
