@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..functions.cleaning import clean_range, CLEAN_RANGE_SQL
 from ..functions.determinism import DEC_AVG_SQL, dec_avg
 from ..functions.temporal import time_bucket, TIME_BUCKET_SQL
+from ..session import scratch_dir
 from ..sources import load_table, widen
 from . import query
 
@@ -382,7 +383,7 @@ def dbt_model_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return g
 
-    wh = tempfile.mkdtemp(prefix="dag_incr_wh_")
+    wh = scratch_dir("dag_incr_wh_")
     try:
         build_graph(F.col("ts") < F.lit(cut_ts)).run(
             spark, select=["mart_daily"])

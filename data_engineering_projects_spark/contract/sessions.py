@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.determinism import DEC_AVG_SQL, DEC_SUM_SQL, dec_avg, dec_sum
 from ..functions.text import FINGERPRINT_SQL
 from ..sources import load_table
+from ..session import scratch_dir
 from . import query
 
 EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
@@ -457,7 +458,7 @@ def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
     import shutil
     import tempfile
 
-    staged = tempfile.mkdtemp(prefix=f"depa_stream_{prefix}_")
+    staged = scratch_dir(f"depa_stream_{prefix}_")
     try:
         staged_input.write.mode("overwrite").parquet(staged)
         # footer-stats count: sizes the state partitioning to the staged
@@ -775,8 +776,8 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
 
-    d_clk = tempfile.mkdtemp(prefix="depa_stream_attr_clk_")
-    d_pur = tempfile.mkdtemp(prefix="depa_stream_attr_pur_")
+    d_clk = scratch_dir("depa_stream_attr_clk_")
+    d_pur = scratch_dir("depa_stream_attr_pur_")
     try:
         # Native-parallelism stage (round-5 VERDICT #5: the defensive
         # coalesce(1) was a data-proportional single-threaded write).
@@ -1009,15 +1010,15 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     cut = lo + (hi - lo) / 2
 
-    staged = tempfile.mkdtemp(prefix="depa_stream_upsert_in_")
-    wh = tempfile.mkdtemp(prefix="depa_stream_upsert_wh_")
+    staged = scratch_dir("depa_stream_upsert_in_")
+    wh = scratch_dir("depa_stream_upsert_wh_")
     try:
         # stage two single-file batches with strictly increasing mtimes
         # so maxFilesPerTrigger=1 admits them oldest-first: batch 1 =
         # first half by time, batch 2 = second half.
         for i, batch in enumerate([ev.filter(F.col("ts") < F.lit(cut)),
                                    ev.filter(F.col("ts") >= F.lit(cut))]):
-            tmp = tempfile.mkdtemp(prefix="depa_stream_upsert_tmp_")
+            tmp = scratch_dir("depa_stream_upsert_tmp_")
             batch.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = next(f for f in os.listdir(tmp)
                         if f.endswith(".parquet") and f.startswith("part-"))

@@ -232,3 +232,17 @@ def _fast_local_dir() -> str | None:
     except OSError:
         pass
     return None
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp on the fast scratch mount when available (round 13):
+    the contract harness's EPHEMERAL staging/checkpoint/warehouse dirs
+    (created, exercised, deleted within one query) pay the same
+    per-file create/commit latency the shuffle measurement exposed —
+    streaming checkpoints especially, which fsync every micro-batch
+    commit. On a real cluster this scratch sits on node-local NVMe or
+    the object store; tmpfs is this container's stand-in. Durable,
+    user-owned state paths (corpus_extend_stream arguments etc.) are
+    NOT routed through here."""
+    import tempfile
+    return tempfile.mkdtemp(prefix=prefix, dir=_fast_local_dir())
