@@ -2601,6 +2601,14 @@ def subset_star_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = subset_star(tables, "orders", "o_orderkey",
                       [FK(*e) for e in _SUBSET_FKS],
                       fraction=_SUBSET_FRACTION, seed=_SUBSET_SEED)
+    # eager persists on the two subset frames every other branch's
+    # lineage references (orders: anchor of everything; lineitem: the
+    # fact feeding part/supplier/nation/region) — the 7 union branches
+    # materialize concurrently under AQE and would otherwise re-run the
+    # anchor filter + fact semi-join up to 5x (see _mh_signatures)
+    for hot in ("orders", "lineitem"):
+        sub[hot] = sub[hot].persist()
+        sub[hot].count()
 
     def ck_row(tbl, pk):
         key = (F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
