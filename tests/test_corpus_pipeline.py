@@ -754,3 +754,83 @@ def test_append_state_random_crash_sequences(spark, tmp_path):
                if f.startswith("_applied_") and
                f[len("_applied_"):].isdigit()]
     assert markers == [f"_applied_{N-1}"]
+
+
+def test_append_state_crash_storm_with_compaction(spark, tmp_path):
+    """The round-13 extension of the crash storm: COMPACTIONS (complete
+    and crash-interrupted at each protocol step) interleave with the
+    batch appends and crash artifacts, and the one-row-per-batch
+    invariant plus the single-watermark invariant must still hold —
+    compaction may coarsen lineage, never lose or duplicate rows.
+    Seeded schedule, exact replay on failure."""
+    import os
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _batch_dir_ids, compact_append_state,
+        read_corpus_state)
+
+    state = str(tmp_path / "storm2")
+    rng = random.Random(20260815)
+    N = 10
+
+    def apply(bid):
+        _append_batch_with_marker(
+            spark, state, bid,
+            lambda old: spark.range(1).select(F.lit(bid).alias("applied")))
+
+    def interrupted_compaction(k_hint):
+        """Run compaction steps by hand up to a crash point chosen by
+        the rng: after the intent rename (commit), or mid-removal."""
+        ids = sorted(_batch_dir_ids(state))
+        todo = [i for i in ids if i <= k_hint]
+        if len(todo) < 2:
+            return
+        k = todo[-1]
+        combined = (spark.read.parquet(state)
+                    .filter(F.col("batch") <= k).drop("batch"))
+        tmp = state + "__compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        combined.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(state, f".compact_ready_{k}"))
+        if rng.random() < 0.5:  # crash mid-removal
+            for i in todo[: rng.randrange(len(todo))]:
+                shutil.rmtree(os.path.join(state, f"batch={i}"),
+                              ignore_errors=True)
+        # else: crash right after the commit rename (no removals)
+
+    for b in range(N):
+        if b > 0:
+            art = rng.choice(["tmp", "markers", "debris", "replay",
+                              "compact_ok", "compact_crash", "none"])
+            if art == "tmp":
+                shutil.copytree(os.path.join(state, f"batch={b-1}"),
+                                state + "__tmp",
+                                dirs_exist_ok=True)
+            elif art == "markers":
+                for f in os.listdir(state):
+                    if f.startswith("_applied_"):
+                        os.remove(os.path.join(state, f))
+            elif art == "debris":
+                open(os.path.join(state, "_applied_"), "w").close()
+            elif art == "replay":
+                apply(rng.randrange(b))
+            elif art == "compact_ok":
+                compact_append_state(spark, state,
+                                     upto=rng.randrange(b))
+            elif art == "compact_crash":
+                interrupted_compaction(rng.randrange(b))
+        apply(b)
+
+    rows = sorted(r["applied"] for r in
+                  read_corpus_state(spark, state).collect())
+    assert rows == list(range(N))
+    markers = [f for f in os.listdir(state)
+               if f.startswith("_applied_") and
+               f[len("_applied_"):].isdigit()]
+    assert markers == [f"_applied_{N-1}"]
+    assert not any(f.startswith(".compact_ready_")
+                   for f in os.listdir(state))  # all healed
