@@ -453,6 +453,58 @@ def test_corpus_extend_stream_admits_families_and_survives_replay(
     assert markers == ["_applied_1"]
 
 
+def test_corpus_extend_stream_compact_every_trigger(spark, tmp_path):
+    """corpus_extend_stream(compact_every=2): the writer-side trigger
+    (round 13) folds corpus AND index dirs whenever the committed dir
+    count reaches the threshold — admissions identical to the
+    uncompacted stream, dir count bounded, index parity (and therefore
+    the O(batch) cache path) preserved across compactions."""
+    import os
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids, corpus_extend_stream, read_corpus_state)
+
+    schema = "doc_id long, text string, source string, lang string"
+    files = [
+        [(1, _words(60, "gfa"), "web", "en")],
+        [(2, _words(60, "gfb"), "web", "en")],
+        [(3, _words(60, "gfa") + " drift tail", "web", "en"),   # dup of 1
+         (4, _words(70, "gfc"), "books", "en")],
+        [(5, _words(64, "gfd"), "web", "en")],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write \
+            .mode("append" if i else "overwrite").parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = corpus_extend_stream(stream, corpus_path,
+                             str(tmp_path / "ckpt"), compact_every=2)
+    q.processAllAvailable()
+    q.stop()
+
+    admitted = sorted(r["doc_id"] for r in
+                      read_corpus_state(spark, corpus_path).collect())
+    # family {1,3}: exactly one survives (file->batch order is
+    # mtime-dependent, so don't pin which); 2/4/5 are novel
+    assert len({1, 3} & set(admitted)) == 1
+    assert {2, 4, 5} <= set(admitted) and len(admitted) == 4
+    # dir count bounded by the trigger (4 batches, threshold 2)
+    cids = _batch_dir_ids(corpus_path)
+    assert len(cids) <= 2
+    assert _batch_dir_ids(corpus_path + "__index") == cids  # parity
+    # the index still covers every admitted doc (cache usable)
+    idx_ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(corpus_path + "__index").collect())
+    assert idx_ids == admitted
+    # one high-watermark marker at the last batch id
+    markers = [f for f in os.listdir(corpus_path)
+               if f.startswith("_applied_")]
+    assert markers == ["_applied_3"]
+
+
 def test_corpus_stream_derived_state_crash_and_fallback(spark, tmp_path):
     """_corpus_stream_apply (round 12): the derived shingle/band index
     states are caches — a crash between the corpus append and the
