@@ -527,6 +527,17 @@ def _mh_candidates(sets: DataFrame,
         hot = _mh_hot_buckets(bands, bucket_cap)
         bands = bands.join(F.broadcast(hot), ["band", "band_key"],
                            "left_anti")
+    # NOT pre-partitioned on the join key (round-13 twin-stage audit,
+    # measured): the self-join's two sides are identical exchanges that
+    # exchange-reuse fails to collapse (the broadcast anti-join inside
+    # each side breaks canonical equality), but the A/B showed both
+    # alternatives LOSE — a (band,band_key)-partitioned cache trades the
+    # two overlapping parallel exchanges for one sequential
+    # exchange+cache-build job (0.7 -> 1.3 s warmed), and a bare
+    # repartition triples the exchanges because reuse still fails
+    # (-> 1.7 s). Two overlapping exchanges of the 8-rows/doc band
+    # relation is the best measured shape and a constant-factor-2 cost
+    # at any scale.
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -728,8 +739,15 @@ def _shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir): consumed by the Jaccard, MinHash, MinHash-sweep,
     and clustering queries — without the memo each would re-persist an
     identical plan per call (round-3 ADVICE)."""
-    return _shared_persist(spark, sf_dir, "shingle_sets",
-                           lambda: _doc_shingle_sets(spark, sf_dir))
+    # Pre-partitioned by doc_id (round 13, twin-stage audit): the
+    # verify joins consume this relation keyed by doc_id on BOTH sides;
+    # a cache with hashpartitioning(doc_id) satisfies both joins'
+    # distribution requirements, so the sets side never re-shuffles —
+    # at 100 TB that removes two full data-proportional exchanges per
+    # dedup query (one exchange paid once at memo build instead).
+    return _shared_persist(
+        spark, sf_dir, "shingle_sets",
+        lambda: _doc_shingle_sets(spark, sf_dir).repartition("doc_id"))
 
 
 def _shared_mh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

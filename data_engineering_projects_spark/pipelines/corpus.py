@@ -161,7 +161,12 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     # the cache lands (the r12 "13 s -> 7 s" persist only fixed the
     # sequential re-pay). One count() builds the cache — and the
     # upstream `persisted` frame's — in a single pass before fan-out.
-    sets = _shingle_sets(survivors, shingle_k).persist()
+    # pre-partitioned by doc_id (round-13 twin-stage audit): both
+    # verify joins key the sets side by doc_id; a doc_id-partitioned
+    # cache satisfies both distribution requirements, so the relation
+    # shuffles ONCE here instead of once per verify side
+    sets = _shingle_sets(survivors, shingle_k) \
+        .repartition("doc_id").persist()
     sets.count()
     extra_persists: list = [sets]
     # threshold on the RAW jaccard inside the verify (round 12): the
@@ -332,10 +337,13 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     bset = (res.sets.join(after_exact.select("doc_id"), "doc_id",
                           "left_semi")
             .withColumn("is_new", F.lit(True)))
-    both = cset.unionByName(bset).persist()
-    both.count()  # eager: both feeds signature generation plus the two
-    # verify sides — concurrent stage materialization would re-run the
-    # corpus-side set recompute (or memo scan + semi-join) per consumer
+    # repartition by doc_id before persist (round-13 twin-stage audit):
+    # the two verify sides join this relation by doc_id, so the cached
+    # partitioning serves both joins and the union shuffles once here
+    # instead of once per side; eager count for the same AQE-concurrency
+    # reason as prepare_corpus
+    both = cset.unionByName(bset).repartition("doc_id").persist()
+    both.count()
     extra: list = [after_exact, both]
     if corpus_bands is not None:
         # band-index state (round 12): the caller maintains the corpus
