@@ -121,24 +121,36 @@ def propagate_min_labels(pairs: DataFrame, src: str = "doc_a",
     bound, the identical bounded relaxation runs locally
     (:func:`_local_bounded_min_labels`) — same labels, same bounded-hop
     semantics, none of the per-round scheduler overhead. 0 disables."""
-    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    half = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = half.union(pairs.select(F.col(dst).alias("u"),
+                                    F.col(src).alias("v")))
     if local_finish_edges:
         # small-graph bypass (the connected_components_star discipline):
         # the relaxation rounds on a driver-bounded edge list are fixed
         # scheduler overhead, not data-parallel work — run the identical
         # bounded iteration locally. Probe with ONE capped collect
         # (round 12; previously checkpoint + count + toPandas = three
-        # sequential jobs — measured ~1.5 s of pure scheduling per
-        # pipeline call at fixture scale): limit(cap+1) bounds driver
-        # memory exactly like the cap itself, and an overflow (big
-        # graph) falls through to the distributed loop, whose one extra
-        # candidate-generation pass is small next to the loop it runs.
-        probe = edges.limit(local_finish_edges + 1).toPandas()
-        if len(probe) <= local_finish_edges:
+        # sequential jobs): limit bounds driver memory exactly like the
+        # cap itself, and an overflow (big graph) falls through to the
+        # distributed loop, whose one extra candidate-generation pass is
+        # small next to the loop it runs.
+        # Probe the ONE-DIRECTIONAL pair list and mirror in pandas
+        # (round 13, twin-stage audit): probing the union materialized
+        # the (possibly expensive) pair-generation subtree once per
+        # union side — inside the corpus pipeline that was FOUR
+        # concurrent 246 KB set exchanges (2 union sides × 2 verify
+        # sides) for one probe. Same bound: edges ≤ cap ⇔ pairs ≤ cap/2;
+        # the mirrored pandas frame is exactly the edge list the old
+        # probe collected.
+        probe = half.limit(local_finish_edges // 2 + 1).toPandas()
+        if 2 * len(probe) <= local_finish_edges:
+            import pandas as pd
+            mirrored = pd.concat(
+                [probe, probe.rename(columns={"u": "v", "v": "u"})],
+                ignore_index=True)[["u", "v"]]
             return _local_bounded_min_labels_from_pdf(
-                pairs.sparkSession, probe, iters,
-                edges.schema["u"].dataType.simpleString())
+                pairs.sparkSession, mirrored, iters,
+                half.schema["u"].dataType.simpleString())
     # materialize once: the loop would otherwise replant the (possibly
     # expensive) candidate-generation subtree into every iteration.
     # Deliberately NOT wrapped in session.sized_shuffle_partitions: an
