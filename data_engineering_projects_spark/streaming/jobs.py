@@ -502,11 +502,14 @@ def compact_append_state(spark, state_path: str,
     see it. The per-batch append path remains rename-only.
 
     **Derived ``__index`` state**: compact it with the same call and
-    the same ``upto`` (same layout), or simply leave it —
+    the same ``upto`` (same layout), AFTER the corpus (order pinned in
+    ``corpus_extend_stream.write_batch``), or simply leave it —
     :func:`_reconcile_index` treats the corpus as the source of truth
     and reconverges the index over the compacted dirs on the next
     batch (drops stale ids, backfills ``batch=<K>`` in one bounded
-    pass)."""
+    pass; since round 14 it also row-count-verifies surviving
+    intersection dirs, so a crash between the corpus and index
+    compactions can no longer leave a trusted-but-incomplete cache)."""
     import os
     import shutil
 
@@ -596,6 +599,21 @@ def _bands_from_index(idx: DataFrame) -> DataFrame:
             .select("doc_id", "bk.band", "bk.band_key"))
 
 
+def _dir_parquet_rows(path: str) -> int:
+    """Row count of one parquet directory from file footers — driver-side
+    metadata reads, no Spark job (used by :func:`_reconcile_index`'s
+    compaction-ambiguity check, which must stay cheap)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return n
+
+
 def _reconcile_index(spark, corpus_path: str, index_path: str,
                      shingle_k: int) -> None:
     """Restore ``<corpus>__index`` ↔ corpus batch-dir parity (round 13,
@@ -616,28 +634,67 @@ def _reconcile_index(spark, corpus_path: str, index_path: str,
       marker is untouched — dir presence is authoritative and max()
       is unchanged by backfilling older ids).
 
+    **Compaction-aware** (round 14, from ADVICE — this was a real
+    admission bug): when stale index dirs exist, the divergence is
+    ambiguous between an external reset and a crash BETWEEN the corpus
+    and index compactions of ``corpus_extend_stream``'s writer. In the
+    crash case the corpus ``batch=K`` dir holds ALL rows ≤ K while the
+    surviving pre-compaction index ``batch=K`` holds only batch K's
+    projection — dropping the stale dirs and trusting K by id would
+    pass the id-set parity check with an incomplete cache, permanently
+    admitting near-duplicates of every older corpus doc. The projection
+    is exactly one row per corpus row, so per-dir ROW COUNT equality is
+    a sufficient integrity check; counts come from parquet footers
+    (:func:`_dir_parquet_rows`, driver-side, no job), and mismatched
+    intersection dirs are re-projected from their corpus dirs. Repair
+    ORDER is load-bearing: suspects re-projected and missing dirs
+    backfilled FIRST, stale dirs dropped LAST — a crash anywhere
+    mid-reconcile then leaves the id sets unequal, so the next batch
+    re-enters reconcile instead of trusting a half-repaired cache.
+
     Cost: one-time O(missing batches); enabling the index on an old
     corpus pays one full-corpus projection ONCE instead of an unbounded
-    per-batch recompute. No-op at parity (two dir listings)."""
+    per-batch recompute. No-op at parity (two dir listings; the footer
+    check runs only on the already-diverged path)."""
     import os
     import shutil
 
+    # finish any crashed compaction first so the dir sets this function
+    # reasons about are post-heal (a committed .compact_ready_<K> means
+    # batch=<K> is about to exist with the folded contents)
+    _heal_compaction(corpus_path)
+    _heal_compaction(index_path)
     corpus_ids = _batch_dir_ids(corpus_path)
     index_ids = _batch_dir_ids(index_path)
     if index_ids == corpus_ids:
         return
     os.makedirs(index_path, exist_ok=True)
-    for bid in sorted(index_ids - corpus_ids):
-        shutil.rmtree(os.path.join(index_path, f"batch={bid}"),
-                      ignore_errors=True)
+    stale = index_ids - corpus_ids
+    suspect: set[int] = set()
+    if stale:
+        for bid in index_ids & corpus_ids:
+            if _dir_parquet_rows(
+                    os.path.join(corpus_path, f"batch={bid}")) != \
+                    _dir_parquet_rows(
+                        os.path.join(index_path, f"batch={bid}")):
+                suspect.add(bid)
     tmp = index_path + "__tmp"
-    for bid in sorted(corpus_ids - index_ids):
+    for bid in sorted((corpus_ids - index_ids) | suspect):
         src = os.path.join(corpus_path, f"batch={bid}")
         shutil.rmtree(tmp, ignore_errors=True)
         _index_projection(spark.read.parquet(src), shingle_k) \
             .write.mode("overwrite").parquet(tmp)
         _fsync_tree(tmp)
-        os.rename(tmp, os.path.join(index_path, f"batch={bid}"))
+        dst = os.path.join(index_path, f"batch={bid}")
+        if bid in suspect:
+            # crash between rm and rename leaves bid MISSING (and the
+            # stale dirs below still present), so the next reconcile
+            # backfills it — never a trusted half-state
+            shutil.rmtree(dst, ignore_errors=True)
+        os.rename(tmp, dst)
+    for bid in sorted(stale):
+        shutil.rmtree(os.path.join(index_path, f"batch={bid}"),
+                      ignore_errors=True)
     _fsync_dir(index_path)
 
 
@@ -789,6 +846,14 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
                              maintain_index=maintain_index)
         if compact_every and len(_batch_dir_ids(corpus_path)) \
                 >= compact_every:
+            # ORDER is load-bearing (round 14, from ADVICE): corpus
+            # first. A crash between the two leaves a pre-compaction
+            # index batch=K next to the folded corpus batch=K;
+            # _reconcile_index detects it by per-dir row count and
+            # re-projects. Index-FIRST would be wrong the other way:
+            # the folded index batch=K would hold projections of rows
+            # the corpus still stores in dirs < K, and reconcile's
+            # backfill would then DUPLICATE them.
             k = compact_append_state(spark, corpus_path)
             if maintain_index and k is not None:
                 compact_append_state(spark, corpus_path + "__index",

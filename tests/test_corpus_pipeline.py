@@ -670,6 +670,111 @@ def test_corpus_stream_compaction_keeps_decisions_and_cache(spark,
     assert idx_ids == [1, 2, 3, 6]
 
 
+def test_reconcile_heals_crash_between_corpus_and_index_compaction(
+        spark, tmp_path):
+    """Round-14 ADVICE (high): a crash BETWEEN the corpus and index
+    compactions of the compact_every trigger. The corpus folds into
+    batch=K (all rows <= K) while the pre-compaction index batch=K —
+    holding only batch K's projection — survives; the old reconcile
+    dropped the stale index dirs < K, the id-set parity check then
+    PASSED, and the incomplete cache drove extend_corpus, permanently
+    admitting near-duplicates of older corpus docs. Reconcile now
+    row-count-verifies surviving intersection dirs and re-projects
+    mismatches from their corpus dirs."""
+    import os
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids, _corpus_stream_apply, compact_append_state,
+        read_corpus_state)
+
+    schema = "doc_id long, text string, source string, lang string"
+    kw = dict(quality_min=0.2, jaccard_min=0.5, shingle_k=3,
+              split_weights=None, split_seed=42)
+    corpus = str(tmp_path / "c")
+    idx = corpus + "__index"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    _corpus_stream_apply(spark, corpus, batch(
+        [(1, _words(60, "xa"), "web", "en")]), 0, kw)
+    _corpus_stream_apply(spark, corpus, batch(
+        [(2, _words(60, "xb"), "web", "en")]), 1, kw)
+    _corpus_stream_apply(spark, corpus, batch(
+        [(3, _words(60, "xc"), "web", "en")]), 2, kw)
+
+    # simulated crash: corpus compaction commits, index compaction never
+    # runs — exactly the write_batch window
+    k = compact_append_state(spark, corpus)
+    assert k == 2 and _batch_dir_ids(corpus) == {2}
+    assert _batch_dir_ids(idx) == {0, 1, 2}  # diverged, K in both
+
+    # next batch: doc 5 is a near-dup of doc 1 (admitted in batch 0,
+    # now folded into corpus batch=2); doc 6 is novel. The ADVICE repro
+    # had doc 5 admitted here.
+    _corpus_stream_apply(spark, corpus, batch(
+        [(5, _words(60, "xa") + " tiny drift", "web", "en"),
+         (6, _words(70, "xd"), "books", "en")]), 3, kw)
+    admitted = sorted(r["doc_id"] for r in
+                      read_corpus_state(spark, corpus).collect())
+    assert admitted == [1, 2, 3, 6]  # 5 dropped — cache was re-projected
+
+    # parity restored with FULL content: index rows == corpus rows
+    assert _batch_dir_ids(idx) == _batch_dir_ids(corpus) == {2, 3}
+    idx_ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(idx).collect())
+    assert idx_ids == [1, 2, 3, 6]
+    assert not os.path.exists(idx + "__tmp")
+
+
+def test_corpus_compaction_crash_storm_matches_batch(spark, tmp_path):
+    """Round-14 ADVICE follow-through: interleave batch applies with
+    crash-interrupted compactions (corpus folded, index not — the
+    write_batch crash window) plus one completed pair, and assert the
+    final admissions are IDENTICAL to an uncompacted reference run of
+    the same batch sequence — compaction crashes may coarsen lineage
+    and cost a bounded re-projection, never change a decision."""
+    from data_engineering_projects_spark.streaming.jobs import (
+        _corpus_stream_apply, compact_append_state, read_corpus_state)
+
+    schema = "doc_id long, text string, source string, lang string"
+    kw = dict(quality_min=0.2, jaccard_min=0.5, shingle_k=3,
+              split_weights=None, split_seed=42)
+
+    # near-dups of EARLIER batches' docs land after each crash window
+    batches = [
+        [(1, _words(60, "sa"), "web", "en"),
+         (2, _words(60, "sb"), "web", "en")],
+        [(3, _words(60, "sc"), "web", "en")],
+        [(4, _words(60, "sa") + " drift one", "web", "en"),   # ~doc 1
+         (5, _words(70, "sd"), "books", "en")],
+        [(6, _words(60, "sb") + " drift two", "web", "en"),   # ~doc 2
+         (7, _words(60, "se"), "web", "en")],
+        [(8, _words(60, "sc") + " drift three", "web", "en"),  # ~doc 3
+         (9, _words(70, "sf"), "web", "en")],
+    ]
+
+    def run(root, crash_after: set[int], full_after: set[int]):
+        corpus = str(root)
+        for bid, rows in enumerate(batches):
+            _corpus_stream_apply(
+                spark, corpus, spark.createDataFrame(rows, schema),
+                bid, kw)
+            if bid in crash_after:  # corpus folds, index never does
+                compact_append_state(spark, corpus)
+            elif bid in full_after:  # the healthy pair
+                k = compact_append_state(spark, corpus)
+                if k is not None:
+                    compact_append_state(spark, corpus + "__index",
+                                         upto=k)
+        return sorted(r["doc_id"] for r in
+                      read_corpus_state(spark, corpus).collect())
+
+    ref = run(tmp_path / "ref", set(), set())
+    stormed = run(tmp_path / "storm", {1, 3}, {4})
+    assert stormed == ref
+
+
 def test_extend_corpus_accepts_precomputed_corpus_sets(spark):
     """The corpus_sets state-reuse hook (round 12): passing the exact
     (doc_id, shs) relation _shingle_sets would compute over the corpus
