@@ -2713,7 +2713,14 @@ def events_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = F.ceil((F.lit(0.5) + eps) * n)
         return (F.col(le) >= lo) & (F.col(lt) + 1 <= hi)
 
-    day_ranks = (ev.join(rep, ["event_type", "day"])
+    # rank against NON-NULL values only (round 14, from ADVICE):
+    # kll_sketch_agg_double ignores NULLs, so the sketch median's rank
+    # lives in the non-null distribution — lt/le sums already skip
+    # NULLs but n must be the non-null count too, or any NULL values
+    # in the fixture deflate the median's relative rank below lo.
+    # n_rows in the REPORT grain stays COUNT(*) (matches the oracle).
+    evnn = ev.filter(F.col("value").isNotNull())
+    day_ranks = (evnn.join(rep, ["event_type", "day"])
                  .groupBy("event_type", "day")
                  .agg(F.sum((F.col("value") < F.col("day_q"))
                             .cast("long")).alias("lt"),
@@ -2723,8 +2730,8 @@ def events_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("event_type", "day",
                          bound_ok("lt", "le", F.col("n"))
                          .alias("within_day")))
-    hist = ev.select(F.col("event_type").alias("h_type"),
-                     F.col("day").alias("h_day"), "value")
+    hist = evnn.select(F.col("event_type").alias("h_type"),
+                       F.col("day").alias("h_day"), "value")
     repb = F.broadcast(drift.select(
         F.col("event_type").alias("r_type"), F.col("day").alias("r_day"),
         "baseline_q"))

@@ -280,3 +280,37 @@ def test_sketch_drift_detects_planted_shift(spark):
     # the report plan reads only the sketch relation (grain^2-bounded
     # self-join), never the raw rows: n_rows carried from the sketch
     assert got[("b", 8)]["n_rows"] == 400
+
+
+def test_events_sketch_drift_total_over_null_values(spark, tmp_path):
+    """Round-14 ADVICE: the drift query's rank verification must be
+    total over NULL event values — kll_sketch_agg_double ignores NULLs,
+    so the median's rank lives in the NON-NULL distribution; counting
+    every row as n deflated the relative rank below the lower bound and
+    flipped within_day/within_base false against the oracle's literal
+    TRUE. Plant NULLs into a copy of the sf0.001 events table (~12% of
+    rows, deterministic) and differential-check the full contract query
+    against its own oracle on the modified fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from data_engineering_projects_spark import contract
+    from tests.oracle import STAR_TABLES, compare
+
+    contract.load_all()
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for t in STAR_TABLES:
+        if t != "events":
+            os.symlink(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{src}/events.parquet")
+    mask = pc.equal(pc.bit_wise_and(tbl["event_id"], 7), 0)
+    assert pc.sum(mask).as_py() > 0
+    value = pc.if_else(mask, pa.scalar(None, pa.float64()), tbl["value"])
+    pq.write_table(tbl.set_column(tbl.schema.get_field_index("value"),
+                                  "value", value),
+                   f"{d}/events.parquet")
+    compare(contract.QUERIES["events_sketch_drift"](spark, d),
+            contract.ORACLES["events_sketch_drift"], d)
