@@ -220,14 +220,60 @@ def get_session(app_name: str = "data_engineering_projects_spark",
     return tune(builder.getOrCreate())
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        pass  # EPERM etc: exists but not ours — treat as alive
+    return True
+
+
 def _fast_local_dir() -> str | None:
-    """tmpfs scratch dir for shuffle/spill if present with headroom."""
+    """tmpfs scratch dir for shuffle/spill if present with headroom.
+
+    Round 14 (from ADVICE — tmpfs is RAM-backed, so leaks and blind
+    reuse pressure the host in ways disk scratch would absorb):
+
+    - **per-process dir** (``spark-local-<pid>``) instead of one shared
+      mutable dir, registered for atexit removal — a graceful exit
+      cleans up even when ``spark.stop()`` was never called (Spark's
+      own shutdown hook only removes its blockmgr subdirs);
+    - **stale reclamation first**: sibling ``spark-local-<pid>`` dirs
+      whose pid is dead (SIGKILLed sessions — the leak class) and the
+      legacy shared ``spark-local`` dir are removed BEFORE the headroom
+      check, so the check measures true availability instead of being
+      eaten by ghosts;
+    - the 16 GiB headroom bar then applies to the post-reclaim mount.
+
+    What this deliberately does NOT do (decision recorded in
+    SCALING.md): list a disk dir second in ``spark.local.dir`` — Spark
+    round-robins block files across local dirs rather than overflowing,
+    so a second dir would re-pay the per-file create/commit latency on
+    HALF the shuffle files, the exact cost the tmpfs routing removes
+    (r13 measurement: 50-110 ms/file, size-independent). Mid-job
+    exhaustion remains bounded by workload profile, not by a hard cap:
+    the suite's worst shuffle footprint is ~3 orders of magnitude under
+    the headroom bar, and on a real cluster this knob is node-local
+    NVMe where the concern vanishes."""
     shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
     try:
+        import re
+        import shutil
+        for f in os.listdir(shm):
+            m = re.fullmatch(r"spark-local(-(\d+))?", f)
+            if m and (m.group(2) is None
+                      or not _pid_alive(int(m.group(2)))):
+                shutil.rmtree(os.path.join(shm, f), ignore_errors=True)
         st = os.statvfs(shm)
         if st.f_bavail * st.f_frsize > 16 << 30:
-            d = os.path.join(shm, "spark-local")
+            d = os.path.join(shm, f"spark-local-{os.getpid()}")
             os.makedirs(d, exist_ok=True)
+            if not getattr(_fast_local_dir, "_atexit_registered", False):
+                import atexit
+                atexit.register(shutil.rmtree, d, ignore_errors=True)
+                _fast_local_dir._atexit_registered = True
             return d
     except OSError:
         pass

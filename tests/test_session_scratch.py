@@ -35,3 +35,34 @@ def test_scratch_dir_always_writable(monkeypatch):
     finally:
         import shutil
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fast_local_dir_reclaims_stale_and_uniquifies(monkeypatch, tmp_path):
+    """Round-14 ADVICE: the scratch dir is per-process (pid-suffixed,
+    atexit-cleaned) and siblings leaked by SIGKILLed sessions — plus the
+    legacy shared name — are reclaimed BEFORE the headroom check, so
+    the check measures true availability."""
+    import shutil
+
+    from data_engineering_projects_spark.session import _fast_local_dir
+
+    mount = str(tmp_path / "shm")
+    os.makedirs(mount)
+    # leaked artifacts: legacy shared dir + a dead-pid dir; a live-pid
+    # sibling (another session on this host) must be kept
+    os.makedirs(os.path.join(mount, "spark-local"))
+    dead = os.path.join(mount, "spark-local-999999999")
+    os.makedirs(dead)
+    live = os.path.join(mount, f"spark-local-{os.getppid()}")
+    os.makedirs(live)
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", mount)
+    d = _fast_local_dir()
+    try:
+        assert not os.path.exists(os.path.join(mount, "spark-local"))
+        assert not os.path.exists(dead)
+        assert os.path.exists(live)
+        if d is not None:  # None only if the tmp mount lacks headroom
+            assert d == os.path.join(mount, f"spark-local-{os.getpid()}")
+            assert os.path.isdir(d)
+    finally:
+        shutil.rmtree(mount, ignore_errors=True)
