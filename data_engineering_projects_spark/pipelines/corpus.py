@@ -362,6 +362,26 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
         bands = _mh_bands(_mh_signatures(both, persisted_out=extra,
                                          carry=("is_new",)),
                           carry=("is_new",))
+    # ONE (band, band_key)-partitioned materialization of the combined
+    # band index (round 14, twin-stage audit follow-up): the relation
+    # has THREE consumers — the hot-bucket count, and the two one-sided
+    # probe relations below — whose stages materialize concurrently
+    # under AQE, so without a cache the union+semi-join subtree ran
+    # once per consumer (the r13 baseline's duplicated-exchange group).
+    # Interleaved A/B at sf0.1 (3 reps each): executor time 66-76 s →
+    # 56-63 s, duplicated twin-stage time 11-14 s → 5-7 s, wall a wash
+    # at fixture scale; a broadcast(bb) variant measured NO better
+    # (73-97 s) because the hot count and corpus probe still re-ran the
+    # subtree. The (band, band_key) partitioning serves all three
+    # consumers (hot's groupBy and both self-join sides), so the cache
+    # build is the ONLY full exchange of the relation — vs two join-side
+    # exchanges plus the agg shuffle before. This differs from the
+    # _mh_candidates adjudication (cache LOSES there) because this
+    # subtree carries a semi-join + union per rebuild, not a cheap
+    # explode over already-cached signatures.
+    bands = bands.repartition("band", "band_key").persist()
+    bands.count()
+    extra.append(bands)
     hot = _mh_hot_buckets(bands, _LSH_BUCKET_CAP)
     bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     bc = bands.filter(~F.col("is_new")).select("doc_id", "band", "band_key")
