@@ -433,34 +433,52 @@ def _append_batch_with_marker(spark, state_path: str, batch_id: int,
 _COMPACT_READY = ".compact_ready_"
 
 
+def _parse_ready_marker(name: str) -> tuple[int, int] | None:
+    """(lo, hi) of an intent marker. Two formats: the legacy prefix
+    fold ``.compact_ready_<hi>`` (lo = unbounded, rendered as -1 —
+    remove every dir ≤ hi) and the round-14 range fold
+    ``.compact_ready_<lo>-<hi>``."""
+    if not name.startswith(_COMPACT_READY):
+        return None
+    tail = name[len(_COMPACT_READY):]
+    if tail.isdigit():
+        return (-1, int(tail))
+    lo, sep, hi = tail.partition("-")
+    if sep and lo.isdigit() and hi.isdigit():
+        return (int(lo), int(hi))
+    return None
+
+
 def _heal_compaction(state_path: str) -> None:
     """Finish an interrupted :func:`compact_append_state` (idempotent;
     called by the writer at the top of every batch append). The intent
-    marker ``.compact_ready_<K>`` holds the fully-written combined dir;
-    once it exists the compaction is COMMITTED and completing it is pure
-    mechanics: remove the now-redundant ``batch=<i≤K>`` dirs, then
-    rename the combined dir into place as ``batch=<K>``."""
+    marker (see :func:`_parse_ready_marker`) holds the fully-written
+    combined dir; once it exists the compaction is COMMITTED and
+    completing it is pure mechanics: remove the now-redundant
+    ``batch=<lo ≤ i ≤ hi>`` dirs, then rename the combined dir into
+    place as ``batch=<hi>``."""
     import os
     import shutil
 
     if not os.path.isdir(state_path):
         return
     for f in os.listdir(state_path):
-        if not (f.startswith(_COMPACT_READY)
-                and f[len(_COMPACT_READY):].isdigit()):
+        rng = _parse_ready_marker(f)
+        if rng is None:
             continue
-        k = int(f[len(_COMPACT_READY):])
+        lo, hi = rng
         for g in list(os.listdir(state_path)):
             if g.startswith("batch=") and g[len("batch="):].isdigit() \
-                    and int(g[len("batch="):]) <= k:
+                    and lo <= int(g[len("batch="):]) <= hi:
                 shutil.rmtree(os.path.join(state_path, g))
         os.rename(os.path.join(state_path, f),
-                  os.path.join(state_path, f"batch={k}"))
+                  os.path.join(state_path, f"batch={hi}"))
         _fsync_dir(state_path)
 
 
 def compact_append_state(spark, state_path: str,
-                         upto: int | None = None) -> int | None:
+                         upto: int | None = None,
+                         since: int | None = None) -> int | None:
     """Rewrite every committed ``batch=<i ≤ K>`` dir of an append-layout
     state into ONE ``batch=<K>`` dir (round 13, verdict #6): one
     partition dir per micro-batch is the right write path, but at
@@ -468,6 +486,16 @@ def compact_append_state(spark, state_path: str,
     listing/small-file problem. K = the largest committed id ≤ ``upto``
     (default: all of them). Returns K, or None when fewer than two dirs
     qualify (nothing to do).
+
+    ``since`` (round 14, verdict #2): lower id bound — folds only the
+    RANGE ``since ≤ i ≤ upto`` into ``batch=<K>``, leaving older dirs
+    untouched. This is the primitive :func:`tiered_compact_append_state`
+    builds its LSM-style schedule on; a range fold writes the intent
+    marker as ``.compact_ready_<lo>-<hi>`` so the heal removes exactly
+    the folded range (the legacy ``.compact_ready_<K>`` prefix marker
+    is still healed for states written before the upgrade). Lineage
+    coarsens per-range: rows in the folded dir carry
+    ``batch = K`` ("admitted in (previous dir, K]").
 
     Invariants preserved:
 
@@ -515,20 +543,22 @@ def compact_append_state(spark, state_path: str,
 
     _heal_compaction(state_path)
     ids = sorted(_batch_dir_ids(state_path))
-    todo = [i for i in ids if upto is None or i <= upto]
+    todo = [i for i in ids if (upto is None or i <= upto)
+            and (since is None or i >= since)]
     if len(todo) < 2:
         return None
-    k = todo[-1]
+    lo, k = todo[0], todo[-1]
     paths = [os.path.join(state_path, f"batch={i}") for i in todo]
     tmp = state_path + "__compact"
     shutil.rmtree(tmp, ignore_errors=True)
     # read via the parent so empty (schema-only) dirs and partition
-    # pruning behave; batch <= K selects exactly the compacted dirs
+    # pruning behave; lo <= batch <= K selects exactly the compacted dirs
     rows = (spark.read.parquet(state_path)
-            .filter(F.col("batch") <= k).drop("batch"))
+            .filter((F.col("batch") >= lo) & (F.col("batch") <= k))
+            .drop("batch"))
     rows.write.mode("overwrite").parquet(tmp)
     _fsync_tree(tmp)
-    ready = os.path.join(state_path, f"{_COMPACT_READY}{k}")
+    ready = os.path.join(state_path, f"{_COMPACT_READY}{lo}-{k}")
     os.rename(tmp, ready)        # commit point
     _fsync_dir(state_path)
     for p in paths:
@@ -536,6 +566,65 @@ def compact_append_state(spark, state_path: str,
     os.rename(ready, os.path.join(state_path, f"batch={k}"))
     _fsync_dir(state_path)
     return k
+
+
+def tiered_compact_plan(sizes: list[tuple[int, int]],
+                        min_run: int = 2) -> tuple[int, int] | None:
+    """Pure size-tiered fold policy over (batch_id, n_rows) pairs —
+    split out so the O(T log T) rewrite bound is unit-testable without
+    a filesystem. Scan newest → oldest accumulating run rows; include
+    the next older dir while its rows ≤ the accumulated total (the
+    simplified universal-compaction rule: never rewrite a dir bigger
+    than everything newer combined). Returns the (lo, hi) id range to
+    fold, or None when the eligible run is shorter than ``min_run``.
+
+    Why this bounds total rewrite I/O at O(T log T) rows over T
+    equal-sized batches: a dir is only rewritten into a fold at least
+    as large as twice its own size (it must be ≤ the accumulated newer
+    rows), so each ROW participates in at most log₂(T) folds — vs the
+    full-refold schedule where every row is rewritten on every trigger
+    (Σ corpus ≈ T²/(2N) rows, the quadratic-cumulative class the r11
+    swap helper was retired for)."""
+    if len(sizes) < 2:
+        return None
+    ordered = sorted(sizes)  # by id ascending; scan from the newest
+    run = [ordered[-1]]
+    acc = ordered[-1][1]
+    for bid, n in reversed(ordered[:-1]):
+        if n > acc:
+            break
+        run.append((bid, n))
+        acc += n
+    if len(run) < min_run:
+        return None
+    return (run[-1][0], run[0][0])
+
+
+def tiered_compact_append_state(spark, state_path: str,
+                                min_run: int = 2) -> tuple[int, int] | None:
+    """LSM-style maintenance fold for an append-layout state (round 14,
+    verdict #2): fold the newest run of dirs chosen by
+    :func:`tiered_compact_plan` (dir sizes from parquet footers —
+    driver-side, no job) into one ``batch=<hi>`` dir via the range form
+    of :func:`compact_append_state`. Unlike the full prefix fold, total
+    rewrite I/O over a stream's lifetime is O(T log T) rows instead of
+    quadratic-cumulative — the difference between a minutes-cadence
+    stream that can run for years and one whose maintenance cost grows
+    without bound (measured crossover in SCALING.md). Same crash
+    protocol, same single-writer-between-batches contract; returns the
+    folded (lo, hi) id range — the caller folds any derived state over
+    the SAME range — or None when no run qualifies."""
+    import os
+
+    _heal_compaction(state_path)
+    sizes = [(bid, _dir_parquet_rows(
+        os.path.join(state_path, f"batch={bid}")))
+        for bid in sorted(_batch_dir_ids(state_path))]
+    rng = tiered_compact_plan(sizes, min_run=min_run)
+    if rng is None:
+        return None
+    compact_append_state(spark, state_path, upto=rng[1], since=rng[0])
+    return rng
 
 
 def read_corpus_state(spark, corpus_path: str,
@@ -827,14 +916,20 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
     (corpus stability keeps the first-arrived); the family count does
     not.
 
-    ``compact_every`` (round 13): when set, the writer folds the state
-    into one ``batch=<K>`` dir via :func:`compact_append_state` whenever
-    the committed dir count reaches the threshold, bounding dir count at
-    ~``compact_every`` for arbitrarily long-lived streams (the
-    minutes-cadence listing/small-file concern). Runs between batches in
-    the single writer; see the compaction docstring for the crash
-    protocol and the ad-hoc-reader caveat. Default off — daily-cadence
-    streams never need it."""
+    ``compact_every`` (round 13; schedule replaced round 14, verdict
+    #2): when set and the committed dir count reaches the threshold,
+    the writer folds the newest SIZE-TIERED run of dirs via
+    :func:`tiered_compact_append_state` (and the derived index over
+    the same range). The r13 full-refold rewrote the ENTIRE corpus
+    every trigger — Σ rewrite I/O ≈ T²/(2N) rows over T batches, the
+    quadratic-cumulative class the r11 swap helper was retired for;
+    the tiered schedule rewrites each row O(log T) times total while
+    bounding the dir count at ~``compact_every`` + log₂(stream age)
+    (the minutes-cadence listing/small-file concern — measured
+    crossover in SCALING.md). Runs between batches in the single
+    writer; see the compaction docstrings for the crash protocol and
+    the ad-hoc-reader caveat. Default off — daily-cadence streams
+    never need it."""
     kw = dict(quality_min=quality_min, jaccard_min=jaccard_min,
               shingle_k=shingle_k, split_weights=split_weights,
               split_seed=split_seed)
@@ -848,16 +943,16 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
                 >= compact_every:
             # ORDER is load-bearing (round 14, from ADVICE): corpus
             # first. A crash between the two leaves a pre-compaction
-            # index batch=K next to the folded corpus batch=K;
+            # index batch=hi next to the folded corpus batch=hi;
             # _reconcile_index detects it by per-dir row count and
             # re-projects. Index-FIRST would be wrong the other way:
-            # the folded index batch=K would hold projections of rows
-            # the corpus still stores in dirs < K, and reconcile's
+            # the folded index batch=hi would hold projections of rows
+            # the corpus still stores in older dirs, and reconcile's
             # backfill would then DUPLICATE them.
-            k = compact_append_state(spark, corpus_path)
-            if maintain_index and k is not None:
+            rng = tiered_compact_append_state(spark, corpus_path)
+            if maintain_index and rng is not None:
                 compact_append_state(spark, corpus_path + "__index",
-                                     upto=k)
+                                     upto=rng[1], since=rng[0])
 
     return (docs.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())

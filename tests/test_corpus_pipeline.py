@@ -670,6 +670,105 @@ def test_corpus_stream_compaction_keeps_decisions_and_cache(spark,
     assert idx_ids == [1, 2, 3, 6]
 
 
+def test_tiered_compact_plan_bounds_rewrite_io():
+    """Round-14 verdict #2: the size-tiered fold policy keeps total
+    rewrite I/O O(T log T) rows over T equal-sized batches — vs the
+    full-refold schedule's quadratic Σ ≈ T²/(2N) — while bounding live
+    dir count at ~threshold + log2(T). Pure simulation of the actual
+    policy function, no filesystem."""
+    import math
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        tiered_compact_plan)
+
+    threshold = 8
+    T = 512
+    dirs: list[tuple[int, int]] = []   # (batch_id, rows)
+    rewritten = 0
+    max_live = 0
+    for b in range(T):
+        dirs.append((b, 1))
+        if len(dirs) >= threshold:
+            rng = tiered_compact_plan(dirs)
+            if rng is not None:
+                lo, hi = rng
+                folded = [(i, n) for i, n in dirs if lo <= i <= hi]
+                rows = sum(n for _, n in folded)
+                rewritten += rows
+                dirs = [(i, n) for i, n in dirs if not lo <= i <= hi]
+                dirs.append((hi, rows))
+                dirs.sort()
+        max_live = max(max_live, len(dirs))
+    total_rows = T
+    # the r13 full-refold schedule, simulated at the same threshold:
+    # every trigger rewrites the ENTIRE corpus accumulated so far
+    full_refold_io, live = 0, 0
+    for b in range(T):
+        live += 1
+        if live >= threshold:
+            full_refold_io += b + 1  # whole corpus so far
+            live = 1
+    assert sum(n for _, n in dirs) == total_rows  # no loss/dup
+    assert rewritten <= 3 * total_rows * math.log2(T)  # O(T log T)
+    assert rewritten < full_refold_io / 2              # beats quadratic
+    assert max_live <= threshold + math.log2(T) + 1    # bounded dirs
+    # each-row-rewritten-at-most-log-times is the amortized claim;
+    # the policy invariant behind it: a fold's oldest dir is never
+    # larger than the sum of everything newer in the run
+    assert tiered_compact_plan([(0, 100), (1, 1), (2, 1)]) == (1, 2)
+    assert tiered_compact_plan([(0, 100), (1, 1)]) is None  # run of 1
+    assert tiered_compact_plan([(5, 3)]) is None            # single dir
+
+
+def test_range_compaction_and_crashed_range_marker_heal(spark, tmp_path):
+    """compact_append_state(since=, upto=) folds a middle/suffix range
+    into batch=<hi>, leaving older dirs untouched; a crash right after
+    the range intent-marker rename heals exactly that range (and a
+    legacy prefix marker still heals too)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _batch_dir_ids, compact_append_state,
+        read_corpus_state)
+
+    state = str(tmp_path / "s")
+    for b in range(5):
+        _append_batch_with_marker(
+            spark, state, b,
+            lambda old, b=b: spark.range(b + 1)
+            .select(F.lit(b).alias("src"), F.col("id")))
+
+    # range fold [2..4]: dirs 0,1 untouched, rows preserved
+    k = compact_append_state(spark, state, upto=4, since=2)
+    assert k == 4
+    assert _batch_dir_ids(state) == {0, 1, 4}
+    rows = sorted((r["src"], r["id"]) for r in
+                  read_corpus_state(spark, state).collect())
+    assert len(rows) == 1 + 2 + 3 + 4 + 5
+
+    # crash after the range-marker commit: simulate by hand-writing a
+    # ready dir for [0..1], then let the next append heal it
+    combined = (spark.read.parquet(state)
+                .filter(F.col("batch") <= 1).drop("batch"))
+    tmp = state + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(state, ".compact_ready_0-1"))
+    _append_batch_with_marker(
+        spark, state, 5,
+        lambda old: spark.range(6).select(F.lit(5).alias("src"),
+                                          F.col("id")))
+    assert _batch_dir_ids(state) == {1, 4, 5}
+    rows2 = sorted((r["src"], r["id"]) for r in
+                   read_corpus_state(spark, state).collect())
+    assert len(rows2) == len(rows) + 6
+    assert not any(f.startswith(".compact_ready_")
+                   for f in os.listdir(state))
+
+
 def test_reconcile_heals_crash_between_corpus_and_index_compaction(
         spark, tmp_path):
     """Round-14 ADVICE (high): a crash BETWEEN the corpus and index
@@ -928,7 +1027,7 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
 
     from data_engineering_projects_spark.streaming.jobs import (
         _append_batch_with_marker, _batch_dir_ids, compact_append_state,
-        read_corpus_state)
+        read_corpus_state, tiered_compact_append_state)
 
     state = str(tmp_path / "storm2")
     rng = random.Random(20260815)
@@ -941,18 +1040,26 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
 
     def interrupted_compaction(k_hint):
         """Run compaction steps by hand up to a crash point chosen by
-        the rng: after the intent rename (commit), or mid-removal."""
+        the rng: after the intent rename (commit), or mid-removal.
+        Round 14: half the crashes use the RANGE marker format (a
+        crashed tiered fold), half the legacy prefix format."""
         ids = sorted(_batch_dir_ids(state))
         todo = [i for i in ids if i <= k_hint]
         if len(todo) < 2:
             return
-        k = todo[-1]
+        as_range = rng.random() < 0.5
+        if as_range and len(todo) > 2:
+            todo = todo[rng.randrange(len(todo) - 1):]
+        lo, k = todo[0], todo[-1]
         combined = (spark.read.parquet(state)
-                    .filter(F.col("batch") <= k).drop("batch"))
+                    .filter((F.col("batch") >= (lo if as_range else -1))
+                            & (F.col("batch") <= k)).drop("batch"))
         tmp = state + "__compact"
         shutil.rmtree(tmp, ignore_errors=True)
         combined.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(state, f".compact_ready_{k}"))
+        marker = (f".compact_ready_{lo}-{k}" if as_range
+                  else f".compact_ready_{k}")
+        os.rename(tmp, os.path.join(state, marker))
         if rng.random() < 0.5:  # crash mid-removal
             for i in todo[: rng.randrange(len(todo))]:
                 shutil.rmtree(os.path.join(state, f"batch={i}"),
@@ -962,7 +1069,8 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
     for b in range(N):
         if b > 0:
             art = rng.choice(["tmp", "markers", "debris", "replay",
-                              "compact_ok", "compact_crash", "none"])
+                              "compact_ok", "compact_crash",
+                              "tiered_ok", "none"])
             if art == "tmp":
                 shutil.copytree(os.path.join(state, f"batch={b-1}"),
                                 state + "__tmp",
@@ -980,6 +1088,8 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
                                      upto=rng.randrange(b))
             elif art == "compact_crash":
                 interrupted_compaction(rng.randrange(b))
+            elif art == "tiered_ok":
+                tiered_compact_append_state(spark, state)
         apply(b)
 
     rows = sorted(r["applied"] for r in
