@@ -101,8 +101,10 @@ class CorpusResult:
     sets: DataFrame | None = None
 
     def unpersist(self) -> None:
+        from ..session import free_local_checkpoint
         for df in self._persisted:
-            df.unpersist()
+            df.unpersist()                 # cached frames
+            free_local_checkpoint(df)      # checkpoint barriers (r14)
 
 
 def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
@@ -153,21 +155,32 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     # near dedup over exact survivors: LSH candidates -> exact-Jaccard
     # verify -> bounded min-label CC -> quality keeper per cluster.
     survivors = persisted.filter("exact_keep")
-    # persisted AND eagerly materialized (rounds 12+13): the shingle-set
-    # relation is read by BOTH verify sides plus signature generation,
-    # and those consumers' query stages materialize CONCURRENTLY under
-    # AQE — a lazy persist leaves each of them re-running the full
+    # eagerly materialized (rounds 12+13): the shingle-set relation is
+    # read by BOTH verify sides plus signature generation, and those
+    # consumers' query stages materialize CONCURRENTLY under AQE — a
+    # lazy barrier leaves each of them re-running the full
     # scrub+quality+window+tokenize+shingle lineage in parallel before
     # the cache lands (the r12 "13 s -> 7 s" persist only fixed the
-    # sequential re-pay). One count() builds the cache — and the
-    # upstream `persisted` frame's — in a single pass before fan-out.
+    # sequential re-pay); the eager materialization also builds the
+    # upstream `persisted` frame's cache in the same pass.
     # pre-partitioned by doc_id (round-13 twin-stage audit): both
     # verify joins key the sets side by doc_id; a doc_id-partitioned
-    # cache satisfies both distribution requirements, so the relation
-    # shuffles ONCE here instead of once per verify side
-    sets = _shingle_sets(survivors, shingle_k) \
-        .repartition("doc_id").persist()
-    sets.count()
+    # barrier satisfies both distribution requirements, so the relation
+    # shuffles ONCE here instead of once per verify side.
+    # eager localCheckpoint, not persist+count (round 14, verdict #5):
+    # same materialization barrier (AQE-concurrency serialization, doc_id
+    # partitioning preserved through LogicalRDD), but the checkpoint also
+    # TRUNCATES lineage — every later action in the chain re-analyzes the
+    # accumulated tree, so with persist barriers Catalyst planning grew
+    # with chain depth (measured: 4.3-4.4 s of inter-job planning gap per
+    # corpus_extend_admissions run; 3.1-3.5 s with checkpoints, wall
+    # 7.8-8.0 -> 6.4-7.2 s, 63 -> 58 jobs). Blocks are freed by
+    # CorpusResult.unpersist via free_local_checkpoint. Cluster caveat,
+    # same trade orders_scd2_current adjudicated in r11: checkpoint
+    # blocks are not recomputable after executor loss — acceptable for
+    # barriers consumed within the same query, documented here.
+    sets = (_shingle_sets(survivors, shingle_k).repartition("doc_id")
+            .localCheckpoint(eager=True))
     extra_persists: list = [sets]
     # threshold on the RAW jaccard inside the verify (round 12): the
     # rounded output column sits one ulp from the oracle's decision at
@@ -319,8 +332,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # persisted: after_exact feeds the batch-side shingle sets, the
     # admitted anti-join, and the report counts; the combined sets feed
     # signature generation plus both verify sides.
-    after_exact = after_exact.persist()
-    after_exact.count()  # eager: see prepare_corpus — concurrent AQE
+    after_exact = after_exact.localCheckpoint(eager=True)
+    # eager checkpoint barrier: see prepare_corpus (round 14) — concurrent AQE
     # stages (bset semi-join, admitted anti-join, report counts) would
     # otherwise each re-run the exact-tier anti-join lineage in parallel
     # corpus_sets: callers that maintain the corpus shingle index as
@@ -342,8 +355,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # partitioning serves both joins and the union shuffles once here
     # instead of once per side; eager count for the same AQE-concurrency
     # reason as prepare_corpus
-    both = cset.unionByName(bset).repartition("doc_id").persist()
-    both.count()
+    both = (cset.unionByName(bset).repartition("doc_id")
+            .localCheckpoint(eager=True))
     extra: list = [after_exact, both]
     if corpus_bands is not None:
         # band-index state (round 12): the caller maintains the corpus
@@ -379,8 +392,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # _mh_candidates adjudication (cache LOSES there) because this
     # subtree carries a semi-join + union per rebuild, not a cheap
     # explode over already-cached signatures.
-    bands = bands.repartition("band", "band_key").persist()
-    bands.count()
+    bands = (bands.repartition("band", "band_key")
+             .localCheckpoint(eager=True))
     extra.append(bands)
     hot = _mh_hot_buckets(bands, _LSH_BUCKET_CAP)
     bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
