@@ -365,10 +365,16 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
         # recomputed; only the batch side is signed. Decisions are
         # identical by construction: the state IS the relation
         # _mh_bands(_mh_signatures(cset)) would compute.
+        # batch-side sets read BACK from the `both` checkpoint rather
+        # than rebuilding bset's semi-join lineage (round 14 — the last
+        # corpus twin pair: the union build and this branch each ran the
+        # semi-join once); the is_new rows of `both` ARE bset by
+        # construction, and the checkpoint read costs zero exchanges.
+        bset_ck = both.filter(F.col("is_new")).select("doc_id", "shs")
         bands = (corpus_bands.select("doc_id", "band", "band_key")
                  .withColumn("is_new", F.lit(False))
                  .unionByName(
-                     _mh_bands(_mh_signatures(bset.drop("is_new"),
+                     _mh_bands(_mh_signatures(bset_ck,
                                               persisted_out=extra))
                      .withColumn("is_new", F.lit(True))))
     else:
