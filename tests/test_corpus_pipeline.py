@@ -1101,3 +1101,54 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
     assert markers == [f"_applied_{N-1}"]
     assert not any(f.startswith(".compact_ready_")
                    for f in os.listdir(state))  # all healed
+
+
+def test_tiered_compact_plan_properties():
+    """Hypothesis sweep of the fold policy over irregular batch sizes
+    (including empty zero-admission dirs): any returned range is a
+    contiguous SUFFIX of the committed ids ending at the newest dir
+    (required by the range-marker heal and by `applied_ids`' max), the
+    amortization invariant holds (every dir in the run except the
+    newest is no larger than the accumulated newer rows), and folding
+    per the policy in a driver-side simulation never loses or
+    duplicates rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        tiered_compact_plan)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10_000),
+                    min_size=0, max_size=40))
+    def check(batch_rows):
+        dirs = list(enumerate(batch_rows))
+        total = sum(batch_rows)
+        for _ in range(60):  # fold to fixpoint
+            rng = tiered_compact_plan(dirs)
+            if rng is None:
+                break
+            lo, hi = rng
+            ids = [i for i, _ in dirs]
+            run_ids = [i for i in ids if lo <= i <= hi]
+            # contiguous suffix ending at the newest committed id
+            assert run_ids == sorted(ids)[-len(run_ids):]
+            assert hi == max(ids)
+            assert len(run_ids) >= 2
+            # amortization: each included dir (except the newest-most
+            # accumulated prefix) is <= the rows accumulated after it
+            sizes = {i: n for i, n in dirs}
+            acc = 0
+            for i in sorted(run_ids, reverse=True):
+                if acc:  # every non-first member obeys the rule
+                    assert sizes[i] <= acc
+                acc += sizes[i]
+            folded_rows = sum(n for i, n in dirs if lo <= i <= hi)
+            dirs = [(i, n) for i, n in dirs if not lo <= i <= hi]
+            dirs.append((hi, folded_rows))
+            dirs.sort()
+            assert sum(n for _, n in dirs) == total  # no loss/dup
+        else:
+            raise AssertionError("no fixpoint within 60 folds")
+
+    check()
