@@ -93,7 +93,18 @@ class CorpusResult:
     (round 12 — callers chaining a second dedup tier reuse it instead
     of re-tokenizing; valid because survivor text is unchanged
     downstream); ``_persisted``: the cached upstream relations — call
-    :meth:`unpersist` when done (``sets`` is among them)."""
+    :meth:`unpersist` when done (``sets`` is among them).
+
+    **unpersist finality (round 14)**: the pipeline's internal barriers
+    are eager ``localCheckpoint`` frames (lineage-truncating — see
+    prepare_corpus), so :meth:`unpersist` now INVALIDATES the result
+    frames rather than merely releasing caches: a checkpointed frame's
+    truncated lineage cannot recompute once its blocks are freed, and a
+    later action on ``docs``/``audit``/``sets`` (or anything derived
+    from them) fails with a missing-block error instead of silently
+    recomputing. Materialize (collect / write / localCheckpoint) every
+    result you still need BEFORE calling it — the contract every
+    in-repo caller already follows."""
     docs: DataFrame
     report: DataFrame
     audit: DataFrame

@@ -225,8 +225,30 @@ def _pid_alive(pid: int) -> bool:
         os.kill(pid, 0)
     except ProcessLookupError:
         return False
+    except OverflowError:
+        # pid parsed from a (world-writable-mount) dir name too large
+        # for a real pid: no such process can exist — stale junk
+        return False
     except OSError:
         pass  # EPERM etc: exists but not ours — treat as alive
+    return True
+
+
+def _tree_idle_for(path: str, secs: float) -> bool:
+    """True when nothing under ``path`` (files or dirs, any depth) has
+    an mtime within the last ``secs`` — early-exits on the first recent
+    entry, so an ACTIVE scratch tree answers in O(1)."""
+    import time
+    cutoff = time.time() - secs
+    try:
+        if os.path.getmtime(path) > cutoff:
+            return False
+        for root, dirs, files in os.walk(path):
+            for f in dirs + files:
+                if os.path.getmtime(os.path.join(root, f)) > cutoff:
+                    return False
+    except OSError:
+        return False  # racing with its owner: not idle
     return True
 
 
@@ -241,10 +263,14 @@ def _fast_local_dir() -> str | None:
       cleans up even when ``spark.stop()`` was never called (Spark's
       own shutdown hook only removes its blockmgr subdirs);
     - **stale reclamation first**: sibling ``spark-local-<pid>`` dirs
-      whose pid is dead (SIGKILLed sessions — the leak class) and the
-      legacy shared ``spark-local`` dir are removed BEFORE the headroom
-      check, so the check measures true availability instead of being
-      eaten by ghosts;
+      whose pid is dead (SIGKILLed sessions — the leak class) are
+      removed BEFORE the headroom check, so the check measures true
+      availability instead of being eaten by ghosts; the legacy shared
+      ``spark-local`` dir (pre-r14 layout, no owner pid recorded) is
+      reclaimed only after an hour of tree-wide inactivity — a live
+      pre-upgrade session touches its blockmgr tree constantly, so the
+      idle check cannot yank scratch from under in-flight jobs
+      (review-found);
     - the 16 GiB headroom bar then applies to the post-reclaim mount.
 
     What this deliberately does NOT do (decision recorded in
@@ -263,9 +289,14 @@ def _fast_local_dir() -> str | None:
         import shutil
         for f in os.listdir(shm):
             m = re.fullmatch(r"spark-local(-(\d+))?", f)
-            if m and (m.group(2) is None
-                      or not _pid_alive(int(m.group(2)))):
-                shutil.rmtree(os.path.join(shm, f), ignore_errors=True)
+            if m is None:
+                continue
+            p = os.path.join(shm, f)
+            stale = (not _pid_alive(int(m.group(2)))
+                     if m.group(2) is not None
+                     else _tree_idle_for(p, 3600))
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
         st = os.statvfs(shm)
         if st.f_bavail * st.f_frsize > 16 << 30:
             d = os.path.join(shm, f"spark-local-{os.getpid()}")

@@ -48,9 +48,11 @@ def test_fast_local_dir_reclaims_stale_and_uniquifies(monkeypatch, tmp_path):
 
     mount = str(tmp_path / "shm")
     os.makedirs(mount)
-    # leaked artifacts: legacy shared dir + a dead-pid dir; a live-pid
-    # sibling (another session on this host) must be kept
-    os.makedirs(os.path.join(mount, "spark-local"))
+    # leaked artifacts: an IDLE legacy shared dir + a dead-pid dir; a
+    # live-pid sibling (another session on this host) must be kept
+    legacy = os.path.join(mount, "spark-local")
+    os.makedirs(legacy)
+    os.utime(legacy, (10_000_000, 10_000_000))  # idle > 1 h
     dead = os.path.join(mount, "spark-local-999999999")
     os.makedirs(dead)
     live = os.path.join(mount, f"spark-local-{os.getppid()}")
@@ -64,5 +66,43 @@ def test_fast_local_dir_reclaims_stale_and_uniquifies(monkeypatch, tmp_path):
         if d is not None:  # None only if the tmp mount lacks headroom
             assert d == os.path.join(mount, f"spark-local-{os.getpid()}")
             assert os.path.isdir(d)
+    finally:
+        shutil.rmtree(mount, ignore_errors=True)
+
+
+def test_fast_local_dir_spares_active_legacy_dir(monkeypatch, tmp_path):
+    """Review-found (r14): the legacy shared `spark-local` dir may
+    belong to a LIVE pre-upgrade session — it is reclaimed only after
+    an hour of tree-wide inactivity, never while its blockmgr tree is
+    being touched; junk pid dirs too large for a real pid count as
+    stale."""
+    import shutil
+
+    from data_engineering_projects_spark.session import (_fast_local_dir,
+                                                         _pid_alive)
+
+    assert _pid_alive(99999999999999) is False  # OverflowError path
+
+    mount = str(tmp_path / "shm")
+    legacy = os.path.join(mount, "spark-local")
+    os.makedirs(os.path.join(legacy, "blockmgr-x"))
+    # fresh mtimes -> active tree -> must be spared
+    with open(os.path.join(legacy, "blockmgr-x", "shuffle_0"), "w") as f:
+        f.write("x")
+    junk = os.path.join(mount, "spark-local-99999999999999")
+    os.makedirs(junk)
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", mount)
+    _fast_local_dir()
+    try:
+        assert os.path.exists(legacy)      # active: spared
+        assert not os.path.exists(junk)    # impossible pid: reclaimed
+        # age the legacy tree past the idle bar -> reclaimed next call
+        old = 10_000_000
+        for root, dirs, files in os.walk(legacy, topdown=False):
+            for f in dirs + files:
+                os.utime(os.path.join(root, f), (old, old))
+        os.utime(legacy, (old, old))
+        _fast_local_dir()
+        assert not os.path.exists(legacy)
     finally:
         shutil.rmtree(mount, ignore_errors=True)
