@@ -1152,3 +1152,71 @@ def test_tiered_compact_plan_properties():
             raise AssertionError("no fixpoint within 60 folds")
 
     check()
+
+
+def test_reconcile_survives_crash_mid_repair(spark, tmp_path, monkeypatch):
+    """Crash-injection INSIDE the reconcile repair (round 14): the
+    design claim is that repair order (re-project suspects + backfill
+    first, drop stale LAST) makes any mid-reconcile crash leave the id
+    sets unequal, so the next batch re-enters reconcile instead of
+    trusting a half-repaired cache. Inject a failure into the stale-drop
+    phase after the suspect re-projection landed, then verify the next
+    apply converges with correct admissions."""
+    import os
+
+    import data_engineering_projects_spark.streaming.jobs as J
+
+    schema = "doc_id long, text string, source string, lang string"
+    kw = dict(quality_min=0.2, jaccard_min=0.5, shingle_k=3,
+              split_weights=None, split_seed=42)
+    corpus = str(tmp_path / "c")
+    idx = corpus + "__index"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    J._corpus_stream_apply(spark, corpus, batch(
+        [(1, _words(60, "ya"), "web", "en")]), 0, kw)
+    J._corpus_stream_apply(spark, corpus, batch(
+        [(2, _words(60, "yb"), "web", "en")]), 1, kw)
+    J._corpus_stream_apply(spark, corpus, batch(
+        [(3, _words(60, "yc"), "web", "en")]), 2, kw)
+
+    # corpus folds, index compaction "crashes" (never runs)
+    assert J.compact_append_state(spark, corpus) == 2
+    assert J._batch_dir_ids(idx) == {0, 1, 2}
+
+    # inject: the stale-drop rmtree calls inside _reconcile_index fail
+    # (simulated crash after the suspect re-projection committed)
+    import shutil as _sh
+    calls = {"n": 0}
+    real = _sh.rmtree
+
+    def exploding_rmtree(path, *a, **k):
+        if "batch=" in os.path.basename(path) and path.startswith(idx):
+            calls["n"] += 1
+            raise OSError("injected crash mid stale-drop")
+        return real(path, *a, **k)
+
+    monkeypatch.setattr("shutil.rmtree", exploding_rmtree)
+    try:
+        J._reconcile_index(spark, corpus, idx, 3)
+    except OSError:
+        pass
+    monkeypatch.setattr("shutil.rmtree", real)
+    assert calls["n"] >= 1  # the injection actually fired
+    # half-repaired: stale dirs remain -> id sets unequal -> unconverged
+    assert J._batch_dir_ids(idx) != J._batch_dir_ids(corpus)
+
+    # next batch re-enters reconcile and converges; the near-dup of the
+    # folded doc 1 must be dropped (the cache content is now FULL)
+    J._corpus_stream_apply(spark, corpus, batch(
+        [(5, _words(60, "ya") + " tiny drift", "web", "en"),
+         (6, _words(70, "yd"), "books", "en")]), 3, kw)
+    admitted = sorted(r["doc_id"] for r in
+                      J.read_corpus_state(spark, corpus).collect())
+    assert admitted == [1, 2, 3, 6]
+    assert J._batch_dir_ids(idx) == J._batch_dir_ids(corpus)
+    idx_ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(idx).collect())
+    assert idx_ids == [1, 2, 3, 6]
