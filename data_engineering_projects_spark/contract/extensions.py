@@ -2748,8 +2748,18 @@ def events_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("r_day").alias("day"),
                           bound_ok("lt", "le", F.col("n"))
                           .alias("within_base")))
+    # LEFT join back onto the drift grain (round 15, from ADVICE): a
+    # cell whose day (or whole 7-day baseline window) holds only NULL
+    # values has no evnn group at all, and an inner join would silently
+    # drop it from the report — diverging from the oracle's COUNT(*)
+    # grain. An absent rank row means the non-null distribution is
+    # empty, so there is no rank for the sketch median to violate:
+    # trivially within-bounds.
     return (drift.select("event_type", "day", "n_rows", "baseline_days")
-            .join(day_ranks, ["event_type", "day"])
-            .join(base_ranks, ["event_type", "day"])
+            .join(day_ranks, ["event_type", "day"], "left")
+            .join(base_ranks, ["event_type", "day"], "left")
             .select("event_type", "day", "n_rows", "baseline_days",
-                    "within_day", "within_base"))
+                    F.coalesce("within_day", F.lit(True))
+                    .alias("within_day"),
+                    F.coalesce("within_base", F.lit(True))
+                    .alias("within_base")))

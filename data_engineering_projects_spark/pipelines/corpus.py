@@ -69,6 +69,43 @@ def _shingle_sets(df: DataFrame, shingle_k: int) -> DataFrame:
                 lambda sh: md5_hash64(sh, seed=0))).alias("shs"))
 
 
+def _barrier(df: DataFrame, reliable: bool) -> DataFrame:
+    """The pipeline's eager materialization barrier (round 15, verdict
+    #2 follow-up): one helper behind both durability modes so every
+    barrier site makes the same trade.
+
+    ``reliable=False`` (default): eager ``localCheckpoint`` —
+    lineage-truncating (kills the with-depth Catalyst re-analysis tax,
+    round 14 verdict #5) and zero extra I/O, but blocks are NOT
+    recomputable after executor loss: on a multi-executor cluster a
+    lost executor mid-query fails the query instead of recomputing.
+    Right default for local mode and for clusters where re-running a
+    failed batch is acceptable (the corpus stream's replay protocol
+    makes re-runs safe by construction).
+
+    ``reliable=True``: eager RELIABLE ``checkpoint`` to the session's
+    checkpoint dir (HDFS/object store on a real cluster) — same
+    barrier, same lineage truncation, executor-loss survivable, at the
+    cost of writing + re-reading each barrier relation through the
+    checkpoint filesystem (A/B at fixture scale in SCALING.md; checkpoint
+    FILES are reclaimed by Spark's ContextCleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, else at
+    checkpoint-dir cleanup). Side effect worth knowing: reliable
+    barrier frames stay REUSABLE after ``CorpusResult.unpersist``
+    (they re-read their files), softening the round-14 unpersist
+    finality for callers that opt in. Requires
+    ``spark.sparkContext.setCheckpointDir(...)`` — raises with
+    deployment guidance when unset rather than failing mid-plan."""
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    if df.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_barriers=True needs a reliable checkpoint dir: "
+            "call spark.sparkContext.setCheckpointDir(<HDFS/object-"
+            "store path>) first (a path every executor can read)")
+    return df.checkpoint(eager=True)
+
+
 def _split_expr(split_weights: dict[str, float], split_seed: int):
     """Deterministic split assignment: hash-bucket against cumulative
     weight boundaries, first matching boundary wins."""
@@ -122,7 +159,8 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
                    jaccard_min: float = 0.5, shingle_k: int = 3,
                    split_weights: dict[str, float] | None = None,
                    split_seed: int = 42,
-                   cc_iters: int = 6) -> CorpusResult:
+                   cc_iters: int = 6,
+                   reliable_barriers: bool = False) -> CorpusResult:
     """Compose the corpus-prep stages over a (doc_id, text, source, lang)
     relation. See module docstring for ordering rationale.
 
@@ -190,8 +228,11 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     # same trade orders_scd2_current adjudicated in r11: checkpoint
     # blocks are not recomputable after executor loss — acceptable for
     # barriers consumed within the same query, documented here.
-    sets = (_shingle_sets(survivors, shingle_k).repartition("doc_id")
-            .localCheckpoint(eager=True))
+    # durability mode via _barrier (round 15, verdict follow-up):
+    # reliable_barriers=True swaps every localCheckpoint barrier for a
+    # reliable checkpoint — executor-loss survivable on a cluster.
+    sets = _barrier(_shingle_sets(survivors, shingle_k)
+                    .repartition("doc_id"), reliable_barriers)
     extra_persists: list = [sets]
     # threshold on the RAW jaccard inside the verify (round 12): the
     # rounded output column sits one ulp from the oracle's decision at
@@ -258,7 +299,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
                   split_seed: int = 42,
                   corpus_sets: DataFrame | None = None,
                   corpus_bands: DataFrame | None = None,
-                  corpus_fps: DataFrame | None = None) -> CorpusResult:
+                  corpus_fps: DataFrame | None = None,
+                  reliable_barriers: bool = False) -> CorpusResult:
     """Incremental corpus growth — the production shape (corpora are
     never rebuilt; batches land): admit from ``new_docs`` only what is
     clean, good, and novel against BOTH the existing corpus and the rest
@@ -315,7 +357,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     res = prepare_corpus(new_docs, quality_min=quality_min,
                          jaccard_min=jaccard_min, shingle_k=shingle_k,
                          split_weights=split_weights,
-                         split_seed=split_seed)
+                         split_seed=split_seed,
+                         reliable_barriers=reliable_barriers)
     batch = res.docs
 
     # exact tier vs corpus: the corpus text is already scrubbed, the
@@ -343,7 +386,7 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # persisted: after_exact feeds the batch-side shingle sets, the
     # admitted anti-join, and the report counts; the combined sets feed
     # signature generation plus both verify sides.
-    after_exact = after_exact.localCheckpoint(eager=True)
+    after_exact = _barrier(after_exact, reliable_barriers)
     # eager checkpoint barrier: see prepare_corpus (round 14) — concurrent AQE
     # stages (bset semi-join, admitted anti-join, report counts) would
     # otherwise each re-run the exact-tier anti-join lineage in parallel
@@ -366,8 +409,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # partitioning serves both joins and the union shuffles once here
     # instead of once per side; eager count for the same AQE-concurrency
     # reason as prepare_corpus
-    both = (cset.unionByName(bset).repartition("doc_id")
-            .localCheckpoint(eager=True))
+    both = _barrier(cset.unionByName(bset).repartition("doc_id"),
+                    reliable_barriers)
     extra: list = [after_exact, both]
     if corpus_bands is not None:
         # band-index state (round 12): the caller maintains the corpus
@@ -409,8 +452,8 @@ def extend_corpus(corpus_docs: DataFrame, new_docs: DataFrame, *,
     # _mh_candidates adjudication (cache LOSES there) because this
     # subtree carries a semi-join + union per rebuild, not a cheap
     # explode over already-cached signatures.
-    bands = (bands.repartition("band", "band_key")
-             .localCheckpoint(eager=True))
+    bands = _barrier(bands.repartition("band", "band_key"),
+                     reliable_barriers)
     extra.append(bands)
     hot = _mh_hot_buckets(bands, _LSH_BUCKET_CAP)
     bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")

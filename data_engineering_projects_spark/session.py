@@ -292,7 +292,18 @@ def _fast_local_dir() -> str | None:
             if m is None:
                 continue
             p = os.path.join(shm, f)
+            # Dead-pid dirs additionally require a 5-minute idle tree
+            # (round 15, from ADVICE): os.kill(pid, 0) answers in the
+            # CALLER's pid namespace, so with /dev/shm shared across
+            # namespaces (--ipc=host, mounted /dev/shm) a live foreign
+            # session can look dead — a recently-touched tree is never
+            # reclaimed regardless of what the pid probe says. A truly
+            # dead session's tree goes cold immediately, so the extra
+            # wait is bounded and cheap; pid REUSE (dead session, pid
+            # now a live unrelated process) is likewise covered because
+            # the dead session's tree is idle and still reclaimed.
             stale = (not _pid_alive(int(m.group(2)))
+                     and _tree_idle_for(p, 300)
                      if m.group(2) is not None
                      else _tree_idle_for(p, 3600))
             if stale:

@@ -569,14 +569,16 @@ def compact_append_state(spark, state_path: str,
 
 
 def tiered_compact_plan(sizes: list[tuple[int, int]],
-                        min_run: int = 2) -> tuple[int, int] | None:
+                        min_run: int = 2, slack: float = 1.0,
+                        force: bool = False) -> tuple[int, int] | None:
     """Pure size-tiered fold policy over (batch_id, n_rows) pairs —
     split out so the O(T log T) rewrite bound is unit-testable without
     a filesystem. Scan newest → oldest accumulating run rows; include
-    the next older dir while its rows ≤ the accumulated total (the
-    simplified universal-compaction rule: never rewrite a dir bigger
-    than everything newer combined). Returns the (lo, hi) id range to
-    fold, or None when the eligible run is shorter than ``min_run``.
+    the next older dir while its rows ≤ ``slack`` × the accumulated
+    total (slack=1.0 is the simplified universal-compaction rule:
+    never rewrite a dir bigger than everything newer combined).
+    Returns the (lo, hi) id range to fold, or None when the eligible
+    run is shorter than ``min_run``.
 
     Why this bounds total rewrite I/O at O(T log T) rows over T
     equal-sized batches: a dir is only rewritten into a fold at least
@@ -584,14 +586,32 @@ def tiered_compact_plan(sizes: list[tuple[int, int]],
     rows), so each ROW participates in at most log₂(T) folds — vs the
     full-refold schedule where every row is rewritten on every trigger
     (Σ corpus ≈ T²/(2N) rows, the quadratic-cumulative class the r11
-    swap helper was retired for)."""
+    swap helper was retired for). Any slack ≥ 1 keeps the bound with a
+    worse base: a fold including a dir of n rows holds ≥ n·(1+1/slack)
+    rows, so each row folds ≤ log_{1+1/slack}(T) times.
+
+    ``force`` (round 15, from ADVICE): the slack-1.0 rule STALLS
+    whenever the second-newest dir is bigger than the newest —
+    monotonically SHRINKING per-batch sizes (the typical profile as a
+    dedup corpus saturates: later batches admit fewer rows) return
+    None forever and dir count grows unbounded despite the trigger.
+    With ``force=True`` the second-newest dir is included
+    unconditionally, guaranteeing a ≥2-dir fold whenever 2+ dirs
+    exist; callers use it (with slack=2.0, which sweeps up a whole
+    gently-shrinking tail in one fold) only past a hard dir-count cap,
+    so the regular rule still shapes the schedule and the forced path
+    merely bounds the count. In the adversarial regime (every batch
+    >2× smaller than the last) forced folds repeatedly rewrite a
+    small newest-tail accumulator until it reaches the next tier —
+    degraded amortized I/O but a bounded dir count, which is the
+    contract the trigger exists to keep."""
     if len(sizes) < 2:
         return None
     ordered = sorted(sizes)  # by id ascending; scan from the newest
     run = [ordered[-1]]
     acc = ordered[-1][1]
-    for bid, n in reversed(ordered[:-1]):
-        if n > acc:
+    for idx, (bid, n) in enumerate(reversed(ordered[:-1])):
+        if n > slack * acc and not (force and idx == 0):
             break
         run.append((bid, n))
         acc += n
@@ -601,7 +621,10 @@ def tiered_compact_plan(sizes: list[tuple[int, int]],
 
 
 def tiered_compact_append_state(spark, state_path: str,
-                                min_run: int = 2) -> tuple[int, int] | None:
+                                min_run: int = 2,
+                                force_fold_at: int | None = None,
+                                sizes_cache: dict[int, int] | None = None
+                                ) -> tuple[int, int] | None:
     """LSM-style maintenance fold for an append-layout state (round 14,
     verdict #2): fold the newest run of dirs chosen by
     :func:`tiered_compact_plan` (dir sizes from parquet footers —
@@ -613,17 +636,60 @@ def tiered_compact_append_state(spark, state_path: str,
     without bound (measured crossover in SCALING.md). Same crash
     protocol, same single-writer-between-batches contract; returns the
     folded (lo, hi) id range — the caller folds any derived state over
-    the SAME range — or None when no run qualifies."""
+    the SAME range — or None when no run qualifies.
+
+    ``force_fold_at`` (round 15, from ADVICE): hard dir-count cap.
+    When the regular size-ratio rule declines (shrinking-batch stall —
+    see :func:`tiered_compact_plan`) and the committed dir count has
+    reached the cap, a fold is FORCED (slack=2.0 + unconditional
+    second-newest), so dir count is bounded at ~``force_fold_at``
+    regardless of the batch-size profile. Callers that trigger at
+    ``compact_every`` should cap at ``2 × compact_every``: the regular
+    rule keeps shaping the schedule and the forced path only fires in
+    the stall regime.
+
+    ``sizes_cache`` (round 15, from ADVICE): optional batch_id → rows
+    memo owned by a single-writer caller. Committed dirs are immutable
+    (folds REPLACE a range under a new id after healing), so cached
+    counts stay exact; with the cache, a no-fold trigger costs one
+    listdir plus footers for NEW dirs only, instead of re-reading every
+    parquet footer in the state (O(total files) driver reads per batch
+    with zero progress — the stall's second-order cost). The cache is
+    invalidated wholesale when a crash-interrupted fold was healed
+    (contents of ``batch=<hi>`` changed identity), and folded ranges
+    are evicted after each fold."""
     import os
 
+    healed = any(_parse_ready_marker(f) is not None
+                 for f in os.listdir(state_path)) \
+        if os.path.isdir(state_path) else False
     _heal_compaction(state_path)
-    sizes = [(bid, _dir_parquet_rows(
-        os.path.join(state_path, f"batch={bid}")))
-        for bid in sorted(_batch_dir_ids(state_path))]
+    if healed and sizes_cache is not None:
+        sizes_cache.clear()
+    ids = sorted(_batch_dir_ids(state_path))
+    if sizes_cache is None:
+        sizes = [(bid, _dir_parquet_rows(
+            os.path.join(state_path, f"batch={bid}"))) for bid in ids]
+    else:
+        for bid in set(sizes_cache) - set(ids):
+            del sizes_cache[bid]
+        for bid in ids:
+            if bid not in sizes_cache:
+                sizes_cache[bid] = _dir_parquet_rows(
+                    os.path.join(state_path, f"batch={bid}"))
+        sizes = sorted(sizes_cache.items())
     rng = tiered_compact_plan(sizes, min_run=min_run)
+    if rng is None and force_fold_at is not None \
+            and len(sizes) >= force_fold_at:
+        rng = tiered_compact_plan(sizes, min_run=2, slack=2.0,
+                                  force=True)
     if rng is None:
         return None
     compact_append_state(spark, state_path, upto=rng[1], since=rng[0])
+    if sizes_cache is not None:
+        for bid in [b for b in sizes_cache
+                    if rng[0] <= b <= rng[1]]:
+            del sizes_cache[bid]
     return rng
 
 
@@ -926,13 +992,19 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
     the tiered schedule rewrites each row O(log T) times total while
     bounding the dir count at ~``compact_every`` + log₂(stream age)
     (the minutes-cadence listing/small-file concern — measured
-    crossover in SCALING.md). Runs between batches in the single
-    writer; see the compaction docstrings for the crash protocol and
-    the ad-hoc-reader caveat. Default off — daily-cadence streams
-    never need it."""
+    crossover in SCALING.md); a hard cap at ``2 × compact_every``
+    forces a fold when the size-ratio rule stalls on monotonically
+    shrinking batches (round 15, from ADVICE — see
+    :func:`tiered_compact_append_state`), and a single-writer footer
+    memo keeps the no-fold trigger cost at one new-dir footer read per
+    batch instead of O(total files). Runs between batches in the
+    single writer; see the compaction docstrings for the crash
+    protocol and the ad-hoc-reader caveat. Default off — daily-cadence
+    streams never need it."""
     kw = dict(quality_min=quality_min, jaccard_min=jaccard_min,
               shingle_k=shingle_k, split_weights=split_weights,
               split_seed=split_seed)
+    corpus_sizes: dict[int, int] = {}  # single-writer footer memo
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -949,7 +1021,14 @@ def corpus_extend_stream(docs: DataFrame, corpus_path: str,
             # the folded index batch=hi would hold projections of rows
             # the corpus still stores in older dirs, and reconcile's
             # backfill would then DUPLICATE them.
-            rng = tiered_compact_append_state(spark, corpus_path)
+            # force_fold_at = 2× the trigger (round 15, from ADVICE):
+            # bounds the dir count even when per-batch admissions
+            # shrink monotonically (dedup saturation) and the regular
+            # size-ratio rule would stall forever.
+            rng = tiered_compact_append_state(
+                spark, corpus_path,
+                force_fold_at=2 * compact_every,
+                sizes_cache=corpus_sizes)
             if maintain_index and rng is not None:
                 compact_append_state(spark, corpus_path + "__index",
                                      upto=rng[1], since=rng[0])

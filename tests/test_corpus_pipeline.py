@@ -181,6 +181,59 @@ def test_extend_corpus_admission_decisions(spark):
         res2.unpersist()
 
 
+def test_reliable_barriers_same_decisions_and_guard(spark, tmp_path):
+    """Round-15 verdict #2: ``reliable_barriers=True`` swaps the four
+    localCheckpoint barriers for reliable checkpoints (executor-loss
+    survivable on a cluster) behind the same helper — decisions must be
+    IDENTICAL to the default mode, checkpoint files must land under the
+    session checkpoint dir, and calling without a checkpoint dir must
+    raise the guidance error instead of failing mid-plan."""
+    import pytest
+
+    from data_engineering_projects_spark.pipelines.corpus import (
+        extend_corpus, prepare_corpus)
+
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    corpus_raw = spark.createDataFrame(
+        [(1, _words(60, "alpha"), "web", "en"),
+         (2, _words(70, "gamma"), "books", "en")],
+        "doc_id long, text string, source string, lang string")
+    new = spark.createDataFrame(
+        [(11, _words(60, "alpha") + " plus extra trailing content words",
+          "web", "en"),
+         (13, _words(64, "delta") + " tail one", "web", "en"),
+         (14, _words(64, "delta"), "web", "en"),
+         (15, _words(66, "epsilon"), "books", "en")],
+        "doc_id long, text string, source string, lang string")
+    try:
+        if prev is None:
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                prepare_corpus(corpus_raw, reliable_barriers=True)
+        ckdir = str(tmp_path / "ck")
+        sc.setCheckpointDir(ckdir)
+        res_c = prepare_corpus(corpus_raw, reliable_barriers=True)
+        corpus = res_c.docs.localCheckpoint(eager=True)
+        res_c.unpersist()
+        res = extend_corpus(corpus, new, reliable_barriers=True)
+        admitted = sorted(r["doc_id"] for r in res.docs.collect())
+        assert admitted == [13, 15]  # identical to the default-mode run
+        rep = {r["stage"]: (r["docs_in"], r["docs_out"])
+               for r in res.report.collect()}
+        assert rep["corpus_near_dedup"][1] == 2
+        # the barriers really went through the reliable checkpoint dir
+        import os
+        assert any(files for _, _, files in os.walk(ckdir))
+        # reliable frames stay usable after unpersist (files re-read) —
+        # the documented softening of the r14 unpersist finality
+        res.unpersist()
+        assert sorted(r["doc_id"] for r in res.docs.collect()) \
+            == [13, 15]
+    finally:
+        if prev is not None:
+            sc.setCheckpointDir(prev)
+
+
 def test_extend_corpus_fixture_no_residual_dups(spark, sf_dir):
     """Fixture-scale consistency: prepare on the first 400 docs, extend
     with the remaining 100 — then re-running candidate generation over
@@ -1101,6 +1154,144 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
     assert markers == [f"_applied_{N-1}"]
     assert not any(f.startswith(".compact_ready_")
                    for f in os.listdir(state))  # all healed
+
+
+def test_tiered_compact_forced_fold_bounds_shrinking_stall():
+    """Round-15 ADVICE (medium): monotonically shrinking per-batch
+    sizes — the typical profile as a dedup corpus saturates — stall the
+    slack-1.0 size-ratio rule forever (the second-newest dir is always
+    bigger than the newest), so dir count grew without bound despite
+    compact_every. The forced fold at a hard cap (2× the trigger)
+    bounds the live dir count regardless of the size profile; rows are
+    never lost or duplicated; and in the GENTLY-shrinking regime the
+    slack-2.0 forced plan sweeps the whole small tail in one fold
+    instead of nibbling pairs."""
+    import math
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        tiered_compact_plan)
+
+    # the stall itself: strictly shrinking sizes -> regular rule None
+    shrink = [(i, 100 - 10 * i) for i in range(6)]
+    assert tiered_compact_plan(shrink) is None
+    # forced: always folds >= 2 dirs whenever 2+ exist
+    rng = tiered_compact_plan(shrink, min_run=2, slack=2.0, force=True)
+    assert rng is not None and rng[1] == 5
+    # gently-shrinking tail after a big bootstrap: slack-2.0 sweeps the
+    # whole tail, excluding the dominant old dir
+    rng = tiered_compact_plan(
+        [(0, 1000), (1, 10), (2, 9), (3, 8), (4, 7)],
+        min_run=2, slack=2.0, force=True)
+    assert rng == (1, 4)
+
+    # end-to-end simulation at the corpus_extend_stream trigger shape:
+    # batch b admits 2000-4b rows — STRICTLY shrinking forever (the
+    # saturation profile), so the regular rule never fires on raw
+    # batches; trigger at compact_every=8, hard cap 16
+    threshold, cap, T = 8, 16, 256
+    size = lambda b: 2000 - 4 * b  # noqa: E731
+    dirs: list[tuple[int, int]] = []
+    max_live, forced_fires = 0, 0
+    for b in range(T):
+        dirs.append((b, size(b)))
+        if len(dirs) >= threshold:
+            rng = tiered_compact_plan(dirs)
+            if rng is None and len(dirs) >= cap:
+                rng = tiered_compact_plan(dirs, min_run=2, slack=2.0,
+                                          force=True)
+                forced_fires += 1
+            if rng is not None:
+                lo, hi = rng
+                rows = sum(n for i, n in dirs if lo <= i <= hi)
+                dirs = [(i, n) for i, n in dirs if not lo <= i <= hi]
+                dirs.append((hi, rows))
+                dirs.sort()
+        max_live = max(max_live, len(dirs))
+    total = sum(size(b) for b in range(T))
+    assert sum(n for _, n in dirs) == total      # no loss/dup
+    assert forced_fires > 0                      # the stall regime hit
+    assert max_live <= cap                       # the cap HELD
+    # without the forced path, the same schedule grows unbounded
+    dirs2: list[tuple[int, int]] = []
+    for b in range(T):
+        dirs2.append((b, size(b)))
+        if len(dirs2) >= threshold:
+            rng = tiered_compact_plan(dirs2)
+            if rng is not None:
+                lo, hi = rng
+                rows = sum(n for i, n in dirs2 if lo <= i <= hi)
+                dirs2 = [(i, n) for i, n in dirs2 if not lo <= i <= hi]
+                dirs2.append((hi, rows))
+                dirs2.sort()
+    assert len(dirs2) > cap + math.log2(T)       # the pre-fix stall
+
+
+def test_tiered_compact_append_state_force_and_cache(spark, tmp_path):
+    """Filesystem leg of the round-15 ADVICE fix: shrinking per-batch
+    appends stall the regular rule; `force_fold_at` folds anyway and
+    bounds the dir count; the single-writer `sizes_cache` keeps exact
+    row counts across folds (evicted ranges re-scanned) and is
+    invalidated wholesale when a crash-interrupted fold is healed."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _batch_dir_ids, _dir_parquet_rows,
+        read_corpus_state, tiered_compact_append_state)
+
+    state = str(tmp_path / "shrink")
+    cache: dict[int, int] = {}
+
+    def apply(bid, nrows):
+        _append_batch_with_marker(
+            spark, state, bid,
+            lambda old: spark.range(nrows).select(
+                (F.lit(bid) * 1000 + F.col("id")).alias("k")))
+
+    total = 0
+    for b in range(12):
+        n = max(1, 32 >> b)  # 32,16,8,4,2,1,1,...
+        apply(b, n)
+        total += n
+        if len(_batch_dir_ids(state)) >= 4:
+            tiered_compact_append_state(spark, state, force_fold_at=8,
+                                        sizes_cache=cache)
+        assert len(_batch_dir_ids(state)) <= 8  # hard cap holds
+    # cache never holds a stale or phantom entry: every cached id is a
+    # live dir and its count matches the footers (a just-folded combined
+    # dir is absent until the next scan — evicted, not guessed)
+    ids = _batch_dir_ids(state)
+    assert set(cache) <= ids
+    for bid in cache:
+        assert cache[bid] == _dir_parquet_rows(
+            os.path.join(state, f"batch={bid}"))
+    rows = sorted(r["k"] for r in
+                  read_corpus_state(spark, state).collect())
+    assert len(rows) == total and len(set(rows)) == total
+
+    # crash-interrupted fold: commit a range marker by hand, then the
+    # next maintenance call must heal it AND drop the (now stale) cache
+    ids = sorted(_batch_dir_ids(state))
+    lo, hi = ids[-2], ids[-1]
+    combined = (spark.read.parquet(state)
+                .filter((F.col("batch") >= lo) & (F.col("batch") <= hi))
+                .drop("batch"))
+    tmp = state + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(state, f".compact_ready_{lo}-{hi}"))
+    tiered_compact_append_state(spark, state, force_fold_at=8,
+                                sizes_cache=cache)
+    ids = _batch_dir_ids(state)
+    assert lo not in ids                 # healed
+    for bid in set(cache):
+        assert cache[bid] == _dir_parquet_rows(
+            os.path.join(state, f"batch={bid}"))
+    rows = sorted(r["k"] for r in
+                  read_corpus_state(spark, state).collect())
+    assert len(rows) == total and len(set(rows)) == total
 
 
 def test_tiered_compact_plan_properties():

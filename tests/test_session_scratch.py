@@ -55,6 +55,12 @@ def test_fast_local_dir_reclaims_stale_and_uniquifies(monkeypatch, tmp_path):
     os.utime(legacy, (10_000_000, 10_000_000))  # idle > 1 h
     dead = os.path.join(mount, "spark-local-999999999")
     os.makedirs(dead)
+    os.utime(dead, (10_000_000, 10_000_000))  # dead pid AND cold tree
+    # round 15 (from ADVICE): a dead-LOOKING pid with a warm tree is a
+    # foreign pid namespace hazard (--ipc=host) — must be spared until
+    # its tree goes idle
+    dead_warm = os.path.join(mount, "spark-local-999999998")
+    os.makedirs(dead_warm)
     live = os.path.join(mount, f"spark-local-{os.getppid()}")
     os.makedirs(live)
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", mount)
@@ -62,6 +68,7 @@ def test_fast_local_dir_reclaims_stale_and_uniquifies(monkeypatch, tmp_path):
     try:
         assert not os.path.exists(os.path.join(mount, "spark-local"))
         assert not os.path.exists(dead)
+        assert os.path.exists(dead_warm)
         assert os.path.exists(live)
         if d is not None:  # None only if the tmp mount lacks headroom
             assert d == os.path.join(mount, f"spark-local-{os.getpid()}")
@@ -91,6 +98,7 @@ def test_fast_local_dir_spares_active_legacy_dir(monkeypatch, tmp_path):
         f.write("x")
     junk = os.path.join(mount, "spark-local-99999999999999")
     os.makedirs(junk)
+    os.utime(junk, (10_000_000, 10_000_000))  # cold tree: reclaimable
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", mount)
     _fast_local_dir()
     try:
