@@ -693,12 +693,74 @@ def tiered_compact_append_state(spark, state_path: str,
     return rng
 
 
+def _stable_listing(path: str, tries: int = 50) -> list[str]:
+    """Two successive ``os.listdir`` snapshots that AGREE — the
+    cheap guard against the readdir-vs-rename race (an entry being
+    renamed mid-iteration can be missing from a single listing).
+    The writer's completion steps take milliseconds, so disagreement
+    converges immediately; after ``tries`` the last view is returned
+    (the retry-on-ENOENT backstop still applies downstream)."""
+    import os
+    prev = sorted(os.listdir(path))
+    for _ in range(tries):
+        cur = sorted(os.listdir(path))
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def read_corpus_state(spark, corpus_path: str,
                       with_lineage: bool = False) -> DataFrame:
     """Read a :func:`corpus_extend_stream` corpus: the plain corpus
     schema (``batch`` lineage partition column dropped), or with
-    ``with_lineage=True`` keep the admitting batch id per row."""
-    df = spark.read.parquet(corpus_path)
+    ``with_lineage=True`` keep the admitting batch id per row.
+
+    Fold-consistent (round 15, verdict #5): a reader overlapping an
+    in-flight compaction used to see a SILENT PARTIAL row set — after
+    the intent-marker commit the writer removes the folded
+    ``batch=<lo..hi>`` dirs one by one, and the combined data sits in
+    the dot-prefixed marker dir Spark's listing ignores, so a parent
+    read during the removal window returned the surviving dirs only.
+    The marker IS the committed post-fold state, so the reader now
+    lists the state dir first (two agreeing snapshots — see
+    :func:`_stable_listing`): when intent markers are present it
+    serves the post-fold view directly — batch dirs OUTSIDE every
+    marker's range plus each marker dir's rows (lineage ``batch=hi``,
+    exactly what the completed fold assigns) — and the possibly
+    half-removed folded dirs are never touched. No marker → no
+    removal can be in flight → the plain partitioned parent read.
+    Every interleaving therefore yields the pre-fold or post-fold row
+    set (identical as row SETS — folds preserve rows; only lineage
+    coarsens), never a partial; losing a race to the writer's final
+    rename surfaces as a retryable read error, never wrong rows."""
+    import os
+
+    entries = _stable_listing(corpus_path)
+    ranges = [r for r in (_parse_ready_marker(f) for f in entries)
+              if r is not None]
+    if not ranges:
+        df = spark.read.parquet(corpus_path)
+        return df if with_lineage else df.drop("batch")
+
+    def folded(i: int) -> bool:
+        return any(lo <= i <= hi for lo, hi in ranges)
+
+    keep_ids = [int(f[len("batch="):]) for f in entries
+                if f.startswith("batch=") and f[len("batch="):].isdigit()
+                and not folded(int(f[len("batch="):]))]
+    parts = [spark.read.parquet(
+        os.path.join(corpus_path, f"batch={i}"))
+        .withColumn("batch", F.lit(i)) for i in keep_ids]
+    for f in entries:
+        rng = _parse_ready_marker(f)
+        if rng is not None:
+            parts.append(spark.read.parquet(
+                os.path.join(corpus_path, f))
+                .withColumn("batch", F.lit(rng[1])))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     return df if with_lineage else df.drop("batch")
 
 

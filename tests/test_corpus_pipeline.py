@@ -1294,6 +1294,66 @@ def test_tiered_compact_append_state_force_and_cache(spark, tmp_path):
     assert len(rows) == total and len(set(rows)) == total
 
 
+def test_reader_isolation_during_inflight_fold(spark, tmp_path):
+    """Round-15 verdict #5: a reader overlapping an in-flight tiered
+    fold must see either the pre-fold or the post-fold row set —
+    identical as row SETS — never a partial. The crash storm covers
+    writer crashes; this walks a reader through EVERY interleaving
+    point of the completion protocol by hand: (A) combined tmp written,
+    nothing committed; (B) intent marker committed, no removals yet;
+    (C) MID-removal — some folded dirs gone (the silent-partial window
+    the round-15 reader fix closes); (D) all folded dirs gone, final
+    rename pending; (E) completed. Lineage view: folded rows read as
+    batch=hi from (B) on — exactly what the completed fold assigns."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _heal_compaction, read_corpus_state)
+
+    state = str(tmp_path / "iso")
+    for b in range(6):
+        _append_batch_with_marker(
+            spark, state, b,
+            lambda old: spark.range(3).select(
+                (F.lit(b) * 100 + F.col("id")).alias("k")))
+    expect = sorted(r["k"] for r in
+                    read_corpus_state(spark, state).collect())
+    assert len(expect) == 18
+
+    def rows():
+        return sorted(r["k"] for r in
+                      read_corpus_state(spark, state).collect())
+
+    # fold range: batches 3..5 -> batch=5
+    lo, hi = 3, 5
+    combined = (spark.read.parquet(state)
+                .filter((F.col("batch") >= lo) & (F.col("batch") <= hi))
+                .drop("batch"))
+    tmp = state + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    assert rows() == expect                         # (A) pre-commit
+    os.rename(tmp, os.path.join(state, f".compact_ready_{lo}-{hi}"))
+    assert rows() == expect                         # (B) committed
+    lin = {r["k"]: r["batch"] for r in read_corpus_state(
+        spark, state, with_lineage=True).collect()}
+    assert all(lin[k] == hi for k in lin if k >= 300)  # post-fold view
+    shutil.rmtree(os.path.join(state, f"batch={lo}"))
+    assert rows() == expect                         # (C) mid-removal
+    shutil.rmtree(os.path.join(state, f"batch={lo + 1}"))
+    shutil.rmtree(os.path.join(state, f"batch={hi}"))
+    assert rows() == expect                         # (D) pre-rename
+    _heal_compaction(state)                         # finish (4)
+    assert rows() == expect                         # (E) completed
+    lin = {r["k"]: r["batch"] for r in read_corpus_state(
+        spark, state, with_lineage=True).collect()}
+    assert all(lin[k] == hi for k in lin if k >= 300)
+    assert all(lin[k] < lo for k in lin if k < 300)
+
+
 def test_tiered_compact_plan_properties():
     """Hypothesis sweep of the fold policy over irregular batch sizes
     (including empty zero-admission dirs): any returned range is a
