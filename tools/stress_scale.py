@@ -117,6 +117,16 @@ FAMILIES = {
     # partition histograms, and skew_report's tier decisions (r10
     # verdict #7).
     "skew": [],
+    # special-cased in main() (round 15, verdict #1): a REAL long
+    # tiered-compaction stream — --mults gives the batch count(s)
+    # (>=512 for the simulation's first big-ratio row). Appends batches
+    # through the production protocol with tiered maintenance
+    # (trigger 8, forced cap 16), measuring live-dir count vs the
+    # ~trigger+log2(T) bound, measured rewrite I/O vs the O(T log T)
+    # schedule and vs the retired full-refold schedule, maintenance vs
+    # append wall split, and admission identity vs an uncompacted
+    # reference state.
+    "tiered_stream": [],
     # special-cased in main(): the IVF-PQ recall-vs-cost operating grid
     # (r10 verdict #5) — recall@10 + wall across (nprobe x overfetch)
     # at 1x and 5x corpus with the index trained on the 1x corpus.
@@ -160,12 +170,30 @@ _DG = "0123456789"
 
 
 def _rotate_sql(col: str, i: int) -> str:
-    """Per-copy character bijection: letters rotate by i within [a-z]
-    (uppercase folds into the same rotated lowercase — normalize_text
-    lowercases anyway), digits rotate within [0-9]. Disjoint shingle
-    universes per copy; identical intra-copy shingle structure."""
-    lc = _LC[i % 26:] + _LC[:i % 26]
-    dg = _DG[i % 10:] + _DG[:i % 10]
+    """Per-copy character bijection: a SEEDED random substitution
+    cipher per copy (round 15 — rotation repeated at period 10 for
+    digits / 26 for letters, capping the sound multiplier at 10; the
+    scale decade needs 10x-100x). Copy 0 is the identity; copy i>0
+    permutes [a-z] and [0-9] with random.Random(i) shuffles (uppercase
+    folds into the permuted lowercase — normalize_text lowercases
+    anyway). Char classes and token lengths are preserved, so
+    intra-copy shingle structure and quality decisions are IDENTICAL
+    to the base table's; cross-copy, a whole token collides only if
+    two copies' permutations agree on every character — for letters
+    that is ~1/26 per char (26! distinct permutations), for digit-only
+    tokens the full-permutation collision odds are C(k,2)/10! ≈ 0.14%
+    at k=100 copies, and a candidate leak additionally needs a whole
+    3-token shingle to collide. Same up-to-hash-chance soundness class
+    as the old rotation's 60-bit argument, valid to ~1000 copies."""
+    import random
+    if i == 0:
+        lc, dg = _LC, _DG
+    else:
+        rnd = random.Random(i)
+        lcl, dgl = list(_LC), list(_DG)
+        rnd.shuffle(lcl)
+        rnd.shuffle(dgl)
+        lc, dg = "".join(lcl), "".join(dgl)
     src = _LC + _LC.upper() + _DG
     dst = lc + lc + dg
     return f"translate({col}, '{src}', '{dst}')"
@@ -176,15 +204,16 @@ def build_fixture(base: str, mult: int, out_dir: str,
                   shift_users: bool = False) -> None:
     import duckdb
 
-    # Disjoint-shingle-universe invariant (round-8 ADVICE): digit-only
-    # tokens rotate mod 10, so copies i and i+10 collide and the
-    # linear-rows leakage witness would report false positives; letters
-    # repeat at mult 26. The bijection argument is only sound for
-    # mult <= 10.
-    if rotate_docs and mult > 10:
+    # Disjoint-shingle-universe invariant (round-8 ADVICE, relaxed
+    # round 15): the old rotation repeated at period 10 (digits) / 26
+    # (letters), capping sound multipliers at 10; the seeded
+    # substitution cipher (see _rotate_sql) is sound to ~1000 copies
+    # (beyond that, pairwise digit-permutation collision odds leave
+    # the hash-chance class).
+    if rotate_docs and mult > 1000:
         raise ValueError(
-            f"rotate_docs bijection requires mult <= 10 (digit rotation "
-            f"repeats at 10, letters at 26); got {mult}")
+            f"rotate_docs substitution-cipher soundness argued only to "
+            f"1000 copies; got {mult}")
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -781,6 +810,110 @@ def run_corpus_stream(spark, base: str, mults: list[int],
     return results
 
 
+def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
+                      trigger: int = 8, cap: int = 16) -> dict:
+    """A REAL >=512-batch tiered-compaction stream (round 15, verdict
+    #1): every scaling claim for `tiered_compact_append_state` rested
+    on a unit-tested schedule SIMULATION plus a 30-batch measured run;
+    this executes the production append+maintenance protocol for
+    ``n_batches`` real micro-batches and measures what the simulation
+    predicted. The driver keeps its own (batch -> rows) ledger, so
+    measured rewrite I/O is exact (folded ranges are returned by the
+    maintenance call); an uncompacted reference state is built from
+    the same batches for the admission-identity check."""
+    import math
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _batch_dir_ids, read_corpus_state,
+        tiered_compact_append_state)
+
+    state = tempfile.mkdtemp(prefix="tiered_stream_")
+    ref = tempfile.mkdtemp(prefix="tiered_ref_")
+    for d in (state, ref):
+        _sh.rmtree(d)
+    cache: dict[int, int] = {}
+    ledger: dict[int, int] = {}   # driver-side truth of dir sizes
+    rewritten = 0                 # measured fold I/O (rows read+written)
+    append_sec = maint_sec = 0.0
+    max_live = folds = 0
+    live_trace = []
+
+    def batch_df(b: int):
+        return spark.range(rows_per_batch).select(
+            (F.lit(b) * 1_000_000 + F.col("id")).alias("k"))
+
+    for b in range(n_batches):
+        t0 = time.perf_counter()
+        _append_batch_with_marker(spark, state, b,
+                                  lambda old: batch_df(b))
+        append_sec += time.perf_counter() - t0
+        ledger[b] = rows_per_batch
+        if len(_batch_dir_ids(state)) >= trigger:
+            t0 = time.perf_counter()
+            rng = tiered_compact_append_state(
+                spark, state, force_fold_at=cap, sizes_cache=cache)
+            maint_sec += time.perf_counter() - t0
+            if rng is not None:
+                lo, hi = rng
+                fold_rows = sum(n for i, n in ledger.items()
+                                if lo <= i <= hi)
+                rewritten += fold_rows
+                for i in [i for i in ledger if lo <= i <= hi]:
+                    del ledger[i]
+                ledger[hi] = fold_rows
+                folds += 1
+        live = len(_batch_dir_ids(state))
+        live_trace.append(live)
+        max_live = max(max_live, live)
+
+    # uncompacted reference: same rows, plain appends
+    for b in range(n_batches):
+        _append_batch_with_marker(spark, ref, b,
+                                  lambda old: batch_df(b))
+    got = read_corpus_state(spark, state).groupBy().agg(
+        F.count("*").alias("n"), F.sum("k").alias("s"),
+        F.countDistinct("k").alias("d")).collect()[0]
+    want = read_corpus_state(spark, ref).groupBy().agg(
+        F.count("*").alias("n"), F.sum("k").alias("s"),
+        F.countDistinct("k").alias("d")).collect()[0]
+    identical = (got["n"], got["s"], got["d"]) \
+        == (want["n"], want["s"], want["d"])
+
+    total_rows = n_batches * rows_per_batch
+    # the retired full-refold schedule's I/O at the same trigger,
+    # simulated: every trigger rewrites the whole corpus so far
+    full_io, live = 0, 0
+    for b in range(n_batches):
+        live += 1
+        if live >= trigger:
+            full_io += (b + 1) * rows_per_batch
+            live = 1
+    out = {
+        "n_batches": n_batches, "rows_per_batch": rows_per_batch,
+        "trigger": trigger, "cap": cap, "folds": folds,
+        "identical_to_uncompacted": identical,
+        "max_live_dirs": max_live,
+        "dir_bound": trigger + math.ceil(math.log2(n_batches)),
+        "final_live_dirs": live_trace[-1],
+        "rewritten_rows": rewritten, "total_rows": total_rows,
+        "rewrite_amplification": round(rewritten / total_rows, 2),
+        "amplification_bound_log2T":
+            round(math.log2(n_batches), 2),
+        "full_refold_rows": full_io,
+        "io_vs_full_refold": round(full_io / max(rewritten, 1), 1),
+        "append_sec": round(append_sec, 1),
+        "maint_sec": round(maint_sec, 1),
+        "uncompacted_dirs": len(_batch_dir_ids(ref)),
+    }
+    _sh.rmtree(state, ignore_errors=True)
+    _sh.rmtree(ref, ignore_errors=True)
+    return out
+
+
 def _make_clustered_embeddings(spark, out_dir: str, n: int,
                                n_clusters: int = 8, dim: int = 64,
                                noise: float = 0.15) -> None:
@@ -1015,6 +1148,16 @@ def main() -> int:
         mult = max(int(m) for m in args.mults.split(","))
         out = run_skew(spark, args.base, mult)
         print(json.dumps({"summary": out}))
+        spark.stop()
+        return 0
+
+    if args.family == "tiered_stream":
+        summary = {}
+        for n in [int(m) for m in args.mults.split(",")]:
+            rec = run_tiered_stream(spark, n)
+            summary[str(n)] = rec
+            print(json.dumps(rec), flush=True)
+        print(json.dumps({"summary": summary}))
         spark.stop()
         return 0
 
