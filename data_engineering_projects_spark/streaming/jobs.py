@@ -698,15 +698,20 @@ def _stable_listing(path: str, tries: int = 50) -> list[str]:
     cheap guard against the readdir-vs-rename race (an entry being
     renamed mid-iteration can be missing from a single listing).
     The writer's completion steps take milliseconds, so disagreement
-    converges immediately; after ``tries`` the last view is returned
-    (the retry-on-ENOENT backstop still applies downstream)."""
+    converges within a few 2 ms backoffs; after ``tries`` the last
+    view is returned (the retry-on-ENOENT backstop still applies
+    downstream — and a view that still carries the intent marker is
+    served as the post-fold state, which is correct even mid-removal,
+    so the residual race is only the final-rename instant)."""
     import os
+    import time
     prev = sorted(os.listdir(path))
     for _ in range(tries):
         cur = sorted(os.listdir(path))
         if cur == prev:
             return cur
         prev = cur
+        time.sleep(0.002)
     return prev
 
 

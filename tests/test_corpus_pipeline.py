@@ -1294,6 +1294,55 @@ def test_tiered_compact_append_state_force_and_cache(spark, tmp_path):
     assert len(rows) == total and len(set(rows)) == total
 
 
+def test_corpus_extend_stream_forced_fold_under_saturation(spark,
+                                                           tmp_path):
+    """Round-15 ADVICE (medium), wired end-to-end through the public
+    API: a stream whose per-batch admissions SHRINK monotonically
+    (saturation) stalls the regular size-ratio rule — every batch dir
+    is smaller than the one before, so no newest-anchored run ever
+    qualifies — and before the forced cap the dir count grew without
+    bound despite compact_every. With compact_every=3 (cap 6), eight
+    strictly-shrinking batches must end bounded, with admissions,
+    index parity, and the watermark intact."""
+    import os
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids, corpus_extend_stream, read_corpus_state)
+
+    schema = "doc_id long, text string, source string, lang string"
+    src = str(tmp_path / "src")
+    n_docs = 0
+    for b in range(8):
+        rows = [(100 * b + i, _words(60, f"sat{b}x{i}"), "web", "en")
+                for i in range(9 - b)]  # 9,8,...,2 novel docs
+        n_docs += len(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write \
+            .mode("append" if b else "overwrite").parquet(src)
+        # batch order rides file mtime (sequential writes); the cap
+        # assertion below holds under ANY order, shrinking or not
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    corpus_path = str(tmp_path / "corpus")
+    q = corpus_extend_stream(stream, corpus_path,
+                             str(tmp_path / "ckpt"), compact_every=3)
+    q.processAllAvailable()
+    q.stop()
+
+    admitted = sorted(r["doc_id"] for r in
+                      read_corpus_state(spark, corpus_path).collect())
+    assert len(admitted) == n_docs          # all novel docs admitted
+    cids = _batch_dir_ids(corpus_path)
+    assert len(cids) <= 6                   # forced cap (2x trigger)
+    idx_ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(corpus_path + "__index")
+                     .collect())
+    assert idx_ids == admitted              # index parity maintained
+    markers = [f for f in os.listdir(corpus_path)
+               if f.startswith("_applied_")]
+    assert markers == ["_applied_7"]
+
+
 def test_reader_isolation_during_inflight_fold(spark, tmp_path):
     """Round-15 verdict #5: a reader overlapping an in-flight tiered
     fold must see either the pre-fold or the post-fold row set —

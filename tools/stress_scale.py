@@ -248,13 +248,30 @@ def build_fixture(base: str, mult: int, out_dir: str,
     con.close()
 
 
-def run_pipeline(spark, sf_dir: str) -> list[dict]:
+def _rest_stages(port: int) -> list[dict]:
+    """Completed Spark stages via the UI REST API (same capture as
+    tools/twin_stage_audit.py) — the executor-TIME source the wall
+    clock can't provide (at local[32], 32 threads of executor work
+    hide behind one wall second; executor time is the cluster-cost
+    metric a 1000-executor deployment pays)."""
+    import urllib.request
+    app = json.load(urllib.request.urlopen(
+        f"http://localhost:{port}/api/v1/applications"))[0]["id"]
+    return json.load(urllib.request.urlopen(
+        f"http://localhost:{port}/api/v1/applications/{app}"
+        f"/stages?status=complete&details=false"))
+
+
+def run_pipeline(spark, sf_dir: str,
+                 rest_port: int | None = None) -> list[dict]:
     """One end-to-end dedup pass, each stage persisted + counted so its
     wall time and output cardinality are attributable: shingle sets ->
     LSH band-bucket candidates -> exact-Jaccard verify -> connected
     components (star contraction) -> quality-aware canonical keep.
     Fresh persists per call (not the contract memo) so every multiplier
-    measures from cold relations."""
+    measures from cold relations. With ``rest_port`` (round 15, verdict
+    #1 — exponents in executor time, not just wall) each stage also
+    records the summed executorRunTime of the Spark stages it ran."""
     import time as _t
 
     from pyspark.sql import Window
@@ -268,12 +285,19 @@ def run_pipeline(spark, sf_dir: str) -> list[dict]:
     persisted = []
 
     def stage(name: str, build):
+        n0 = (max((s["stageId"] for s in _rest_stages(rest_port)),
+                  default=-1) if rest_port else -1)
         t0 = _t.perf_counter()
         df = build().persist()
         persisted.append(df)
         rows = df.count()  # materializes the persist
-        stages.append({"stage": name, "rows": rows,
-                       "sec": round(_t.perf_counter() - t0, 2)})
+        rec = {"stage": name, "rows": rows,
+               "sec": round(_t.perf_counter() - t0, 2)}
+        if rest_port:
+            rec["exec_sec"] = round(sum(
+                s["executorRunTime"] for s in _rest_stages(rest_port)
+                if s["stageId"] > n0) / 1000, 2)
+        stages.append(rec)
         return df
 
     sets = stage("shingle_sets",
@@ -811,7 +835,8 @@ def run_corpus_stream(spark, base: str, mults: list[int],
 
 
 def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
-                      trigger: int = 8, cap: int = 16) -> dict:
+                      trigger: int = 8, cap: int = 16,
+                      profile: str = "equal") -> dict:
     """A REAL >=512-batch tiered-compaction stream (round 15, verdict
     #1): every scaling claim for `tiered_compact_append_state` rested
     on a unit-tested schedule SIMULATION plus a 30-batch measured run;
@@ -820,7 +845,13 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
     predicted. The driver keeps its own (batch -> rows) ledger, so
     measured rewrite I/O is exact (folded ranges are returned by the
     maintenance call); an uncompacted reference state is built from
-    the same batches for the admission-identity check."""
+    the same batches for the admission-identity check.
+
+    ``profile="shrink"`` (round 15): strictly-decreasing batch sizes —
+    the dedup-saturation regime where the slack-1.0 rule stalls and
+    the forced cap carries the dir bound; measures the forced path's
+    REAL amplification (degraded vs log2 T by design — bounded dirs is
+    the contract) and counts forced fires."""
     import math
     import shutil as _sh
     import tempfile
@@ -839,25 +870,36 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
     ledger: dict[int, int] = {}   # driver-side truth of dir sizes
     rewritten = 0                 # measured fold I/O (rows read+written)
     append_sec = maint_sec = 0.0
-    max_live = folds = 0
+    max_live = folds = forced = 0
     live_trace = []
 
+    def batch_rows(b: int) -> int:
+        if profile == "shrink":  # strictly decreasing, never equal
+            return max(2, 2 * (n_batches - b))
+        return rows_per_batch
+
     def batch_df(b: int):
-        return spark.range(rows_per_batch).select(
+        return spark.range(batch_rows(b)).select(
             (F.lit(b) * 1_000_000 + F.col("id")).alias("k"))
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        tiered_compact_plan)
 
     for b in range(n_batches):
         t0 = time.perf_counter()
         _append_batch_with_marker(spark, state, b,
                                   lambda old: batch_df(b))
         append_sec += time.perf_counter() - t0
-        ledger[b] = rows_per_batch
+        ledger[b] = batch_rows(b)
         if len(_batch_dir_ids(state)) >= trigger:
+            regular = tiered_compact_plan(sorted(ledger.items()))
             t0 = time.perf_counter()
             rng = tiered_compact_append_state(
                 spark, state, force_fold_at=cap, sizes_cache=cache)
             maint_sec += time.perf_counter() - t0
             if rng is not None:
+                if regular is None:
+                    forced += 1
                 lo, hi = rng
                 fold_rows = sum(n for i, n in ledger.items()
                                 if lo <= i <= hi)
@@ -883,18 +925,21 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
     identical = (got["n"], got["s"], got["d"]) \
         == (want["n"], want["s"], want["d"])
 
-    total_rows = n_batches * rows_per_batch
+    total_rows = sum(batch_rows(b) for b in range(n_batches))
     # the retired full-refold schedule's I/O at the same trigger,
     # simulated: every trigger rewrites the whole corpus so far
-    full_io, live = 0, 0
+    full_io, live, acc = 0, 0, 0
     for b in range(n_batches):
         live += 1
+        acc += batch_rows(b)
         if live >= trigger:
-            full_io += (b + 1) * rows_per_batch
+            full_io += acc
             live = 1
     out = {
-        "n_batches": n_batches, "rows_per_batch": rows_per_batch,
+        "n_batches": n_batches, "profile": profile,
+        "rows_per_batch": rows_per_batch,
         "trigger": trigger, "cap": cap, "folds": folds,
+        "forced_folds": forced,
         "identical_to_uncompacted": identical,
         "max_live_dirs": max_live,
         "dir_bound": trigger + math.ceil(math.log2(n_batches)),
@@ -1097,6 +1142,8 @@ def main() -> int:
     ap.add_argument("--mults", default="1,2,5")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--master", default="local[16]")
+    ap.add_argument("--profile", default="equal",
+                    choices=["equal", "shrink"])  # tiered_stream only
     args = ap.parse_args()
     queries = FAMILIES[args.family]
 
@@ -1154,7 +1201,7 @@ def main() -> int:
     if args.family == "tiered_stream":
         summary = {}
         for n in [int(m) for m in args.mults.split(",")]:
-            rec = run_tiered_stream(spark, n)
+            rec = run_tiered_stream(spark, n, profile=args.profile)
             summary[str(n)] = rec
             print(json.dumps(rec), flush=True)
         print(json.dumps({"summary": summary}))
@@ -1284,6 +1331,26 @@ def main() -> int:
         return 0
 
     if args.family == "pipeline":
+        # re-create the session with the UI on: stage executor time
+        # (the cluster-cost metric) comes from the REST API
+        spark.stop()
+        from pyspark.sql import SparkSession
+
+        from data_engineering_projects_spark.session import (
+            _RUNTIME_CONFS, _fast_local_dir, tune)
+        port = 4047
+        b = (SparkSession.builder.master(args.master)
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "true")
+             .config("spark.ui.port", str(port))
+             .config("spark.ui.showConsoleProgress", "false"))
+        fast = _fast_local_dir()
+        if fast:
+            b = b.config("spark.local.dir", fast)
+        for k, v in _RUNTIME_CONFS.items():
+            b = b.config(k, v)
+        spark = tune(b.getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
         run_pipeline(spark, args.base)  # warm JIT/codegen, discard
         results = []
         for mult in [int(m) for m in args.mults.split(",")]:
@@ -1292,7 +1359,7 @@ def main() -> int:
                       else f"/tmp/depa_stress_{base_tag}_pipeline_x{mult}")
             if mult > 1:
                 build_fixture(args.base, mult, sf_dir, rotate_docs=True)
-            for s in run_pipeline(spark, sf_dir):
+            for s in run_pipeline(spark, sf_dir, rest_port=port):
                 rec = {"mult": mult, **s}
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
@@ -1304,6 +1371,10 @@ def main() -> int:
             summary[sname] = {
                 m: {"sec": rs[m]["sec"],
                     "time_ratio": round(rs[m]["sec"] / max(base["sec"], .01), 2),
+                    **({"exec_sec": rs[m]["exec_sec"],
+                        "exec_ratio": round(rs[m]["exec_sec"]
+                                            / max(base["exec_sec"], .01), 2)}
+                       if "exec_sec" in rs[m] else {}),
                     "rows": rs[m]["rows"],
                     "rows_ratio": round(rs[m]["rows"] / max(base["rows"], 1), 2)}
                 for m in sorted(rs)}
