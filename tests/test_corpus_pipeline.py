@@ -1119,11 +1119,19 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
                               ignore_errors=True)
         # else: crash right after the commit rename (no removals)
 
+    # round 15: the forced-fold + sizes_cache path joins the storm.
+    # One long-lived cache dict crosses every crash artifact AND other
+    # maintenance calls that bypass it (outside the single-owner
+    # contract, deliberately): sizes only steer the fold SCHEDULE —
+    # the fold itself re-reads real dirs — so even a stale cache must
+    # never surface as lost/duplicated rows below, and heals still
+    # invalidate it wholesale
+    storm_cache: dict[int, int] = {}
     for b in range(N):
         if b > 0:
             art = rng.choice(["tmp", "markers", "debris", "replay",
                               "compact_ok", "compact_crash",
-                              "tiered_ok", "none"])
+                              "tiered_ok", "tiered_forced", "none"])
             if art == "tmp":
                 shutil.copytree(os.path.join(state, f"batch={b-1}"),
                                 state + "__tmp",
@@ -1143,6 +1151,10 @@ def test_append_state_crash_storm_with_compaction(spark, tmp_path):
                 interrupted_compaction(rng.randrange(b))
             elif art == "tiered_ok":
                 tiered_compact_append_state(spark, state)
+            elif art == "tiered_forced":
+                tiered_compact_append_state(spark, state,
+                                            force_fold_at=2,
+                                            sizes_cache=storm_cache)
         apply(b)
 
     rows = sorted(r["applied"] for r in
