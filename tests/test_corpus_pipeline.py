@@ -1355,6 +1355,61 @@ def test_corpus_extend_stream_forced_fold_under_saturation(spark,
     assert markers == ["_applied_7"]
 
 
+def test_tiered_forced_plan_properties():
+    """Hypothesis sweep of the FORCED fold policy (round 15): under any
+    batch-size profile, a forced plan (slack=2.0, force=True) must (a)
+    exist whenever 2+ dirs do, (b) be a contiguous SUFFIX ending at the
+    newest id — the range-marker heal and `applied_ids`'s max both
+    require it, (c) include >= 2 dirs, and (d) the caller's
+    trigger-at-cap loop must keep live dir count <= cap with zero row
+    loss/duplication, for ANY profile (the bound the ADVICE fix
+    exists to provide)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        tiered_compact_plan)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10_000),
+                    min_size=2, max_size=60),
+           st.integers(min_value=2, max_value=8))
+    def check(batch_rows, trigger):
+        cap = 2 * trigger
+        # (a)-(c): the forced plan on the raw profile
+        dirs = list(enumerate(batch_rows))
+        rng = tiered_compact_plan(dirs, min_run=2, slack=2.0,
+                                  force=True)
+        assert rng is not None
+        lo, hi = rng
+        ids = sorted(i for i, _ in dirs)
+        run_ids = [i for i in ids if lo <= i <= hi]
+        assert run_ids == ids[-len(run_ids):] and hi == ids[-1]
+        assert len(run_ids) >= 2
+        # (d): the corpus_extend_stream trigger loop under the cap
+        live: list[tuple[int, int]] = []
+        total = 0
+        for b, n in enumerate(batch_rows):
+            live.append((b, n))
+            total += n
+            if len(live) >= trigger:
+                r = tiered_compact_plan(live)
+                if r is None and len(live) >= cap:
+                    r = tiered_compact_plan(live, min_run=2,
+                                            slack=2.0, force=True)
+                if r is not None:
+                    flo, fhi = r
+                    rows = sum(x for i, x in live if flo <= i <= fhi)
+                    live = [(i, x) for i, x in live
+                            if not flo <= i <= fhi]
+                    live.append((fhi, rows))
+                    live.sort()
+            assert len(live) <= cap
+        assert sum(x for _, x in live) == total
+
+    check()
+
+
 def test_reader_isolation_during_inflight_fold(spark, tmp_path):
     """Round-15 verdict #5: a reader overlapping an in-flight tiered
     fold must see either the pre-fold or the post-fold row set —
