@@ -1470,6 +1470,42 @@ def test_reader_isolation_during_inflight_fold(spark, tmp_path):
     assert all(lin[k] < lo for k in lin if k < 300)
 
 
+def test_reader_serves_legacy_prefix_marker(spark, tmp_path):
+    """The fold-consistent reader's LEGACY leg: a pre-r14 prefix
+    intent marker (``.compact_ready_<hi>``, unbounded lo — fold of
+    everything <= hi) must also be served as the post-fold view
+    mid-removal, with batch=hi lineage for every folded row."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, read_corpus_state)
+
+    state = str(tmp_path / "legacy")
+    for b in range(4):
+        _append_batch_with_marker(
+            spark, state, b,
+            lambda old: spark.range(2).select(
+                (F.lit(b) * 10 + F.col("id")).alias("k")))
+    expect = sorted(r["k"] for r in
+                    read_corpus_state(spark, state).collect())
+    combined = (spark.read.parquet(state)
+                .filter(F.col("batch") <= 2).drop("batch"))
+    tmp = state + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(state, ".compact_ready_2"))
+    shutil.rmtree(os.path.join(state, "batch=0"))   # mid-removal
+    assert sorted(r["k"] for r in
+                  read_corpus_state(spark, state).collect()) == expect
+    lin = {r["k"]: r["batch"] for r in read_corpus_state(
+        spark, state, with_lineage=True).collect()}
+    assert all(lin[k] == 2 for k in lin if k < 30)  # folded -> hi
+    assert all(lin[k] == 3 for k in lin if k >= 30)
+
+
 def test_tiered_compact_plan_properties():
     """Hypothesis sweep of the fold policy over irregular batch sizes
     (including empty zero-admission dirs): any returned range is a
