@@ -912,18 +912,35 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
         live_trace.append(live)
         max_live = max(max_live, live)
 
-    # uncompacted reference: same rows, plain appends
-    for b in range(n_batches):
-        _append_batch_with_marker(spark, ref, b,
-                                  lambda old: batch_df(b))
     got = read_corpus_state(spark, state).groupBy().agg(
         F.count("*").alias("n"), F.sum("k").alias("s"),
         F.countDistinct("k").alias("d")).collect()[0]
-    want = read_corpus_state(spark, ref).groupBy().agg(
-        F.count("*").alias("n"), F.sum("k").alias("s"),
-        F.countDistinct("k").alias("d")).collect()[0]
-    identical = (got["n"], got["s"], got["d"]) \
-        == (want["n"], want["s"], want["d"])
+    if n_batches <= 512:
+        # uncompacted reference: same rows, plain appends. Only at
+        # small T: the reference's own per-append listdir over an
+        # ever-growing dir set is O(T^2) — the 2048-batch first
+        # attempt spent its entire budget building the REFERENCE
+        # (the compacted stream finished fine), which is the
+        # small-files pathology compaction exists to remove.
+        for b in range(n_batches):
+            _append_batch_with_marker(spark, ref, b,
+                                      lambda old: batch_df(b))
+        want = read_corpus_state(spark, ref).groupBy().agg(
+            F.count("*").alias("n"), F.sum("k").alias("s"),
+            F.countDistinct("k").alias("d")).collect()[0]
+        want_t = (want["n"], want["s"], want["d"])
+        identity_check = "uncompacted_reference"
+    else:
+        # closed form of the deterministic batch construction:
+        # batch b holds k = b*1e6 + i for i in [0, rows_b)
+        want_t = (total_rows := sum(batch_rows(b)
+                                    for b in range(n_batches)),
+                  sum(b * 1_000_000 * batch_rows(b)
+                      + batch_rows(b) * (batch_rows(b) - 1) // 2
+                      for b in range(n_batches)),
+                  total_rows)
+        identity_check = "closed_form"
+    identical = (got["n"], got["s"], got["d"]) == want_t
 
     total_rows = sum(batch_rows(b) for b in range(n_batches))
     # the retired full-refold schedule's I/O at the same trigger,
@@ -952,7 +969,10 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
         "io_vs_full_refold": round(full_io / max(rewritten, 1), 1),
         "append_sec": round(append_sec, 1),
         "maint_sec": round(maint_sec, 1),
-        "uncompacted_dirs": len(_batch_dir_ids(ref)),
+        "identity_check": identity_check,
+        "uncompacted_dirs": (len(_batch_dir_ids(ref))
+                             if identity_check == "uncompacted_reference"
+                             else n_batches),
     }
     _sh.rmtree(state, ignore_errors=True)
     _sh.rmtree(ref, ignore_errors=True)
