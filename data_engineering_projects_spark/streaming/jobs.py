@@ -657,7 +657,16 @@ def tiered_compact_append_state(spark, state_path: str,
     with zero progress — the stall's second-order cost). The cache is
     invalidated wholesale when a crash-interrupted fold was healed
     (contents of ``batch=<hi>`` changed identity), and folded ranges
-    are evicted after each fold."""
+    are evicted after each fold. Round 16 (from ADVICE): a heal can
+    also happen OUTSIDE this function — the append path calls
+    :func:`_heal_compaction` too, replacing ``batch=<hi>``'s contents
+    without this function ever seeing the marker — so the cached count
+    of the largest CACHED surviving id is re-verified against footers
+    on every call (one cheap footer read). Largest-cached is the right
+    target: a fold's ``hi`` is always the newest dir at fold time (the
+    plan scans newest-first), so ids above a healed ``hi`` can only be
+    appends that landed after the heal — never yet in the cache —
+    while the stale entry is exactly the top of what IS cached."""
     import os
 
     healed = any(_parse_ready_marker(f) is not None
@@ -673,6 +682,14 @@ def tiered_compact_append_state(spark, state_path: str,
     else:
         for bid in set(sizes_cache) - set(ids):
             del sizes_cache[bid]
+        if sizes_cache:
+            # a heal performed by the append path rewrites the fold
+            # target batch=<hi> in place without this function seeing
+            # the marker; hi is the largest cached surviving id (see
+            # docstring), so one footer read per call keeps it exact
+            top = max(sizes_cache)
+            sizes_cache[top] = _dir_parquet_rows(
+                os.path.join(state_path, f"batch={top}"))
         for bid in ids:
             if bid not in sizes_cache:
                 sizes_cache[bid] = _dir_parquet_rows(
@@ -738,15 +755,44 @@ def read_corpus_state(spark, corpus_path: str,
     Every interleaving therefore yields the pre-fold or post-fold row
     set (identical as row SETS — folds preserve rows; only lineage
     coarsens), never a partial; losing a race to the writer's final
-    rename surfaces as a retryable read error, never wrong rows."""
+    rename surfaces as a retryable read error, never wrong rows.
+
+    Round 16 (from ADVICE): the no-marker fast path re-validates the
+    listing AFTER Spark builds its own file index. Between
+    :func:`_stable_listing` returning a marker-free view and
+    ``spark.read.parquet`` listing the parent itself, the writer can
+    commit a fold marker and start removing folded ``batch=`` dirs —
+    dirs gone before Spark's listing are omitted SILENTLY (only files
+    removed after the index is built error at scan time). So: build
+    the DataFrame (Spark's index is materialized eagerly for schema
+    inference), re-list, and serve it only if the entry set is
+    unchanged; otherwise discard and retry from the fresh listing,
+    which now carries the marker and takes the per-dir path. The
+    per-dir path has no silent window: it never touches dirs inside a
+    marker's range, and a dir removed under one of its reads raises."""
     import os
 
-    entries = _stable_listing(corpus_path)
-    ranges = [r for r in (_parse_ready_marker(f) for f in entries)
-              if r is not None]
-    if not ranges:
+    if not os.path.isdir(corpus_path):
+        # let Spark surface its native missing-path error (and keep
+        # remote-filesystem paths on the Spark reader) instead of an
+        # os.listdir FileNotFoundError from the local fast path
         df = spark.read.parquet(corpus_path)
         return df if with_lineage else df.drop("batch")
+
+    entries = _stable_listing(corpus_path)
+    for _ in range(10):
+        ranges = [r for r in (_parse_ready_marker(f) for f in entries)
+                  if r is not None]
+        if ranges:
+            break
+        df = spark.read.parquet(corpus_path)   # Spark lists here
+        after = _stable_listing(corpus_path)
+        if after == entries:
+            return df if with_lineage else df.drop("batch")
+        entries = after                        # fold raced us; retry
+    else:
+        ranges = [r for r in (_parse_ready_marker(f) for f in entries)
+                  if r is not None]
 
     def folded(i: int) -> bool:
         return any(lo <= i <= hi for lo, hi in ranges)

@@ -1623,3 +1623,126 @@ def test_reconcile_survives_crash_mid_repair(spark, tmp_path, monkeypatch):
     idx_ids = sorted(r["doc_id"] for r in
                      spark.read.parquet(idx).collect())
     assert idx_ids == [1, 2, 3, 6]
+
+
+def test_reader_revalidates_listing_after_spark_index(spark, tmp_path,
+                                                      monkeypatch):
+    """Round-16 ADVICE (medium): the no-marker fast path used to trust
+    a single pre-read listing — if a fold committed its marker and
+    removed folded dirs BETWEEN that listing and Spark's own partition
+    discovery, Spark silently omitted them (dirs gone before the file
+    index is built don't error; only files gone after it do).
+    Deterministic reproduction: feed the reader a stale marker-free
+    listing while the tree is already mid-removal; the reader must
+    detect the changed listing after building the DataFrame, discard
+    it, and retry via the marker-aware per-dir path — full row set,
+    never the silent partial the stale parent read would have served."""
+    import shutil
+
+    from data_engineering_projects_spark.streaming import jobs as J
+
+    state = str(tmp_path / "race")
+    for b in range(5):
+        J._append_batch_with_marker(
+            spark, state, b,
+            lambda old: spark.range(4).select(
+                (F.lit(b) * 100 + F.col("id")).alias("k")))
+    expect = sorted(r["k"] for r in
+                    J.read_corpus_state(spark, state).collect())
+    assert len(expect) == 20
+    stale = J._stable_listing(state)       # marker-free pre-fold view
+
+    # fold batches 2..4 -> batch=4, stopped mid-removal (window C)
+    lo, hi = 2, 4
+    combined = (spark.read.parquet(state)
+                .filter((F.col("batch") >= lo) & (F.col("batch") <= hi))
+                .drop("batch"))
+    tmp = state + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(state, f".compact_ready_{lo}-{hi}"))
+    shutil.rmtree(os.path.join(state, f"batch={lo}"))
+    shutil.rmtree(os.path.join(state, f"batch={lo + 1}"))
+
+    real = J._stable_listing
+    calls = {"n": 0}
+
+    def lagging(path, tries=50):
+        calls["n"] += 1
+        return list(stale) if calls["n"] == 1 else real(path, tries)
+
+    monkeypatch.setattr(J, "_stable_listing", lagging)
+    got = sorted(r["k"] for r in
+                 J.read_corpus_state(spark, state).collect())
+    assert got == expect                   # full set, not the partial
+    assert calls["n"] >= 2                 # re-validation actually ran
+    lin = {r["k"]: r["batch"] for r in J.read_corpus_state(
+        spark, state, with_lineage=True).collect()}
+    assert all(lin[k] == hi for k in lin if k >= lo * 100)
+
+
+def test_reader_missing_path_raises_spark_error(spark, tmp_path):
+    """Round-16 ADVICE (low): a missing corpus path must surface
+    Spark's native missing-path error (what callers historically got
+    from the plain parent read), not a local-fs FileNotFoundError from
+    the fast path's os.listdir."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        read_corpus_state)
+
+    with pytest.raises(AnalysisException):
+        read_corpus_state(spark, str(tmp_path / "no_such_corpus"))
+
+
+def test_sizes_cache_reverified_after_append_path_heal(spark, tmp_path):
+    """Round-16 ADVICE (low): a crash-interrupted fold healed by the
+    APPEND path (``_append_batch_with_marker`` -> ``_heal_compaction``)
+    replaces ``batch=<hi>``'s contents without
+    ``tiered_compact_append_state`` ever seeing the marker — the
+    round-15 wholesale invalidation can't fire, leaving a permanently
+    stale cached count for hi. The fix re-verifies the largest CACHED
+    surviving id against footers on every call (hi is always the
+    newest dir at fold time, so it tops the cache until corrected)."""
+    import shutil
+
+    from data_engineering_projects_spark.streaming import jobs as J
+
+    state = str(tmp_path / "healrace")
+    cache: dict[int, int] = {}
+
+    def apply(bid, nrows):
+        J._append_batch_with_marker(
+            spark, state, bid,
+            lambda old: spark.range(nrows).select(
+                (F.lit(bid) * 1000 + F.col("id")).alias("k")))
+
+    for b, n in enumerate([5, 4, 3, 2]):
+        apply(b, n)
+    # populate the cache without folding (min_run above dir count)
+    assert J.tiered_compact_append_state(spark, state, min_run=10,
+                                         sizes_cache=cache) is None
+    assert cache == {0: 5, 1: 4, 2: 3, 3: 2}
+
+    # crash-interrupted fold of 2..3: marker committed by hand
+    lo, hi = 2, 3
+    combined = (spark.read.parquet(state)
+                .filter((F.col("batch") >= lo) & (F.col("batch") <= hi))
+                .drop("batch"))
+    tmp = state + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(state, f".compact_ready_{lo}-{hi}"))
+
+    # the APPEND path heals it (batch=3 now holds 5 rows), then
+    # appends batch 4 — the compactor never sees the marker
+    apply(4, 1)
+    assert J._batch_dir_ids(state) == {0, 1, 3, 4}
+    assert J.tiered_compact_append_state(spark, state, min_run=10,
+                                         sizes_cache=cache) is None
+    # without the fix cache[3] stays 2 (stale); with it, 5 (healed)
+    for bid in cache:
+        assert cache[bid] == J._dir_parquet_rows(
+            os.path.join(state, f"batch={bid}"))
+    assert cache[3] == 5 and cache[4] == 1 and 2 not in cache
