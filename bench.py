@@ -35,6 +35,16 @@ sample rescaled by its pass's calibration bracket toward the
 least-loaded state — the diagnostic for "does this regression track
 host load", while the raw median stays the headline.
 
+Round 16 (verdict #1): the round-12 probe is single-threaded, so it
+sat flat through r15's +9.6% window — a co-tenant competing for CORES
+doesn't slow a 1-core count. A second, MULTI-CORE calibration leg now
+brackets every pass: a fixed-work 32-partition scan->shuffle->agg
+micro-query shaped like the suite's hot loop, so its drift measures
+whole-machine contention the way the queries experience it.
+"value_norm"/"queries_norm" are defined against the multi-core
+brackets from r16 on; the single-thread normalization is retained as
+"value_norm_st"/"queries_norm_st" for continuity with r12-r15 records.
+
 Fitting 3 passes inside the driver timeout (round 11 — the r10 driver
 run degraded to min-of-2 on a loaded host, which is how a phantom +10%
 total appeared):
@@ -68,6 +78,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
 
 from data_engineering_projects_spark import contract
 from data_engineering_projects_spark.session import (free_local_checkpoint,
@@ -138,6 +150,30 @@ def main() -> None:
             return time.perf_counter() - t0
         return round(min(once(), once()), 4)
 
+    # MULTI-CORE calibration (round 16, verdict #1): the single-thread
+    # probe above cannot see 32-core contention — r15's driver window
+    # inflated +9.6% at a MATCHED single-thread calibration because a
+    # co-tenant was competing for cores, not for the one core the probe
+    # used. This probe is a fixed-work parallel leg shaped like the
+    # suite's own hot loop: a 32-partition scan -> hash shuffle -> agg,
+    # saturating every executor thread for a few hundred ms. Its drift
+    # across pass brackets measures whole-machine load the way the
+    # QUERIES experience it, so value_norm (defined against THIS probe
+    # from r16 on; the single-thread samples stay recorded as cal_st)
+    # can distinguish "host got busy" from "engine got slower".
+    n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def calibrate_mc() -> float:
+        def once() -> float:
+            t0 = time.perf_counter()
+            spark.range(2_000_000, numPartitions=n_cores) \
+                .selectExpr("id", "xxhash64(id) AS h") \
+                .groupBy((F.col("h") % 997).alias("k")) \
+                .agg(F.sum("id").alias("s"), F.count("*").alias("c")) \
+                .write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+        return round(min(once(), once()), 4)
+
     # deadline default 545s measured from PROCESS start (the external
     # driver kills bench at ~580s from process start): the next pass
     # starts only if elapsed + 1.5x the last pass's duration fits —
@@ -149,7 +185,10 @@ def main() -> None:
     # once after the last, so each pass is bracketed by two load samples
     # and a drifting host is localized to the pass it degraded instead
     # of smeared across the run.
+    calibrate_mc()  # throwaway: first run pays shuffle/codegen JIT that
+    # would otherwise read as "load" in the pass-0 bracket
     cal_samples = [calibrate()]
+    cal_mc_samples = [calibrate_mc()]
     # time exactly the driver-facing 128 (rounds-11/12 swaps: RETIRED
     # stays registered for warmup/tests but is not a registry query)
     names = sorted(set(contract.QUERIES) - contract.RETIRED)
@@ -162,6 +201,7 @@ def main() -> None:
         # inflates at most one sample of each query instead of all three.
         if rep > 0:
             cal_samples.append(calibrate())
+            cal_mc_samples.append(calibrate_mc())
         pass_t0 = time.perf_counter()
         for name in names:
             if rep > 0 and name.startswith("streaming_"):
@@ -175,6 +215,7 @@ def main() -> None:
                 elapsed + 1.5 * last_pass > deadline:
             break  # projected next-pass finish busts the driver timeout
     cal_samples.append(calibrate())
+    cal_mc_samples.append(calibrate_mc())
 
     def robust(vals: list[float]) -> float:
         vals = sorted(vals)
@@ -187,24 +228,31 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # Load-normalized per-query medians (round 12, DIAGNOSTIC — the
     # headline stays the raw median so round-over-round totals remain
-    # comparable): pass p is bracketed by cal_samples[p] and [p+1]; each
-    # raw sample is rescaled by (least-loaded calibration / its pass's
-    # bracket), i.e. toward what an idle host would have measured. The
-    # calibration is a fixed-cost probe, so this is a first-order
+    # comparable): pass p is bracketed by calibration samples [p] and
+    # [p+1]; each raw sample is rescaled by (least-loaded calibration /
+    # its pass's bracket), i.e. toward what an idle host would have
+    # measured. Round 16 (verdict #1): value_norm is now defined against
+    # the MULTI-CORE brackets — the single-thread probe sat flat through
+    # r15's +9.6% window because 32-core contention doesn't touch a
+    # 1-core probe; the parallel probe experiences load the way the
+    # queries do. The single-thread normalization is kept as
+    # value_norm_st for continuity with r12–r15 records. First-order
     # correction for CPU steal, not a throughput model — use it to
     # decide whether a per-query regression tracks host load before
     # reading it as an engine change.
-    cal_ref = min(cal_samples)
+    def norm_against(cal: list[float]) -> dict[str, float]:
+        ref = min(cal)
 
-    def bracket(p: int) -> float:
-        return min(cal_samples[p], cal_samples[min(p + 1,
-                                                   len(cal_samples) - 1)])
+        def bracket(p: int) -> float:
+            return min(cal[p], cal[min(p + 1, len(cal) - 1)])
 
-    timings_norm = {
-        name: round(robust([v * cal_ref / bracket(p)
-                            for v, p in zip(samples[name],
-                                            sample_pass[name])]), 3)
-        for name in names}
+        return {name: round(robust([v * ref / bracket(p)
+                                    for v, p in zip(samples[name],
+                                                    sample_pass[name])]), 3)
+                for name in names}
+
+    timings_norm = norm_against(cal_mc_samples)
+    timings_norm_st = norm_against(cal_samples)
     # Fixed streaming overhead, measured explicitly (r6 verdict #3): a
     # 1-row no-op query through the SAME staged-parquet -> availableNow
     # -> memory-sink harness the 7 contract streaming queries use. Its
@@ -235,6 +283,8 @@ def main() -> None:
         "queries": timings,
         "queries_norm": timings_norm,
         "value_norm": round(sum(timings_norm.values()), 3),
+        "queries_norm_st": timings_norm_st,
+        "value_norm_st": round(sum(timings_norm_st.values()), 3),
         "spread": {n: [round(v, 3) for v in vs]
                    for n, vs in samples.items()},
         "reps_completed": reps_done,
@@ -253,6 +303,13 @@ def main() -> None:
                         "spread_steady": round(
                             max(cal_samples[1:]) / min(cal_samples[1:]) - 1,
                             3) if len(cal_samples) > 2 else None},
+        "calibration_mc": {"samples": cal_mc_samples,
+                           "spread": round(max(cal_mc_samples)
+                                           / min(cal_mc_samples) - 1, 3),
+                           "spread_steady": round(
+                               max(cal_mc_samples[1:])
+                               / min(cal_mc_samples[1:]) - 1, 3)
+                           if len(cal_mc_samples) > 2 else None},
         "streaming": streaming,
         "streaming_total": streaming_total,
         "streaming_fixed_overhead": streaming_fixed,
@@ -287,7 +344,11 @@ def main() -> None:
         "cal_spread_steady": round(
             max(cal_samples[1:]) / min(cal_samples[1:]) - 1, 3)
         if len(cal_samples) > 2 else None,
+        "cal_mc": cal_mc_samples,
+        "cal_mc_spread": round(
+            max(cal_mc_samples) / min(cal_mc_samples) - 1, 3),
         "value_norm": round(sum(timings_norm.values()), 3),
+        "value_norm_st": round(sum(timings_norm_st.values()), 3),
         "detail": "BENCH_detail.json",
         "queries": {},
     }
