@@ -76,15 +76,138 @@ _FRONT_R6 = [
 ]
 
 
+def _query_files(names) -> dict[str, set[str]]:
+    """Repo-relative source files implementing each registry query: the
+    callable's defining file plus that file's one-hop package-internal
+    imports (contract modules import the operator/pipeline modules that
+    hold the real logic directly, so one hop covers e.g.
+    corpus_extend_admissions -> pipelines/corpus.py, streaming/jobs.py).
+    Used by the change-coupled rotation (round 16, verdict #2)."""
+    import ast
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pkg = "data_engineering_projects_spark"
+
+    def mod_to_rel(dotted: str) -> str | None:
+        base = os.path.join(here, *dotted.split("."))
+        for cand in (base + ".py", os.path.join(base, "__init__.py")):
+            if os.path.isfile(cand):
+                return os.path.relpath(cand, here)
+        return None
+
+    imports_cache: dict[str, set[str]] = {}
+
+    def internal_imports(rel: str) -> set[str]:
+        if rel in imports_cache:
+            return imports_cache[rel]
+        out: set[str] = set()
+        try:
+            with open(os.path.join(here, rel)) as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError):
+            imports_cache[rel] = out
+            return out
+        pkg_of = os.path.dirname(rel).replace(os.sep, ".")
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                if node.level:  # relative: resolve against this package
+                    parts = pkg_of.split(".")
+                    anchor = ".".join(parts[:len(parts) - node.level + 1])
+                    dotted = anchor + ("." + node.module
+                                       if node.module else "")
+                elif node.module and node.module.startswith(pkg):
+                    dotted = node.module
+                else:
+                    continue
+                r = mod_to_rel(dotted)
+                if r:
+                    out.add(r)
+                # `from .x import y` where y is itself a module
+                for alias in node.names:
+                    r2 = mod_to_rel(dotted + "." + alias.name)
+                    if r2:
+                        out.add(r2)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(pkg):
+                        r = mod_to_rel(alias.name)
+                        if r:
+                            out.add(r)
+        imports_cache[rel] = out
+        return out
+
+    files: dict[str, set[str]] = {}
+    for name in names:
+        fn = QUERIES.get(name)
+        try:
+            rel = os.path.relpath(fn.__code__.co_filename, here)
+        except (AttributeError, ValueError):
+            files[name] = set()
+            continue
+        if rel.startswith(".."):
+            files[name] = set()
+            continue
+        files[name] = {rel} | internal_imports(rel)
+    return files
+
+
+def _changed_since(latest: dict[str, tuple[int, bool]],
+                   names) -> set[str]:
+    """Names whose implementing source changed since the round of their
+    latest driver row (round 16, verdict #2): a green row only certifies
+    the tree the driver ran on, so a query whose module was edited
+    afterwards is re-fronted ahead of the oldest-green ordering instead
+    of waiting out the age-based rotation. Round N's certified tree is
+    the commit that last touched CORRECTNESS_rNN.json (the driver's own
+    marker commit); one `git diff --name-only` per distinct round maps
+    rows to the files edited since. Empty set when git is unavailable —
+    the age-based rotation still applies."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = {latest[n][0] for n in names if n in latest}
+    changed_by_round: dict[int, set[str]] = {}
+    for rnd in rounds:
+        try:
+            commit = subprocess.run(
+                ["git", "log", "-n1", "--format=%H", "--",
+                 f"CORRECTNESS_r{rnd:02d}.json"],
+                cwd=here, capture_output=True, text=True,
+                timeout=10).stdout.strip()
+            if not commit:
+                continue
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", f"{commit}..HEAD"],
+                cwd=here, capture_output=True, text=True, timeout=10)
+            changed_by_round[rnd] = set(diff.stdout.split())
+        except (OSError, subprocess.SubprocessError):
+            continue
+    if not changed_by_round:
+        return set()
+    qfiles = _query_files(names)  # already repo-relative paths
+    out = set()
+    for name in names:
+        if name not in latest:
+            continue
+        touched = changed_by_round.get(latest[name][0])
+        if touched and qfiles[name] & touched:
+            out.add(name)
+    return out
+
+
 def _staleness_order(names) -> list[str] | None:
     """Self-maintaining rotation (round 6): derive the front order from
     the driver's own ``CORRECTNESS_r*.json`` rows instead of a
     hand-curated list, so every round automatically re-checks (1) any
-    query whose LATEST driver row is not fully green, then (2) green
-    queries oldest-row-first, then (3) ties by name. A query with no row
-    at all sorts with group (1). Returns None when no correctness files
-    are readable (first round / foreign checkout) so the static fallback
-    applies."""
+    query whose LATEST driver row is not fully green, then (2, round 16)
+    green queries whose implementing module changed since their row's
+    round — a green row certifies the tree the driver ran on, not the
+    current one — then (3) green-and-unchanged queries oldest-row-first,
+    then name. A query with no row at all sorts with group (1). Returns
+    None when no correctness files are readable (first round / foreign
+    checkout) so the static fallback applies."""
     import glob
     import json
     import os
@@ -111,10 +234,27 @@ def _staleness_order(names) -> list[str] | None:
             latest[name] = (rnd, green)
     if not seen_any:
         return None
+    changed = _changed_since(latest, list(names))
+    # The driver checks ~50/round and the changed set can exceed what
+    # fits alongside the max-staleness cohort (r16: 59 changed, 28
+    # oldest-round rows, union 68) — rank so neither standing bound
+    # silently breaks: the oldest-round cohort keeps the 2-round
+    # staleness bound whole (changed-first within it), then changed
+    # queries oldest-row-first; changed rows that overflow the window
+    # stay flagged and front automatically next round.
+    oldest = min((rnd for rnd, green in
+                  (latest.get(n, (0, False)) for n in names) if green),
+                 default=0)
 
     def key(name: str):
         rnd, green = latest.get(name, (0, False))
-        return (1 if green else 0, rnd, name)
+        if not green:
+            return (0, rnd, 0, name)
+        if rnd == oldest:
+            return (1, rnd, 0 if name in changed else 1, name)
+        if name in changed:
+            return (2, rnd, 0, name)
+        return (3, rnd, 0, name)
 
     return sorted(names, key=key)
 
