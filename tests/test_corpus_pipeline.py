@@ -1746,3 +1746,29 @@ def test_sizes_cache_reverified_after_append_path_heal(spark, tmp_path):
         assert cache[bid] == J._dir_parquet_rows(
             os.path.join(state, f"batch={bid}"))
     assert cache[3] == 5 and cache[4] == 1 and 2 not in cache
+
+
+def test_cluster_executor_loss_barrier_modes():
+    """Round-16 verdict #3: the reliable-barriers deployment guidance
+    rested on an untested failure-mode claim. tools/cluster_loss_probe
+    runs extend_corpus on local-cluster[2,1,1024] (real separate
+    executor JVMs) and SIGKILLs every executor right after the first
+    materialization barrier: default localCheckpoint barriers must fail
+    the query (blocks lost, lineage truncated), reliable_barriers=True
+    must complete the same mid-query loss with admissions identical to
+    an undisturbed run. Subprocess because a second SparkContext cannot
+    share this suite's JVM."""
+    import json
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "tools",
+                                      "cluster_loss_probe.py")],
+        capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert verdict["local_failed"] is True
+    assert verdict["reliable_admitted"] == verdict["undisturbed"]
+    assert verdict["kills"] >= 4        # both legs actually lost JVMs
