@@ -600,11 +600,19 @@ def tiered_compact_plan(sizes: list[tuple[int, int]],
     exist; callers use it (with slack=2.0, which sweeps up a whole
     gently-shrinking tail in one fold) only past a hard dir-count cap,
     so the regular rule still shapes the schedule and the forced path
-    merely bounds the count. In the adversarial regime (every batch
-    >2× smaller than the last) forced folds repeatedly rewrite a
-    small newest-tail accumulator until it reaches the next tier —
-    degraded amortized I/O but a bounded dir count, which is the
-    contract the trigger exists to keep."""
+    merely bounds the count. The adversarial regime (every batch >2×
+    smaller than the last) is MEASURED BENIGN (round 16, verdict #5,
+    SCALING.md): integer row counts ≥ 1 cannot keep halving for more
+    than log₂(N₀) batches, so the regime self-terminates — pure
+    geometric shrink at T=256 hands its 1-row tail back to the regular
+    rule (122 regular folds, 0 forced, amplification 0.01), and a
+    cyclic >2×-shrink that restarts big every 12 batches is swept by
+    the regular rule at each restart (amplification 2.57 vs the log₂T=8
+    bound, 0 forced, dirs ≤ 15 at cap 16). The forced path's real
+    domain stays the r15 gentle-monotonic-shrink stall (dedup
+    saturation), measured there at amplification 2.5 with 18/18 folds
+    forced; in every measured regime amplification ≤ log₂T and the dir
+    cap held."""
     if len(sizes) < 2:
         return None
     ordered = sorted(sizes)  # by id ascending; scan from the newest

@@ -1772,3 +1772,22 @@ def test_cluster_executor_loss_barrier_modes():
     assert verdict["local_failed"] is True
     assert verdict["reliable_admitted"] == verdict["undisturbed"]
     assert verdict["kills"] >= 4        # both legs actually lost JVMs
+
+
+def test_free_running_reader_race(spark):
+    """Round-16 verdict #4, in-suite leg: a free-running reader thread
+    (no pinned interleaving points) against a real append+compaction
+    stream with folds — every successful read must be a consistent
+    pre-/post-fold snapshot (complete batches 0..k, nothing partial,
+    nothing duplicated); rename races surface as retryable errors only.
+    The full-size run (120 batches) lives in tools/stress_scale.py
+    --family reader_race; this keeps a 40-batch version green in-suite."""
+    from tools.stress_scale import run_reader_race
+
+    out = run_reader_race(spark, n_batches=40, rows_per_batch=10,
+                          trigger=5, cap=10)
+    assert out["bad_reads"] == 0, out["bad_samples"]
+    assert out["final_identical"] is True
+    assert out["folds"] >= 5
+    assert out["reads"] >= 10          # the reader actually raced
+    assert out["live_dirs"] <= 10

@@ -127,6 +127,11 @@ FAMILIES = {
     # append wall split, and admission identity vs an uncompacted
     # reference state.
     "tiered_stream": [],
+    # special-cased in main(): free-running concurrent reader against a
+    # real append+compaction stream with forced folds (round 16,
+    # verdict #4) — every successful read must be a consistent
+    # pre-/post-fold snapshot; rename races count as retryable errors.
+    "reader_race": [],
     # special-cased in main(): the IVF-PQ recall-vs-cost operating grid
     # (r10 verdict #5) — recall@10 + wall across (nprobe x overfetch)
     # at 1x and 5x corpus with the index trained on the 1x corpus.
@@ -169,7 +174,21 @@ _LC = "abcdefghijklmnopqrstuvwxyz"
 _DG = "0123456789"
 
 
-def _rotate_sql(col: str, i: int) -> str:
+def _cipher_word(word: str, i: int) -> str:
+    """Python-side image of :func:`_rotate_sql`'s copy-``i`` cipher for
+    a lowercase word — used to build the stopword-restoring token map."""
+    import random
+    if i == 0:
+        return word
+    rnd = random.Random(i)
+    lcl, dgl = list(_LC), list(_DG)
+    rnd.shuffle(lcl)
+    rnd.shuffle(dgl)
+    m = {**dict(zip(_LC, lcl)), **dict(zip(_DG, dgl))}
+    return "".join(m.get(c, c) for c in word)
+
+
+def _rotate_sql(col: str, i: int, keep_stopwords: bool = False) -> str:
     """Per-copy character bijection: a SEEDED random substitution
     cipher per copy (round 15 — rotation repeated at period 10 for
     digits / 26 for letters, capping the sound multiplier at 10; the
@@ -184,7 +203,23 @@ def _rotate_sql(col: str, i: int) -> str:
     tokens the full-permutation collision odds are C(k,2)/10! ≈ 0.14%
     at k=100 copies, and a candidate leak additionally needs a whole
     3-token shingle to collide. Same up-to-hash-chance soundness class
-    as the old rotation's 60-bit argument, valid to ~1000 copies."""
+    as the old rotation's 60-bit argument, valid to ~1000 copies.
+
+    ``keep_stopwords`` (round 16, verdict #6): restore the quality
+    gate's 7 stopwords to themselves AFTER the cipher, in one
+    token-level pass (single CASE over space-split tokens — no
+    cascading replace), so the stopword-ratio component of the quality
+    score is IDENTICAL across copies and the composed prepare_corpus
+    decade becomes an exact-linearity witness (the plain cipher
+    perturbs stopword ratios, so quality_gate_out scaled ~93.5x at
+    100x instead of 100.0x, masking the scaling signal). Soundness
+    note: stopwords become SHARED vocabulary across copies, so a
+    cross-copy LSH candidate is no longer impossible-by-construction —
+    it now needs a full shingle (3 consecutive tokens) of stopwords on
+    both sides AND the exact-Jaccard verify still kills any such pair
+    (whole-doc overlap stays ~0 cross-copy), so admissions remain
+    sound; only the zero-cross-copy-CANDIDATE witness weakens to
+    zero-cross-copy-ADMISSION."""
     import random
     if i == 0:
         lc, dg = _LC, _DG
@@ -196,12 +231,21 @@ def _rotate_sql(col: str, i: int) -> str:
         lc, dg = "".join(lcl), "".join(dgl)
     src = _LC + _LC.upper() + _DG
     dst = lc + lc + dg
-    return f"translate({col}, '{src}', '{dst}')"
+    out = f"translate({col}, '{src}', '{dst}')"
+    if keep_stopwords and i != 0:
+        from data_engineering_projects_spark.contract.extensions import (
+            _STOPWORDS)
+        cases = " ".join(
+            f"WHEN '{_cipher_word(w, i)}' THEN '{w}'" for w in _STOPWORDS)
+        out = (f"array_to_string(list_transform(string_split({out}, ' '),"
+               f" t -> CASE t {cases} ELSE t END), ' ')")
+    return out
 
 
 def build_fixture(base: str, mult: int, out_dir: str,
                   rotate_docs: bool = False,
-                  shift_users: bool = False) -> None:
+                  shift_users: bool = False,
+                  keep_stopwords: bool = False) -> None:
     import duckdb
 
     # Disjoint-shingle-universe invariant (round-8 ADVICE, relaxed
@@ -229,7 +273,8 @@ def build_fixture(base: str, mult: int, out_dir: str,
             def copy_sql(i: int) -> str:
                 repl = f"{idc} + {i * _OFFSET} AS {idc}"
                 if rotate_docs and name == "documents":
-                    repl += f", {_rotate_sql('text', i)} AS text"
+                    repl += (f", {_rotate_sql('text', i, keep_stopwords)}"
+                             f" AS text")
                 if shift_users and name == "events":
                     # each copy brings NEW users: streaming state keys
                     # (user x window/session) scale linearly with data,
@@ -485,8 +530,12 @@ def run_megablock(spark, base: str, sizes: list[int]) -> list[dict]:
 
 
 
-def run_corpus(spark, base: str, mults: list[int]) -> list[dict]:
-    """End-to-end prepare_corpus under k-fold rotated documents."""
+def run_corpus(spark, base: str, mults: list[int],
+               keep_stopwords: bool = False) -> list[dict]:
+    """End-to-end prepare_corpus under k-fold rotated documents.
+    ``keep_stopwords`` (round 16, verdict #6) ciphers copies with the
+    stopword-preserving variant so quality decisions are exactly
+    copy-invariant and every stage must scale exactly linearly."""
     from data_engineering_projects_spark.pipelines.corpus import (
         prepare_corpus)
     from data_engineering_projects_spark.sources import load_table, widen
@@ -494,10 +543,12 @@ def run_corpus(spark, base: str, mults: list[int]) -> list[dict]:
     results = []
     for mult in mults:
         base_tag = os.path.basename(os.path.normpath(base))
+        sw = "_sw" if keep_stopwords else ""
         sf_dir = (base if mult == 1
-                  else f"/tmp/depa_stress_{base_tag}_corpus_x{mult}")
+                  else f"/tmp/depa_stress_{base_tag}_corpus{sw}_x{mult}")
         if mult > 1:
-            build_fixture(base, mult, sf_dir, rotate_docs=True)
+            build_fixture(base, mult, sf_dir, rotate_docs=True,
+                          keep_stopwords=keep_stopwords)
         docs = widen(load_table(spark, sf_dir, "documents"))
         res = prepare_corpus(docs)  # warm codegen/JIT on this fixture
         res.report.collect(); res.unpersist()
@@ -876,6 +927,26 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
     def batch_rows(b: int) -> int:
         if profile == "shrink":  # strictly decreasing, never equal
             return max(2, 2 * (n_batches - b))
+        if profile == "geoshrink":
+            # adversarial >2x-per-batch shrink (round 16, verdict #5):
+            # each batch is 2.5x smaller than the last until the 1-row
+            # integer floor. The regime is SELF-TERMINATING: integer
+            # sizes >= 1 can't halve for more than log2(N0) batches, so
+            # the forced path's degraded amplification applies only
+            # inside a ~log-length window, after which the equal-tiny
+            # tail is back in the regular rule's regime.
+            return max(1, int(50_000 * 0.4 ** b))
+        if profile == "geocycle":
+            # SUSTAINED adversarial shrink (round 16, verdict #5): the
+            # pure geometric profile turned out benign (the 1-row floor
+            # hands the tail back to the regular rule: 0 forced folds,
+            # amplification 0.01 at T=256), so the regime that actually
+            # keeps stall pressure on forever is CYCLIC — >2x shrink
+            # for 12 batches, then restart big. Within every cycle the
+            # regular rule stalls (each dir smaller than the one
+            # before), so the forced path must carry the dir bound for
+            # the stream's whole life; this measures its amplification.
+            return max(1, int(50_000 * 0.4 ** (b % 12)))
         return rows_per_batch
 
     def batch_df(b: int):
@@ -976,6 +1047,96 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
     }
     _sh.rmtree(state, ignore_errors=True)
     _sh.rmtree(ref, ignore_errors=True)
+    return out
+
+
+def run_reader_race(spark, n_batches: int = 120, rows_per_batch: int = 20,
+                    trigger: int = 6, cap: int = 12) -> dict:
+    """Free-running concurrent-reader race (round 16, verdict #4): the
+    round-15 interleaving walk pins every handoff point of the fold
+    protocol DETERMINISTICALLY; this complements it with a reader
+    thread calling :func:`read_corpus_state` in a tight loop — no
+    coordination, no pinned points — against a real append+compaction
+    stream with forced folds. Every successful read must be a
+    CONSISTENT snapshot: exactly the rows of complete batches 0..k for
+    some k (appends are atomic renames, folds preserve row sets), with
+    no partial batch, no missing middle batch, no duplicate. Reads that
+    lose the race to the writer's final rename may error — counted as
+    ``retryable``, never as wrong rows. This is the test shape that
+    catches listing races an enumerated walk can't (e.g. the r16
+    fast-path re-validation window)."""
+    import shutil as _sh
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker, _batch_dir_ids, read_corpus_state,
+        tiered_compact_append_state)
+
+    state = tempfile.mkdtemp(prefix="reader_race_")
+    _sh.rmtree(state)
+
+    def batch_df(b: int):
+        return spark.range(rows_per_batch).select(
+            (F.lit(b) * 1_000_000 + F.col("id")).alias("k"))
+
+    expect_batch = [list(range(b * 1_000_000, b * 1_000_000
+                               + rows_per_batch))
+                    for b in range(n_batches)]
+    stop = threading.Event()
+    stats = {"reads": 0, "retryable": 0, "bad": 0, "bad_samples": []}
+
+    def reader():
+        while not stop.is_set():
+            try:
+                ks = sorted(r["k"] for r in
+                            read_corpus_state(spark, state).collect())
+            except Exception:
+                stats["retryable"] += 1
+                continue
+            stats["reads"] += 1
+            if not ks:
+                continue
+            kmax = ks[-1] // 1_000_000
+            want = [k for b in range(kmax + 1) for k in expect_batch[b]]
+            if ks != want:
+                stats["bad"] += 1
+                if len(stats["bad_samples"]) < 3:
+                    got_by_batch = {}
+                    for k in ks:
+                        got_by_batch[k // 1_000_000] = \
+                            got_by_batch.get(k // 1_000_000, 0) + 1
+                    stats["bad_samples"].append(got_by_batch)
+
+    cache: dict[int, int] = {}
+    folds = 0
+    _append_batch_with_marker(spark, state, 0, lambda old: batch_df(0))
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for b in range(1, n_batches):
+            _append_batch_with_marker(spark, state, b,
+                                      lambda old: batch_df(b))
+            if len(_batch_dir_ids(state)) >= trigger:
+                rng = tiered_compact_append_state(
+                    spark, state, force_fold_at=cap, sizes_cache=cache)
+                if rng is not None:
+                    folds += 1
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    final = sorted(r["k"] for r in
+                   read_corpus_state(spark, state).collect())
+    want_all = [k for b in range(n_batches) for k in expect_batch[b]]
+    out = {"n_batches": n_batches, "folds": folds,
+           "reads": stats["reads"], "retryable": stats["retryable"],
+           "bad_reads": stats["bad"],
+           "bad_samples": stats["bad_samples"],
+           "final_identical": final == want_all,
+           "live_dirs": len(_batch_dir_ids(state))}
+    _sh.rmtree(state, ignore_errors=True)
     return out
 
 
@@ -1162,8 +1323,11 @@ def main() -> int:
     ap.add_argument("--mults", default="1,2,5")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--master", default="local[16]")
-    ap.add_argument("--profile", default="equal",
-                    choices=["equal", "shrink"])  # tiered_stream only
+    ap.add_argument("--profile", default="equal",  # tiered_stream only
+                    choices=["equal", "shrink", "geoshrink", "geocycle"])
+    ap.add_argument("--keep-stopwords", action="store_true",
+                    help="corpus family: stopword-preserving cipher "
+                         "(round 16, verdict #6)")
     args = ap.parse_args()
     queries = FAMILIES[args.family]
 
@@ -1176,9 +1340,17 @@ def main() -> int:
                         shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.family == "reader_race":
+        n = max(int(m) for m in args.mults.split(","))
+        out = run_reader_race(spark, n_batches=max(n, 2))
+        print(json.dumps({"summary": out}))
+        spark.stop()
+        return 0
+
     if args.family == "corpus":
         mults = [int(m) for m in args.mults.split(",")]
-        results = run_corpus(spark, args.base, mults)
+        results = run_corpus(spark, args.base, mults,
+                             keep_stopwords=args.keep_stopwords)
         b = results[0]
         stage_keys = [k for k in b if k.endswith("_out")]
         summary = {
