@@ -51,9 +51,13 @@ def test_registry_swap_invariants():
 
 def test_staleness_order_rotates_correctly():
     """The dynamic rotation must (1) front any query whose latest driver
-    row is not fully green or that has no row, (2) order green queries
-    oldest-driver-row-first, and (3) fall back to the static list when
-    no correctness files exist — so the ~50-query driver budget always
+    row is not fully green or that has no row, (2, round 16) keep the
+    whole oldest-round cohort next (the 2-round staleness bound),
+    changed-code queries first within it, (3) then front green queries
+    whose implementing module changed since their row (a green row only
+    certifies the tree the driver ran on), oldest-row-first, then the
+    rest by age, and (4) fall back to the static list when no
+    correctness files exist — so the ~50-query driver budget always
     lands on the rows that need refreshing."""
     import glob
     import json
@@ -78,17 +82,33 @@ def test_staleness_order_rotates_correctly():
             green = bool(v.get("rows_match") and v.get("schema_match")
                          and v.get("hash_match") and not v.get("err"))
             latest[name] = (rnd, green)
-    # mirror the implementation's full key — (green, round, name) — so
-    # the assertion stays valid when reds span multiple rounds or
-    # never-checked queries (round 0) coexist with red rows
+    # mirror the implementation's full key so the assertion stays valid
+    # when reds span multiple rounds or never-checked queries coexist
+    changed = e._changed_since(latest, list(contract.QUERIES))
+    oldest = min((rnd for rnd, green in
+                  (latest.get(n, (0, False))
+                   for n in contract.QUERIES) if green), default=0)
+
     def key(name):
         rnd, green = latest.get(name, (0, False))
-        return (1 if green else 0, rnd, name)
+        if not green:
+            return (0, rnd, 0, name)
+        if rnd == oldest:
+            return (1, rnd, 0 if name in changed else 1, name)
+        if name in changed:
+            return (2, rnd, 0, name)
+        return (3, rnd, 0, name)
     assert order == sorted(contract.QUERIES, key=key)
     reds = {q for q in contract.QUERIES
             if not latest.get(q, (0, False))[1]}
     # every non-green / never-checked query sorts before every green one
     assert set(order[:len(reds)]) == reds
+    # the 2-round staleness bound survives the change-coupling: every
+    # oldest-round row sorts before any newer-round row
+    greens = [q for q in order if latest.get(q, (0, False))[1]]
+    n_oldest = sum(1 for q in greens if latest[q][0] == oldest)
+    assert all(latest[q][0] == oldest
+               for q in greens[:n_oldest])
 
 
 def test_staleness_order_falls_back_without_correctness_files(monkeypatch):

@@ -1051,7 +1051,8 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
 
 
 def run_reader_race(spark, n_batches: int = 120, rows_per_batch: int = 20,
-                    trigger: int = 6, cap: int = 12) -> dict:
+                    trigger: int = 6, cap: int = 12,
+                    subprocess_reader: bool = False) -> dict:
     """Free-running concurrent-reader race (round 16, verdict #4): the
     round-15 interleaving walk pins every handoff point of the fold
     protocol DETERMINISTICALLY; this complements it with a reader
@@ -1064,8 +1065,16 @@ def run_reader_race(spark, n_batches: int = 120, rows_per_batch: int = 20,
     lose the race to the writer's final rename may error — counted as
     ``retryable``, never as wrong rows. This is the test shape that
     catches listing races an enumerated walk can't (e.g. the r16
-    fast-path re-validation window)."""
+    fast-path re-validation window).
+
+    ``subprocess_reader=True`` (round 16 extension) runs the reader in
+    a SEPARATE python/JVM process (tools/reader_race_child.py) instead
+    of a thread: no shared JVM, no shared Hadoop FileSystem cache, no
+    shared file-index state — the honest model of an independent job
+    reading the corpus while the maintenance stream runs."""
     import shutil as _sh
+    import subprocess as _sp
+    import sys as _sys
     import tempfile
     import threading
 
@@ -1113,8 +1122,20 @@ def run_reader_race(spark, n_batches: int = 120, rows_per_batch: int = 20,
     cache: dict[int, int] = {}
     folds = 0
     _append_batch_with_marker(spark, state, 0, lambda old: batch_df(0))
-    t = threading.Thread(target=reader, daemon=True)
-    t.start()
+    child = stop_file = None
+    t = None
+    if subprocess_reader:
+        stop_file = state + "__reader_stop"
+        here = os.path.dirname(os.path.abspath(__file__))
+        child = _sp.Popen(
+            [_sys.executable, os.path.join(here, "reader_race_child.py"),
+             "--state", state, "--rows-per-batch", str(rows_per_batch),
+             "--stop-file", stop_file],
+            stdout=_sp.PIPE, stderr=_sp.DEVNULL, text=True)
+        time.sleep(12)  # let the child's session come up mid-stream
+    else:
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
     try:
         for b in range(1, n_batches):
             _append_batch_with_marker(spark, state, b,
@@ -1126,7 +1147,13 @@ def run_reader_race(spark, n_batches: int = 120, rows_per_batch: int = 20,
                     folds += 1
     finally:
         stop.set()
-        t.join(timeout=120)
+        if child is not None:
+            open(stop_file, "w").close()
+            out, _ = child.communicate(timeout=180)
+            stats.update(json.loads(out.strip().splitlines()[-1]))
+            os.remove(stop_file)
+        else:
+            t.join(timeout=120)
     final = sorted(r["k"] for r in
                    read_corpus_state(spark, state).collect())
     want_all = [k for b in range(n_batches) for k in expect_batch[b]]
@@ -1328,6 +1355,9 @@ def main() -> int:
     ap.add_argument("--keep-stopwords", action="store_true",
                     help="corpus family: stopword-preserving cipher "
                          "(round 16, verdict #6)")
+    ap.add_argument("--subprocess-reader", action="store_true",
+                    help="reader_race family: reader in a separate "
+                         "python/JVM process instead of a thread")
     args = ap.parse_args()
     queries = FAMILIES[args.family]
 
@@ -1342,7 +1372,8 @@ def main() -> int:
 
     if args.family == "reader_race":
         n = max(int(m) for m in args.mults.split(","))
-        out = run_reader_race(spark, n_batches=max(n, 2))
+        out = run_reader_race(spark, n_batches=max(n, 2),
+                              subprocess_reader=args.subprocess_reader)
         print(json.dumps({"summary": out}))
         spark.stop()
         return 0
