@@ -44,6 +44,11 @@ whole-machine contention the way the queries experience it.
 "value_norm"/"queries_norm" are defined against the multi-core
 brackets from r16 on; the single-thread normalization is retained as
 "value_norm_st"/"queries_norm_st" for continuity with r12-r15 records.
+"value_norm_abs" additionally normalizes against a PINNED idle-host
+reference for the fixed-work probe (REF_MC_IDLE) — min-of-own-run
+normalization cannot correct a window that was loaded throughout
+(the r15 failure mode); the absolute form is comparable across windows
+on this host no matter when the load struck.
 
 Fitting 3 passes inside the driver timeout (round 11 — the r10 driver
 run degraded to min-of-2 on a loaded host, which is how a phantom +10%
@@ -240,8 +245,9 @@ def main() -> None:
     # correction for CPU steal, not a throughput model — use it to
     # decide whether a per-query regression tracks host load before
     # reading it as an engine change.
-    def norm_against(cal: list[float]) -> dict[str, float]:
-        ref = min(cal)
+    def norm_against(cal: list[float],
+                     ref: float | None = None) -> dict[str, float]:
+        ref = min(cal) if ref is None else ref
 
         def bracket(p: int) -> float:
             return min(cal[p], cal[min(p + 1, len(cal) - 1)])
@@ -253,6 +259,17 @@ def main() -> None:
 
     timings_norm = norm_against(cal_mc_samples)
     timings_norm_st = norm_against(cal_samples)
+    # ABSOLUTE normalization (round 16): min-of-own-run normalization is
+    # only as good as the run's quietest moment — a window that is
+    # loaded THROUGHOUT normalizes to itself and stays incomparable
+    # across rounds (the r15 failure mode). The multi-core probe is
+    # FIXED WORK, so its idle-host time is a machine constant; scaling
+    # every sample by (idle reference / its pass's bracket) yields a
+    # value comparable across windows on this host regardless of when
+    # the load struck. Reference measured 2026-08-16 (idle, steady
+    # post-warm-up samples 0.207-0.212); re-pin if the hardware changes.
+    REF_MC_IDLE = 0.21
+    timings_norm_abs = norm_against(cal_mc_samples, ref=REF_MC_IDLE)
     # Fixed streaming overhead, measured explicitly (r6 verdict #3): a
     # 1-row no-op query through the SAME staged-parquet -> availableNow
     # -> memory-sink harness the 7 contract streaming queries use. Its
@@ -285,6 +302,8 @@ def main() -> None:
         "value_norm": round(sum(timings_norm.values()), 3),
         "queries_norm_st": timings_norm_st,
         "value_norm_st": round(sum(timings_norm_st.values()), 3),
+        "queries_norm_abs": timings_norm_abs,
+        "value_norm_abs": round(sum(timings_norm_abs.values()), 3),
         "spread": {n: [round(v, 3) for v in vs]
                    for n, vs in samples.items()},
         "reps_completed": reps_done,
@@ -349,6 +368,7 @@ def main() -> None:
             max(cal_mc_samples) / min(cal_mc_samples) - 1, 3),
         "value_norm": round(sum(timings_norm.values()), 3),
         "value_norm_st": round(sum(timings_norm_st.values()), 3),
+        "value_norm_abs": round(sum(timings_norm_abs.values()), 3),
         "detail": "BENCH_detail.json",
         "queries": {},
     }
