@@ -98,6 +98,38 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _PROC_T0 = time.perf_counter()
 
 
+def robust_stat(vals: list[float]) -> float:
+    """Median at >=3 samples, else best-of (noise only ever inflates)."""
+    vals = sorted(vals)
+    if len(vals) >= 3:
+        return vals[len(vals) // 2]
+    return vals[0]
+
+
+def load_normalize(samples: dict[str, list[float]],
+                   sample_pass: dict[str, list[int]],
+                   cal: list[float],
+                   ref: float | None = None) -> dict[str, float]:
+    """Pure normalization core (module-level so the unit suite can pin
+    the math): pass ``p`` is bracketed by calibration samples ``cal[p]``
+    and ``cal[p+1]``; each raw sample is rescaled by
+    ``ref / min(bracket)`` — toward the run's least-loaded state with
+    ``ref=None`` (min of ``cal``; the r12 relative form) or toward an
+    idle host with an explicit ``ref`` (the r16 absolute form,
+    comparable across windows). First-order CPU-steal correction, not a
+    throughput model."""
+    ref = min(cal) if ref is None else ref
+
+    def bracket(p: int) -> float:
+        return min(cal[p], cal[min(p + 1, len(cal) - 1)])
+
+    return {name: round(robust_stat([v * ref / bracket(p)
+                                     for v, p in zip(samples[name],
+                                                     sample_pass[name])]),
+                        3)
+            for name in samples}
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -222,11 +254,7 @@ def main() -> None:
     cal_samples.append(calibrate())
     cal_mc_samples.append(calibrate_mc())
 
-    def robust(vals: list[float]) -> float:
-        vals = sorted(vals)
-        if len(vals) >= 3:
-            return vals[len(vals) // 2]  # median
-        return vals[0]  # 1–2 reps: best-of (noise only ever inflates)
+    robust = robust_stat  # module-level so the unit suite pins the math
 
     for name in names:
         timings[name] = round(robust(samples[name]), 3)
@@ -247,15 +275,7 @@ def main() -> None:
     # reading it as an engine change.
     def norm_against(cal: list[float],
                      ref: float | None = None) -> dict[str, float]:
-        ref = min(cal) if ref is None else ref
-
-        def bracket(p: int) -> float:
-            return min(cal[p], cal[min(p + 1, len(cal) - 1)])
-
-        return {name: round(robust([v * ref / bracket(p)
-                                    for v, p in zip(samples[name],
-                                                    sample_pass[name])]), 3)
-                for name in names}
+        return load_normalize(samples, sample_pass, cal, ref)
 
     timings_norm = norm_against(cal_mc_samples)
     timings_norm_st = norm_against(cal_samples)
