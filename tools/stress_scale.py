@@ -950,8 +950,11 @@ def run_tiered_stream(spark, n_batches: int, rows_per_batch: int = 200,
         return rows_per_batch
 
     def batch_df(b: int):
+        # lit(b) must be LONG: an int32 lit overflows at batch 2148
+        # (2.148e9 > 2^31-1) and ANSI mode kills the stream — found by
+        # the 4096-batch curve point; 2048 fit int32 by 5%.
         return spark.range(batch_rows(b)).select(
-            (F.lit(b) * 1_000_000 + F.col("id")).alias("k"))
+            (F.lit(b).cast("long") * 1_000_000 + F.col("id")).alias("k"))
 
     from data_engineering_projects_spark.streaming.jobs import (
         tiered_compact_plan)
@@ -1088,8 +1091,9 @@ def run_reader_race(spark, n_batches: int = 120, rows_per_batch: int = 20,
     _sh.rmtree(state)
 
     def batch_df(b: int):
+        # LONG lit: same int32-overflow guard as run_tiered_stream
         return spark.range(rows_per_batch).select(
-            (F.lit(b) * 1_000_000 + F.col("id")).alias("k"))
+            (F.lit(b).cast("long") * 1_000_000 + F.col("id")).alias("k"))
 
     expect_batch = [list(range(b * 1_000_000, b * 1_000_000
                                + rows_per_batch))
