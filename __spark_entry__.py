@@ -161,12 +161,37 @@ def _changed_since(latest: dict[str, tuple[int, bool]],
     of waiting out the age-based rotation. Round N's certified tree is
     the commit that last touched CORRECTNESS_rNN.json (the driver's own
     marker commit); one `git diff --name-only` per distinct round maps
-    rows to the files edited since. Empty set when git is unavailable —
-    the age-based rotation still applies."""
+    rows to the files edited since. Round 17 (from ADVICE): diff output
+    is parsed per LINE (``.split()`` broke paths containing whitespace)
+    and unioned with WORKING-TREE edits (``git status --porcelain``:
+    staged, unstaged, untracked), so an uncommitted edit to a query's
+    module re-fronts it too. Empty set when git is unavailable — the
+    age-based rotation still applies."""
     import os
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def worktree_changed() -> set[str]:
+        out: set[str] = set()
+        try:
+            status = subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=here, capture_output=True, text=True, timeout=10)
+        except (OSError, subprocess.SubprocessError):
+            return out
+        for line in status.stdout.splitlines():
+            if len(line) < 4:
+                continue
+            path = line[3:]
+            if " -> " in path:  # rename rows carry both sides
+                old, _, new = path.partition(" -> ")
+                out.update((old.strip('"'), new.strip('"')))
+            else:
+                out.add(path.strip('"'))
+        return out
+
+    wt = worktree_changed()
     rounds = {latest[n][0] for n in names if n in latest}
     changed_by_round: dict[int, set[str]] = {}
     for rnd in rounds:
@@ -181,7 +206,9 @@ def _changed_since(latest: dict[str, tuple[int, bool]],
             diff = subprocess.run(
                 ["git", "diff", "--name-only", f"{commit}..HEAD"],
                 cwd=here, capture_output=True, text=True, timeout=10)
-            changed_by_round[rnd] = set(diff.stdout.split())
+            changed_by_round[rnd] = \
+                {ln.strip('"') for ln in diff.stdout.splitlines()
+                 if ln.strip()} | wt
         except (OSError, subprocess.SubprocessError):
             continue
     if not changed_by_round:

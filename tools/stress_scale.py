@@ -209,7 +209,11 @@ def _rotate_sql(col: str, i: int, keep_stopwords: bool = False) -> str:
     gate's 7 stopwords to themselves AFTER the cipher, in one
     token-level pass (single CASE over space-split tokens — no
     cascading replace), so the stopword-ratio component of the quality
-    score is IDENTICAL across copies and the composed prepare_corpus
+    score is identical across copies UP TO HASH CHANCE — a non-stopword
+    token whose cipher image happens to equal a plain stopword (e.g.
+    cipher(x) == 'the') counts as a stopword in that copy, the same
+    soundness class as the cipher's whole-token collision argument —
+    and the composed prepare_corpus
     decade becomes an exact-linearity witness (the plain cipher
     perturbs stopword ratios, so quality_gate_out scaled ~93.5x at
     100x instead of 100.0x, masking the scaling signal). Soundness
@@ -1152,10 +1156,32 @@ def run_reader_race(spark, n_batches: int = 120, rows_per_batch: int = 20,
     finally:
         stop.set()
         if child is not None:
+            # robust teardown (round 17, from ADVICE): a hung child must
+            # be killed (not left running with the state dir undeleted),
+            # the stop file must be removed on every path, and empty
+            # child output must surface as the child's real failure
+            # instead of an IndexError from the parse.
             open(stop_file, "w").close()
-            out, _ = child.communicate(timeout=180)
-            stats.update(json.loads(out.strip().splitlines()[-1]))
-            os.remove(stop_file)
+            try:
+                try:
+                    out, _ = child.communicate(timeout=180)
+                except _sp.TimeoutExpired:
+                    child.kill()
+                    child.communicate()
+                    raise RuntimeError(
+                        "reader child did not exit within 180s of the "
+                        "stop file; killed")
+                lines = (out or "").strip().splitlines()
+                if not lines:
+                    raise RuntimeError(
+                        f"reader child exited rc={child.returncode} "
+                        f"with no output")
+                stats.update(json.loads(lines[-1]))
+            finally:
+                try:
+                    os.remove(stop_file)
+                except OSError:
+                    pass
         else:
             t.join(timeout=120)
     final = sorted(r["k"] for r in
