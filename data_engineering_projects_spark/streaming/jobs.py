@@ -740,11 +740,219 @@ def _stable_listing(path: str, tries: int = 50) -> list[str]:
     return prev
 
 
+_SNAP_DIR = ".rsnap"
+_live_snapshots: list[str] = []
+
+
+def _cleanup_snapshots() -> None:
+    import shutil
+    for p in _live_snapshots:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _sweep_reader_snapshots(corpus_path: str,
+                            ttl_sec: float | None = None) -> None:
+    """Remove crashed readers' leftover pin snapshots: ``.rsnap/<id>``
+    entries older than the TTL (default 3600 s, env
+    ``SPARK_GRAFT_SNAPSHOT_TTL``). Live readers clean their own
+    snapshots at process exit; the TTL only reaps processes that died
+    without atexit. A pinned DataFrame must therefore be consumed
+    within the TTL of a crash-restarted reader environment — the same
+    class of contract as checkpoint retention."""
+    import os
+    import shutil
+    import time as _t
+    if ttl_sec is None:
+        ttl_sec = float(os.environ.get("SPARK_GRAFT_SNAPSHOT_TTL",
+                                       "3600"))
+    root = os.path.join(corpus_path, _SNAP_DIR)
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = _t.time()
+    for e in entries:
+        p = os.path.join(root, e)
+        try:
+            if now - os.path.getmtime(p) > ttl_sec:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def _relevant_listing(path: str, tries: int = 50) -> tuple[str, ...]:
+    """Two agreeing snapshots of the FOLD-RELEVANT entry set of a
+    corpus state dir: committed ``batch=`` dirs and ready markers
+    only. The high-watermark ``_applied_*`` files churn on every
+    append and other readers' ``.rsnap`` snapshot dirs churn on every
+    concurrent pinned read — neither affects which rows a read should
+    serve, so they are excluded instead of being allowed to starve
+    the agreement loop (the full-listing :func:`_stable_listing` is
+    retained for the unpinned path's narrower window)."""
+    import os
+    import time
+
+    def snap() -> tuple[str, ...]:
+        return tuple(sorted(
+            f for f in os.listdir(path)
+            if (f.startswith("batch=") and f[len("batch="):].isdigit())
+            or _parse_ready_marker(f) is not None))
+
+    prev = snap()
+    for _ in range(tries):
+        cur = snap()
+        if cur == prev:
+            return cur
+        prev = cur
+        time.sleep(0.002)
+    return prev
+
+
 def read_corpus_state(spark, corpus_path: str,
-                      with_lineage: bool = False) -> DataFrame:
+                      with_lineage: bool = False,
+                      pin: bool = True, retries: int = 12) -> DataFrame:
     """Read a :func:`corpus_extend_stream` corpus: the plain corpus
     schema (``batch`` lineage partition column dropped), or with
     ``with_lineage=True`` keep the admitting batch id per row.
+
+    **Pinned snapshot isolation (round 17, verdict #4).** Through
+    round 16 a reader losing the race to a fold's final rename
+    surfaced a RETRYABLE error (the documented contract — 38/163 and
+    43/300 reads in the r16 race stress), which pushed the same retry
+    loop into every caller. The default path now takes a HARDLINK
+    SNAPSHOT before handing Spark anything: the fold-relevant entries
+    are listed (:func:`_relevant_listing`), the post-fold view is
+    computed exactly as before (dirs outside every marker range, plus
+    each marker dir's rows as lineage ``batch=hi``), and every data
+    file is hardlinked into a fresh ``.rsnap/<uuid>/batch=<id>/``
+    layout under the state dir (dot-prefixed: invisible to Spark's
+    listings and to every writer-side prefix scan). Hardlinks pin the
+    INODES, so once the snapshot validates, no writer rename/removal
+    can ever invalidate the returned plan — the retryable-error class
+    is gone at the root, not retried around, and the result is ONE
+    partitioned parquet read instead of an N-way union. Space cost is
+    directory entries only (no data copy); folded-away originals are
+    freed when the snapshot is released (process exit via atexit, or
+    the TTL sweep in :func:`_sweep_reader_snapshots` for crashed
+    readers).
+
+    Validation closes the one unsound interleaving: if a fold ran to
+    COMPLETION mid-linking, pre-fold dirs already linked would
+    double-count with the folded ``batch=<hi>`` linked after. So after
+    linking, the relevant entry set is re-listed and the snapshot is
+    served only if nothing was REMOVED and nothing appeared beyond
+    fresh appends with ids above the planned maximum (batch ids are
+    monotonic and never reused, so set regression is impossible to
+    miss); otherwise the snapshot is discarded and the read retries
+    from the fresh listing — bounded by ``retries`` with jittered
+    backoff, with mid-link ``FileNotFoundError`` handled the same way.
+
+    Scale note: this is the local-filesystem analog of reading a
+    table snapshot through a manifest of immutable objects (Iceberg/
+    Delta); the linking cost is O(files) driver-side syscalls. On a
+    filesystem without hardlinks (EXDEV/EPERM/ENOTSUP) — or with
+    ``pin=False`` — the round-16 unpinned path is used, whose narrower
+    retryable-error contract is documented in
+    :func:`_read_corpus_state_unpinned`. Non-local paths (no
+    ``os.path.isdir``) go straight to the Spark reader."""
+    import errno
+    import os
+    import random
+    import shutil
+    import time
+    import uuid
+
+    if not os.path.isdir(corpus_path):
+        # let Spark surface its native missing-path error (and keep
+        # remote-filesystem paths on the Spark reader) instead of an
+        # os.listdir FileNotFoundError from the local fast path
+        df = spark.read.parquet(corpus_path)
+        return df if with_lineage else df.drop("batch")
+
+    if not pin:
+        return _read_corpus_state_unpinned(spark, corpus_path,
+                                           with_lineage)
+
+    _sweep_reader_snapshots(corpus_path)
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        entries = _relevant_listing(corpus_path)
+        ranges = [r for r in (_parse_ready_marker(f) for f in entries)
+                  if r is not None]
+
+        def folded(i: int) -> bool:
+            return any(lo <= i <= hi for lo, hi in ranges)
+
+        plan: list[tuple[str, int]] = []   # (source entry, lineage id)
+        for f in entries:
+            rng = _parse_ready_marker(f)
+            if rng is not None:
+                plan.append((f, rng[1]))
+            else:
+                i = int(f[len("batch="):])
+                if not folded(i):
+                    plan.append((f, i))
+        if not plan:
+            # empty state: same native "unable to infer schema" /
+            # empty-read behavior as the plain parent read
+            df = spark.read.parquet(corpus_path)
+            return df if with_lineage else df.drop("batch")
+
+        snap = os.path.join(corpus_path, _SNAP_DIR, uuid.uuid4().hex)
+        try:
+            for src_entry, lid in plan:
+                src = os.path.join(corpus_path, src_entry)
+                dst = os.path.join(snap, f"batch={lid}")
+                os.makedirs(dst)
+                for fn in os.listdir(src):
+                    if fn.startswith((".", "_")):
+                        continue
+                    os.link(os.path.join(src, fn),
+                            os.path.join(dst, fn))
+        except FileNotFoundError as e:
+            shutil.rmtree(snap, ignore_errors=True)
+            last_err = e     # writer raced the linking: retry
+            time.sleep(random.uniform(0.005, 0.05))
+            continue
+        except OSError as e:
+            shutil.rmtree(snap, ignore_errors=True)
+            if e.errno in (errno.EXDEV, errno.EPERM, errno.ENOTSUP,
+                           errno.EOPNOTSUPP, errno.EACCES, errno.EMLINK):
+                # filesystem can't hardlink: permanent, not a race
+                return _read_corpus_state_unpinned(spark, corpus_path,
+                                                   with_lineage)
+            last_err = e
+            time.sleep(random.uniform(0.005, 0.05))
+            continue
+
+        after = _relevant_listing(corpus_path)
+        max_planned = max(lid for _, lid in plan)
+        added = set(after) - set(entries)
+        removed = set(entries) - set(after)
+        benign = not removed and all(
+            a.startswith("batch=") and a[len("batch="):].isdigit()
+            and int(a[len("batch="):]) > max_planned for a in added)
+        if not benign:
+            shutil.rmtree(snap, ignore_errors=True)
+            time.sleep(random.uniform(0.005, 0.05))
+            continue
+
+        if not _live_snapshots:
+            import atexit
+            atexit.register(_cleanup_snapshots)
+        _live_snapshots.append(snap)
+        df = spark.read.parquet(snap)   # partition discovery: batch=
+        return df if with_lineage else df.drop("batch")
+    raise last_err or RuntimeError(
+        f"read_corpus_state: could not obtain a stable snapshot of "
+        f"{corpus_path} in {retries} attempts (continuous fold churn)")
+
+
+def _read_corpus_state_unpinned(spark, corpus_path: str,
+                                with_lineage: bool = False) -> DataFrame:
+    """The round-16 direct read — :func:`read_corpus_state`'s fallback
+    for filesystems without hardlinks, and the explicit ``pin=False``
+    path for callers that must not pin inodes.
 
     Fold-consistent (round 15, verdict #5): a reader overlapping an
     in-flight compaction used to see a SILENT PARTIAL row set — after
@@ -781,9 +989,6 @@ def read_corpus_state(spark, corpus_path: str,
     import os
 
     if not os.path.isdir(corpus_path):
-        # let Spark surface its native missing-path error (and keep
-        # remote-filesystem paths on the Spark reader) instead of an
-        # os.listdir FileNotFoundError from the local fast path
         df = spark.read.parquet(corpus_path)
         return df if with_lineage else df.drop("batch")
 

@@ -1,12 +1,15 @@
-"""Unit coverage for bench.py's load-normalization core (round 16):
-the instrument the round trend rides on must not regress silently.
-Pure math — no Spark session."""
+"""Unit coverage for bench.py's load-normalization core (round 16;
+round 17 adds the in-pass series leg, the combined pass_slowdowns,
+the codified quiet gate, and the reference-resolution protocol): the
+instrument the round trend rides on must not regress silently. Pure
+math — no Spark session."""
 
 from __future__ import annotations
 
 import pytest
 
-from bench import load_normalize, robust_stat
+from bench import (external_busy_cores, load_normalize, normalize_by_pass,
+                   pass_slowdowns, quiet_verdict, resolve_ref, robust_stat)
 
 
 def test_robust_stat_median_and_best_of():
@@ -64,3 +67,110 @@ def test_absolute_norm_is_window_comparable():
     loaded = load_normalize({"q": [1.5]}, {"q": [0]}, [0.3, 0.3],
                             ref=0.2)
     assert quiet["q"] == pytest.approx(loaded["q"])
+
+# ---- round 17: in-pass load integral + combined slowdowns ----------------
+
+def test_external_busy_cores_basic_window():
+    # 100 jiffies/s clock; over 10s total busy grew 2000j, ours 1000j:
+    # external = 1000j / 10s / 100 = 1.0 core
+    series = [(0.0, 0.0, 0.0), (10.0, 2000.0, 1000.0)]
+    assert external_busy_cores(series, 0.0, 10.0, clk=100.0) == \
+        pytest.approx(1.0)
+
+
+def test_external_busy_cores_widens_to_bracketing_samples():
+    # window [4, 6] has no interior samples: widen to [0, 10]
+    series = [(0.0, 0.0, 0.0), (10.0, 32000.0, 0.0)]
+    assert external_busy_cores(series, 4.0, 6.0, clk=100.0) == \
+        pytest.approx(32.0)
+
+
+def test_external_busy_cores_uses_window_samples_only():
+    # load confined to [10, 20] must not leak into the [0, 10] window
+    series = [(0.0, 0.0, 0.0), (10.0, 0.0, 0.0), (20.0, 16000.0, 0.0)]
+    assert external_busy_cores(series, 0.0, 10.0, clk=100.0) == \
+        pytest.approx(0.0)
+    assert external_busy_cores(series, 10.0, 20.0, clk=100.0) == \
+        pytest.approx(16.0)
+
+
+def test_external_busy_cores_clamps_negative_and_short_series():
+    # ours > busy (rounding jitter) clamps to 0; <2 samples -> None
+    series = [(0.0, 0.0, 0.0), (10.0, 100.0, 200.0)]
+    assert external_busy_cores(series, 0.0, 10.0, clk=100.0) == 0.0
+    assert external_busy_cores([(0.0, 0.0, 0.0)], 0.0, 1.0) is None
+    assert external_busy_cores([], 0.0, 1.0) is None
+
+
+def test_pass_slowdowns_corrects_by_series_integral_only():
+    # pass 0: brackets lull quiet (0.2 = ref) but sustained E=16 between
+    # them -> series corrects (1 + 0.075*16 = 2.2): the r16 window-B
+    # under-correction closed. pass 1: bracket spike (0.4 = 2x) with a
+    # QUIET series must NOT inflate the correction — the r17 calibration
+    # measured the probe over-responding to spin load (1.48x bracket at
+    # a 1.14x suite); such windows are the quiet gate's job.
+    s = pass_slowdowns([0.2, 0.4, 0.4], 0.2, [16.0, 0.0],
+                       k_ext=0.075)
+    assert s[0] == pytest.approx(2.2)
+    assert s[1] == pytest.approx(1.0)
+
+
+def test_pass_slowdowns_floor_at_one_and_bracket_fallback():
+    # a dead sampler (None) falls back to the bracket leg; a bracket
+    # FASTER than ref (warm luck) must not inflate samples
+    s = pass_slowdowns([0.15, 0.4, 0.4], 0.2, [None, None],
+                       k_ext=0.075)
+    assert s[0] == 1.0                      # min(0.15, 0.4)/0.2 < 1
+    assert s[1] == pytest.approx(2.0)       # min(0.4, 0.4)/0.2
+
+
+def test_normalize_by_pass_divides_each_sample_by_its_pass():
+    samples = {"q": [2.2, 1.0]}
+    passes = {"q": [0, 1]}
+    out = normalize_by_pass(samples, passes, [2.2, 1.0])
+    assert out["q"] == 1.0      # corrected [1.0, 1.0] -> best-of 1.0
+
+
+def test_sustained_load_window_corrects_to_quiet_reference():
+    # the r16 window-B failure shape, end to end: raw 2.2x throughout,
+    # brackets lull at 1.05x (under-correct), series sees E=16
+    samples = {"q": [2.2, 2.2, 2.2]}
+    passes = {"q": [0, 1, 2]}
+    cal = [0.21, 0.21, 0.21, 0.21]
+    slow = pass_slowdowns(cal, 0.2, [16.0, 16.0, 16.0], k_ext=0.075)
+    out = normalize_by_pass(samples, passes, slow)
+    assert out["q"] == pytest.approx(1.0, rel=0.01)
+
+
+def test_quiet_verdict_gates_on_series_and_brackets():
+    ref = 0.2
+    ok, _ = quiet_verdict([0.3, 0.5], [0.2, 0.21, 0.2], ref)
+    assert ok
+    bad_series, why = quiet_verdict([8.0, 9.0], [0.2, 0.2, 0.2], ref)
+    assert not bad_series and "external load" in why
+    bad_bracket, why = quiet_verdict([0.0, 0.0], [0.3, 0.31, 0.3], ref)
+    assert not bad_bracket and "bracket" in why
+    # dead sampler: series leg abstains, brackets still gate
+    ok2, _ = quiet_verdict([None, None], [0.2, 0.2, 0.2], ref)
+    assert ok2
+
+
+def test_resolve_ref_prefers_file_at_matching_cores():
+    got = resolve_ref({"ref_mc_idle": 0.218, "k_ext": 0.07,
+                       "n_cores": 32, "date": "2026-08-16"}, 32)
+    assert got["value"] == 0.218 and got["k_ext"] == 0.07
+    assert got["source"] == "BENCH_ref.json"
+
+
+def test_resolve_ref_rejects_mismatched_probe_cores():
+    # a file measured at 32 partitions does not describe a 16-core
+    # probe; with no valid file the pinned fallback asserts n_cores==32
+    got = resolve_ref({"ref_mc_idle": 0.218, "n_cores": 16}, 32)
+    assert got["source"] == "pinned-r16"
+    with pytest.raises(AssertionError):
+        resolve_ref({"ref_mc_idle": 0.218, "n_cores": 32}, 16)
+
+
+def test_resolve_ref_pinned_fallback_without_file():
+    got = resolve_ref(None, 32)
+    assert got["source"] == "pinned-r16" and got["value"] == 0.21

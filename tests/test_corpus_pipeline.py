@@ -1636,7 +1636,11 @@ def test_reader_revalidates_listing_after_spark_index(spark, tmp_path,
     listing while the tree is already mid-removal; the reader must
     detect the changed listing after building the DataFrame, discard
     it, and retry via the marker-aware per-dir path — full row set,
-    never the silent partial the stale parent read would have served."""
+    never the silent partial the stale parent read would have served.
+    Round 17: the default read is the pinned-snapshot path, which
+    never calls _stable_listing; this test pins the ``pin=False``
+    fallback (the path that still serves filesystems without
+    hardlinks), so it requests it explicitly."""
     import shutil
 
     from data_engineering_projects_spark.streaming import jobs as J
@@ -1673,12 +1677,17 @@ def test_reader_revalidates_listing_after_spark_index(spark, tmp_path,
 
     monkeypatch.setattr(J, "_stable_listing", lagging)
     got = sorted(r["k"] for r in
-                 J.read_corpus_state(spark, state).collect())
+                 J.read_corpus_state(spark, state, pin=False).collect())
     assert got == expect                   # full set, not the partial
     assert calls["n"] >= 2                 # re-validation actually ran
     lin = {r["k"]: r["batch"] for r in J.read_corpus_state(
-        spark, state, with_lineage=True).collect()}
+        spark, state, with_lineage=True, pin=False).collect()}
     assert all(lin[k] == hi for k in lin if k >= lo * 100)
+    # the pinned default handles the same mid-removal tree too (the
+    # marker-aware post-fold view, snapshot-isolated)
+    got_pin = sorted(r["k"] for r in
+                     J.read_corpus_state(spark, state).collect())
+    assert got_pin == expect
 
 
 def test_reader_missing_path_raises_spark_error(spark, tmp_path):
@@ -1791,3 +1800,146 @@ def test_free_running_reader_race(spark):
     assert out["folds"] >= 5
     assert out["reads"] >= 10          # the reader actually raced
     assert out["live_dirs"] <= 10
+
+
+def _mk_append_state(spark, state, n_batches, rows_per_batch=5):
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.streaming.jobs import (
+        _append_batch_with_marker)
+
+    for b in range(n_batches):
+        _append_batch_with_marker(
+            spark, state, b,
+            lambda old, b=b: spark.range(rows_per_batch).select(
+                (F.lit(b).cast("long") * 1_000_000
+                 + F.col("id")).alias("k")))
+
+
+def test_pinned_read_survives_concurrent_fold_and_removal(spark, tmp_path):
+    """Round-17 verdict #4: the default read takes a hardlink snapshot,
+    so a plan obtained BEFORE a fold collects the same rows AFTER the
+    fold removed/replaced the dirs it referenced — the retryable-error
+    class is structurally gone, not retried around."""
+    from data_engineering_projects_spark.streaming.jobs import (
+        _batch_dir_ids, compact_append_state, read_corpus_state)
+
+    state = str(tmp_path / "corpus")
+    _mk_append_state(spark, state, 6)
+    df = read_corpus_state(spark, state)           # pinned plan
+    lin = read_corpus_state(spark, state, with_lineage=True)
+    compact_append_state(spark, state, upto=5)     # removes batch=0..4
+    assert _batch_dir_ids(state) == {5}
+    want = sorted(b * 1_000_000 + j for b in range(6) for j in range(5))
+    # the pre-fold plan still collects: inodes pinned by the snapshot
+    assert sorted(r["k"] for r in df.collect()) == want
+    # pre-fold lineage preserved in the pinned plan
+    got_lin = {r["k"]: r["batch"] for r in lin.collect()}
+    assert got_lin[2_000_003] == 2
+    # a FRESH read serves the post-fold state: same rows, coarse lineage
+    fresh = read_corpus_state(spark, state, with_lineage=True)
+    assert sorted(r["k"] for r in fresh.collect()) == want
+    assert {r["batch"] for r in fresh.collect()} == {5}
+
+
+def test_pinned_read_falls_back_without_hardlinks(spark, tmp_path,
+                                                  monkeypatch):
+    """A filesystem that cannot hardlink (EXDEV and friends) must fall
+    back to the unpinned round-16 path with identical rows."""
+    import errno
+    import os as _os
+
+    from data_engineering_projects_spark.streaming import jobs as J
+
+    state = str(tmp_path / "corpus")
+    _mk_append_state(spark, state, 3)
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EXDEV, "cross-device link")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    got = sorted(r["k"] for r in
+                 J.read_corpus_state(spark, state).collect())
+    want = sorted(b * 1_000_000 + j for b in range(3) for j in range(5))
+    assert got == want
+    # and no snapshot dir was left behind by the failed attempt
+    snaps = _os.path.join(state, J._SNAP_DIR)
+    assert not _os.path.isdir(snaps) or _os.listdir(snaps) == []
+
+
+def test_pinned_read_gives_up_after_bounded_retries(spark, tmp_path,
+                                                    monkeypatch):
+    """Continuous fold churn (every post-link validation sees a changed
+    relevant entry set) must surface as a bounded, explicit error — not
+    an infinite loop, not a silently inconsistent snapshot."""
+    import itertools
+
+    import pytest
+
+    from data_engineering_projects_spark.streaming import jobs as J
+
+    state = str(tmp_path / "corpus")
+    _mk_append_state(spark, state, 3)
+    real = J._relevant_listing
+    counter = itertools.count()
+
+    def churn(path, tries=50):
+        out = list(real(path, tries))
+        if next(counter) % 2 == 1:      # every validation listing
+            out.pop()                   # ... lost an entry
+        return tuple(out)
+
+    monkeypatch.setattr(J, "_relevant_listing", churn)
+    with pytest.raises(RuntimeError, match="stable snapshot"):
+        J.read_corpus_state(spark, state, retries=3)
+
+
+def test_snapshot_ttl_sweep_reaps_crashed_readers(spark, tmp_path):
+    """Crashed readers' leftover snapshots are reaped by the TTL sweep
+    at the next pinned read; fresh snapshots are kept."""
+    import os as _os
+
+    from data_engineering_projects_spark.streaming import jobs as J
+
+    state = str(tmp_path / "corpus")
+    _mk_append_state(spark, state, 2)
+    stale = _os.path.join(state, J._SNAP_DIR, "deadbeef")
+    _os.makedirs(stale)
+    _os.utime(_os.path.join(state, J._SNAP_DIR, "deadbeef"),
+              (1.0, 1.0))  # ancient mtime
+    got = sorted(r["k"] for r in
+                 J.read_corpus_state(spark, state).collect())
+    assert len(got) == 10
+    assert not _os.path.isdir(stale)
+    # the read's own snapshot is alive (plan still collectible)
+    live = [d for d in _os.listdir(_os.path.join(state, J._SNAP_DIR))]
+    assert len(live) >= 1
+
+
+def test_cluster_executor_loss_fold_path():
+    """Round-17 verdict #3: the fold/compaction protocol under REAL
+    executor loss. tools/cluster_fold_loss_probe drives the
+    append+tiered-fold writer loop on local-cluster[2,1,1024] and
+    SIGKILLs every executor JVM once mid-append-write and once
+    mid-fold-write; both jobs are file-sourced (no truncated
+    checkpoint lineage — the difference from the barrier probe's
+    default leg), so Spark task re-execution on respawned executors
+    must complete them, the marker/heal protocol must converge to a
+    state identical to an undisturbed run, and a concurrent validating
+    reader must never see a partial or duplicated batch. Subprocess
+    because a second SparkContext cannot share this suite's JVM."""
+    import json
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "tools",
+                                      "cluster_fold_loss_probe.py")],
+        capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert verdict["final_identical"] is True
+    assert verdict["kills"] >= 4          # both kill points lost JVMs
+    assert verdict["folds"] >= 3          # the fold kill actually hit a fold
+    assert verdict["reader"]["bad"] == 0

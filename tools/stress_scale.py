@@ -157,6 +157,11 @@ FAMILIES = {
     # random vectors, PQ's worst case; production recall claims need a
     # measured row on cluster-structured data).
     "ivfpq_clustered": [],
+    # special-cased in main(): the ANN scale decade (round 17, verdict
+    # #5) — IVF assign/candidates/search + PQ encode + IVF-PQ/ADC
+    # search at 1x/10x/100x clustered embeddings, per-stage rows +
+    # wall + executor time, recall@10 vs exact truth per decade point.
+    "ann_decade": [],
     # special-cased in main(): the mergeable-sketch partition tier
     # (operators/sketches.py). Claims under k-fold events with shifted
     # users: build wall ~linear, sketch GRAIN flat (types x days — data
@@ -1318,6 +1323,183 @@ def _ivfpq_grid_on(spark, train_base: str, search_dir: str,
     return results
 
 
+def run_ann_decade(spark, base: str, mults: list[int],
+                   rest_port: int | None = None) -> list[dict]:
+    """ANN scale decade (round 17, verdict #5), mirroring the dedup
+    decade: clustered embeddings at 1x/10x/100x the base corpus size
+    (FRESH vectors from the same 8-center distribution — k-folding
+    would replicate exact duplicates and distort recall ties), index
+    params FIXED from the 1x corpus (the index-built-once production
+    discipline). Per decade point every stage is persisted + counted
+    and timed (wall + optional summed executorRunTime via the REST
+    API — the cluster-cost metric 32 local threads hide):
+
+    - ``ivf_assign``: rows must equal N exactly (linear);
+    - ``ivf_candidates``: the nprobe=4 cell-restricted candidate set
+      for the 10 fixed queries — ~linear in N at a fixed
+      nprobe/n_cells fraction, vs the 10 x N brute row count
+      (recorded as ``brute_rows`` for the ratio);
+    - ``ivf_top10``: the full IVF search; recall@10 vs the exact
+      cosine truth (rank-with-ties) at the SAME decade point;
+    - ``pq_encode``: rows must equal N exactly;
+    - ``ivfpq_top10``: the composed IVF+PQ/ADC+rerank search
+      (operators/pq.py::ivf_pq_search, the embed_pq_adc_topk shape);
+      recall@10 vs the exact L2 truth.
+
+    The scale claims this instrument records: rows exactly linear for
+    assign/encode, candidates ~linear with a constant ~nprobe/n_cells
+    fraction of brute, search wall/executor time growing no faster
+    than linear with a constant-factor separation from brute, and
+    recall@10 STABLE across the decade (cluster-structured data: cell
+    boundaries don't degrade as density grows)."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_projects_spark.operators.pq import (
+        _l2sq, ivf_pq_search, pq_encode, pq_train)
+    from data_engineering_projects_spark.operators.similarity import (
+        cosine_similarity, ivf_assign, ivf_search, ivf_train)
+
+    M, N_CELLS, K, NPROBE = 16, 8, 10, 4
+    n_base = spark.read.parquet(
+        os.path.join(base, "embeddings.parquet")).count()
+    base_tag = os.path.basename(os.path.normpath(base))
+    dirs = {}
+    for mult in sorted(set(mults) | {1}):
+        d = f"/tmp/depa_stress_{base_tag}_anndec_x{mult}"
+        _make_clustered_embeddings(spark, d, n_base * mult)
+        dirs[mult] = d
+
+    # index fixed at build time, trained on the 1x corpus
+    emb1 = spark.read.parquet(os.path.join(dirs[1],
+                                           "embeddings.parquet"))
+    cb = pq_train(emb1, m=M, k=32, n_iters=2).persist()
+    cb.count()
+    cents = ivf_train(emb1, n_cells=N_CELLS, n_iters=2).persist()
+    cents.count()
+    queries = emb1.filter("vec_id < 10").persist()
+    queries.count()
+
+    results = []
+    for mult in mults:
+        emb = spark.read.parquet(
+            os.path.join(dirs[mult], "embeddings.parquet"))
+        n = emb.count()
+        stages: list[dict] = []
+        persisted = []
+
+        def stage(name: str, build, collectable: bool = False):
+            n0 = (max((s["stageId"] for s in _rest_stages(rest_port)),
+                      default=-1) if rest_port else -1)
+            t0 = _t.perf_counter()
+            df = build().persist()
+            persisted.append(df)
+            rows = df.count()
+            rec = {"stage": name, "rows": rows,
+                   "sec": round(_t.perf_counter() - t0, 2)}
+            if rest_port:
+                rec["exec_sec"] = round(sum(
+                    s["executorRunTime"]
+                    for s in _rest_stages(rest_port)
+                    if s["stageId"] > n0) / 1000, 2)
+            stages.append(rec)
+            return df
+
+        assigned = stage("ivf_assign", lambda: ivf_assign(emb, cents))
+
+        # the nprobe-cell candidate relation ivf_search scans — counted
+        # here explicitly so the decade table shows the equi-join's
+        # row bound next to brute's 10 x N (same probe ranking as
+        # similarity.ivf_search)
+        def candidates():
+            sim = cosine_similarity(F.col("embedding"),
+                                    F.col("centroid"))
+            w = Window.partitionBy("vec_id").orderBy(
+                F.desc(F.round(sim, 9)), "cell")
+            probes = (queries.crossJoin(F.broadcast(cents))
+                      .withColumn("r", F.row_number().over(w))
+                      .filter(F.col("r") <= NPROBE)
+                      .select(F.col("vec_id").alias("query_id"), "cell"))
+            return (assigned.select(F.col("vec_id").alias("neighbor_id"),
+                                    "cell")
+                    .join(F.broadcast(probes), "cell")
+                    .filter("query_id != neighbor_id"))
+
+        stage("ivf_candidates", candidates)
+        ivf_got = stage("ivf_top10",
+                        lambda: ivf_search(queries, assigned, cents,
+                                           k=K, nprobe=NPROBE))
+
+        # exact cosine truth at this decade point (rank with ties)
+        def cos_truth():
+            q = queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("qv"))
+            c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("cv"))
+            s = (F.broadcast(q).crossJoin(c)
+                 .filter("query_id != neighbor_id")
+                 .select("query_id", "neighbor_id",
+                         cosine_similarity(F.col("qv"), F.col("cv"))
+                         .alias("sim")))
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc(F.round("sim", 9)), "neighbor_id")
+            return (s.withColumn("rk", F.rank().over(w))
+                    .filter(f"rk <= {K}"))
+
+        brute = stage("brute_cosine_truth", cos_truth)
+        truth_cos = {(r["query_id"], r["neighbor_id"])
+                     for r in brute.collect()}
+        got_cos = {(r["query_id"], r["neighbor_id"])
+                   for r in ivf_got.collect()}
+        codes = stage("pq_encode", lambda: pq_encode(emb, cb, m=M))
+        acodes = (assigned.select("vec_id", "cell")
+                  .join(codes, "vec_id").persist())
+        acodes.count()
+        persisted.append(acodes)
+        adc_got = stage(
+            "ivfpq_top10",
+            lambda: ivf_pq_search(queries, acodes, cents, cb, emb,
+                                  k=K, nprobe=NPROBE, overfetch=2, m=M))
+
+        def l2_truth():
+            q = queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").cast("array<double>")
+                               .alias("qv"))
+            c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("cv"))
+            d = (F.broadcast(q).crossJoin(c)
+                 .filter("query_id != neighbor_id")
+                 .select("query_id", "neighbor_id",
+                         _l2sq(F.col("qv"), F.col("cv")).alias("dist")))
+            w = Window.partitionBy("query_id").orderBy(
+                F.round("dist", 9).asc(), "neighbor_id")
+            return (d.withColumn("rk", F.rank().over(w))
+                    .filter(f"rk <= {K}"))
+
+        truth_l2 = {(r["query_id"], r["neighbor_id"])
+                    for r in stage("brute_l2_truth", l2_truth).collect()}
+        got_l2 = {(r["query_id"], r["neighbor_id"])
+                  for r in adc_got.collect()}
+        rec = {"mult": mult, "n": n,
+               "stages": stages,
+               "brute_rows": 10 * (n - 1),
+               "recall_ivf": round(len(got_cos & truth_cos)
+                                   / max(len(truth_cos), 1), 3),
+               "recall_ivfpq": round(len(got_l2 & truth_l2)
+                                     / max(len(truth_l2), 1), 3)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        for df in persisted:
+            df.unpersist()
+    cb.unpersist()
+    cents.unpersist()
+    queries.unpersist()
+    return results
+
+
 def run_sketches(spark, base: str, mults: list[int]) -> list[dict]:
     """Per-mult: timed sketch build over k-fold events (shifted users),
     grain/row-size stats, timed grain-only rollup, and a merged-p85
@@ -1470,6 +1652,43 @@ def main() -> int:
                 f"nprobe={r['nprobe']},overfetch={r['overfetch']}"] = {
                 "recall": r["recall"], "sec": r["sec"]}
         print(json.dumps({"summary": grid}))
+        spark.stop()
+        return 0
+
+    if args.family == "ann_decade":
+        # UI-enabled session: stage executor time from the REST API,
+        # same re-create pattern as the pipeline family
+        spark.stop()
+        from pyspark.sql import SparkSession
+
+        from data_engineering_projects_spark.session import (
+            _RUNTIME_CONFS, _fast_local_dir, tune)
+        port = 4048
+        b = (SparkSession.builder.master(args.master)
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "true")
+             .config("spark.ui.port", str(port))
+             .config("spark.ui.showConsoleProgress", "false"))
+        fast = _fast_local_dir()
+        if fast:
+            b = b.config("spark.local.dir", fast)
+        for k, v in _RUNTIME_CONFS.items():
+            b = b.config(k, v)
+        spark = tune(b.getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        mults = [int(m) for m in args.mults.split(",")]
+        run_ann_decade(spark, args.base, [1], rest_port=None)  # warm JIT
+        results = run_ann_decade(spark, args.base, mults,
+                                 rest_port=port)
+        summary = {str(r["mult"]): {
+            "n": r["n"], "recall_ivf": r["recall_ivf"],
+            "recall_ivfpq": r["recall_ivfpq"],
+            "brute_rows": r["brute_rows"],
+            **{s["stage"]: {"rows": s["rows"], "sec": s["sec"],
+                            **({"exec_sec": s["exec_sec"]}
+                               if "exec_sec" in s else {})}
+               for s in r["stages"]}} for r in results}
+        print(json.dumps({"summary": summary}))
         spark.stop()
         return 0
 
