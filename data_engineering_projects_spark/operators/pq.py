@@ -146,16 +146,71 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, m: int = 8,
               id_col: str = "vec_id", vec_col: str = "embedding",
               dim: int | None = None) -> DataFrame:
     """(id, codes array<int>) — the compressed corpus: m small ints per
-    vector (one byte each at k ≤ 256 in any columnar encoding)."""
+    vector (one byte each at k ≤ 256 in any columnar encoding).
+
+    Zero-shuffle encode (round 17 — found by the ANN scale decade): the
+    codebook is m x k rows of d/m-dim centroids, KILOBYTES by contract,
+    so it is collected once and broadcast inside an Arrow-batched
+    ``mapInPandas`` kernel — each batch computes all (row, sub, code)
+    distances as one numpy (B, m, k) tensor and argmins per subspace,
+    the same dense-numerics pattern as ``similarity.cosine_topk_blas``.
+    Tie discipline matches the training ranker exactly: distances
+    accumulated dimension-SEQUENTIALLY in doubles (the fold order of
+    ``_l2sq``), rounded to 9 decimals, ``argmin`` returning the FIRST
+    (= lowest-code, codebook embedded in densified code order) minimum.
+
+    Why not the previous DataFrame plan: explode to n*m rows,
+    broadcast-join x k codes, row_number window over n*m*k rows,
+    groupBy back — 102M window-sorted rows at the decade's 100x point
+    (200k vectors, m=16, k=32), executor time growing 13.5x per 10x.
+    And why not a literal-expression projection: m*k embedded array
+    literals build an expression tree past the JIT method limit and
+    the projection deoptimizes to interpreted eval (measured slower
+    than the window plan). The Arrow kernel touches each vector once,
+    shuffles nothing, and the codebook rides the closure (KBs).
+    Value parity is pinned against the oracle's bit-exact SQL replay
+    and the operator tests. Training keeps the DataFrame-side
+    :func:`_assign` — its codebook evolves per Lloyd iteration, and
+    training runs on a bounded sample by contract."""
+    import numpy as np
+
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    sv = _subvectors(corpus, m, id_col, vec_col, dim)
-    assigned = _assign(sv, codebook)
-    return (assigned.groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(
-                F.struct("sub", "code"))).alias("sc"))
-            .select(id_col,
-                    F.transform("sc", lambda s: s["code"]).alias("codes")))
+    assert dim % m == 0, (dim, m)
+    d_sub = dim // m
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebook.collect():   # m x k rows — kilobytes by contract
+        by_sub.setdefault(r["sub"], []).append((r["code"], r["centroid"]))
+    assert sorted(by_sub) == list(range(m)), sorted(by_sub)
+    k = len(by_sub[0])
+    cb = np.zeros((m, k, d_sub), dtype=np.float64)
+    for s in range(m):
+        cents = [c for _, c in sorted(by_sub[s])]  # densified: 0..k-1
+        assert len(cents) == k, (s, len(cents), k)
+        cb[s] = np.asarray(cents, dtype=np.float64)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, codes array<int>"
+
+    def encode_batches(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            xs = x.reshape(len(pdf), m, d_sub)
+            dist = np.zeros((len(pdf), m, k), dtype=np.float64)
+            for j in range(d_sub):   # dimension-sequential: _l2sq's fold
+                diff = xs[:, :, None, j] - cb[None, :, :, j]
+                dist += diff * diff
+            codes = np.round(dist, 9).argmin(axis=2)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "codes": [c.astype("int32").tolist() for c in codes]})
+
+    return (corpus.select(id_col, vec_col)
+            .mapInPandas(encode_batches, out_schema))
 
 
 def pq_reconstruct(codes: DataFrame, codebook: DataFrame,
@@ -294,7 +349,18 @@ def ivf_pq_search(queries: DataFrame, assigned_codes: DataFrame,
     With ``nprobe`` ≥ the cell count this degrades gracefully to plain
     ADC-over-everything + rerank (pinned in tests); at production cell
     counts the scan cost is corpus/n_cells × nprobe rows × m byte
-    lookups."""
+    lookups.
+
+    Operating guidance (round 17, measured by the ANN scale decade in
+    SCALING.md): at a FIXED codebook, recall@k degrades as the corpus
+    densifies — quantization error is constant while true-neighbor
+    distance gaps shrink — and the remedy is ``overfetch``, which is
+    measured nearly FREE here (the ADC code scan dominates; the
+    widened exact rerank is k × overfetch float rows per query). At
+    the decade's 100× point recall@10 went 0.28 → 0.91 from overfetch
+    2 → 50 at flat search wall. Scale ``overfetch`` with corpus
+    density (or retrain a larger codebook); raise ``nprobe`` only when
+    candidate COVERAGE (the IVF leg's recall) is the deficit."""
     from .similarity import cosine_similarity  # re-exported there
 
     if dim is None:

@@ -1483,13 +1483,33 @@ def run_ann_decade(spark, base: str, mults: list[int],
                     for r in stage("brute_l2_truth", l2_truth).collect()}
         got_l2 = {(r["query_id"], r["neighbor_id"])
                   for r in adc_got.collect()}
+        # overfetch remedy curve at the LARGEST decade point (round 17:
+        # the decade's real finding — recall_ivfpq DEGRADES with density
+        # at fixed overfetch, because ADC quantization error is constant
+        # while true-neighbor distance gaps shrink as the corpus
+        # densifies; the exact rerank can only fix ordering INSIDE the
+        # shortlist, so the shortlist must widen with density)
+        overfetch_curve = {}
+        if mult == max(mults):
+            for of in (2, 5, 10, 20):
+                t0 = _t.perf_counter()
+                got_of = {(r["query_id"], r["neighbor_id"]) for r in
+                          ivf_pq_search(queries, acodes, cents, cb, emb,
+                                        k=K, nprobe=NPROBE,
+                                        overfetch=of, m=M).collect()}
+                overfetch_curve[str(of)] = {
+                    "recall": round(len(got_of & truth_l2)
+                                    / max(len(truth_l2), 1), 3),
+                    "sec": round(_t.perf_counter() - t0, 2)}
         rec = {"mult": mult, "n": n,
                "stages": stages,
                "brute_rows": 10 * (n - 1),
                "recall_ivf": round(len(got_cos & truth_cos)
                                    / max(len(truth_cos), 1), 3),
                "recall_ivfpq": round(len(got_l2 & truth_l2)
-                                     / max(len(truth_l2), 1), 3)}
+                                     / max(len(truth_l2), 1), 3),
+               **({"overfetch_curve": overfetch_curve}
+                  if overfetch_curve else {})}
         results.append(rec)
         print(json.dumps(rec), flush=True)
         for df in persisted:
@@ -1684,6 +1704,8 @@ def main() -> int:
             "n": r["n"], "recall_ivf": r["recall_ivf"],
             "recall_ivfpq": r["recall_ivfpq"],
             "brute_rows": r["brute_rows"],
+            **({"overfetch_curve": r["overfetch_curve"]}
+               if "overfetch_curve" in r else {}),
             **{s["stage"]: {"rows": s["rows"], "sec": s["sec"],
                             **({"exec_sec": s["exec_sec"]}
                                if "exec_sec" in s else {})}
