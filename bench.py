@@ -231,11 +231,17 @@ def quiet_verdict(ext_per_pass: list[float | None],
     discipline in SCALING.md prose): a run is QUIET iff the median
     in-pass external load is ≤ ``max_ext_cores`` busy cores (default
     1.6 = 5% of 32) AND the median multi-core bracket is ≤
-    ``max_bracket_ratio`` x the idle reference. Returns (quiet,
-    reason). Pure."""
+    ``max_bracket_ratio`` x the idle reference. The bracket median is
+    taken over the STEADY samples (index ≥ 1) when more than two
+    exist: the pre-pass-1 sample structurally runs on a colder
+    JIT/cache state (the r12 spread_steady precedent — it read ~1.4x
+    the steady band in every r17 run despite the discarded warm-up
+    pass) and is a property of session start, not of host load.
+    Returns (quiet, reason). Pure."""
     exts = sorted(e for e in ext_per_pass if e is not None)
     med_ext = exts[len(exts) // 2] if exts else None
-    ratios = sorted(c / ref for c in cal_mc)
+    steady = cal_mc[1:] if len(cal_mc) > 2 else cal_mc
+    ratios = sorted(c / ref for c in steady)
     med_ratio = ratios[len(ratios) // 2]
     if med_ext is not None and med_ext > max_ext_cores:
         return False, (f"median in-pass external load "
@@ -457,9 +463,9 @@ def main() -> None:
     # once after the last, so each pass is bracketed by two load samples
     # and a drifting host is localized to the pass it degraded instead
     # of smeared across the run.
-    calibrate_mc(record_window=False)  # throwaway: first run pays
-    # shuffle/codegen JIT that would otherwise read as "load" in the
-    # pass-0 bracket
+    calibrate_mc(record_window=False)  # throwaways: the first runs pay
+    calibrate_mc(record_window=False)  # shuffle/codegen JIT that would
+    # otherwise read as "load" in the pass-0 bracket
     cal_samples = [calibrate()]
     cal_mc_samples = [calibrate_mc()]
     # time exactly the driver-facing 128 (rounds-11/12 swaps: RETIRED
@@ -567,23 +573,32 @@ def main() -> None:
     # the reference does not describe this host/probe anymore.
     ref_suspect = bool(quiet and abs(min(cal_mc_samples) / REF_MC_IDLE
                                      - 1.0) > 0.20)
-    # quiet runs refresh the reference floor: append this run's floor,
-    # re-derive ref as the median of recorded quiet floors (bounded
-    # history), keep calibration (k_ext) and provenance fields.
+    # quiet runs refresh the reference: append this run's STEADY-median
+    # probe reading (index >= 1 — the pre-pass-1 sample is structurally
+    # cold) and re-derive ref as the median of recorded quiet readings
+    # (bounded history), keeping calibration (k_ext) and provenance.
+    # MEDIAN-of-steady, not min (round 17, second iteration): a
+    # min-derived reference sits ~5-8% below the steady band by
+    # construction, which biased the quiet gate's bracket ratio to
+    # ~1.05-1.1 on a genuinely idle host and flapped the gate on short
+    # subset runs.
     if quiet:
         import datetime
-        floors = (ref_file or {}).get("quiet_floors", [])
-        floors = (floors + [min(cal_mc_samples)])[-50:]
-        med = sorted(floors)[len(floors) // 2]
+        steady = cal_mc_samples[1:] if len(cal_mc_samples) > 2 \
+            else cal_mc_samples
+        this_run = sorted(steady)[len(steady) // 2]
+        hist = (ref_file or {}).get("quiet_samples", [])
+        hist = (hist + [this_run])[-50:]
+        med = sorted(hist)[len(hist) // 2]
         base = (ref_file or {}).get("derivation_base", "pinned-r16 seed")
         new_ref = {"ref_mc_idle": round(med, 4),
                    "k_ext": ref_info["k_ext"],
                    "n_cores": n_cores,
                    "date": datetime.date.today().isoformat(),
                    "derivation_base": base,
-                   "derivation": (f"{base}; median of {len(floors)} "
-                                  f"quiet floors"),
-                   "quiet_floors": floors}
+                   "derivation": (f"{base}; median of {len(hist)} "
+                                  f"quiet steady-median readings"),
+                   "quiet_samples": hist}
         try:
             with open(ref_path, "w") as f:
                 json.dump(new_ref, f)

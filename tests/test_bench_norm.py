@@ -174,3 +174,16 @@ def test_resolve_ref_rejects_mismatched_probe_cores():
 def test_resolve_ref_pinned_fallback_without_file():
     got = resolve_ref(None, 32)
     assert got["source"] == "pinned-r16" and got["value"] == 0.21
+
+
+def test_quiet_verdict_uses_steady_brackets():
+    # the real r17 anchor shape: pre-pass-1 bracket structurally cold
+    # (1.42x) while the steady band sits at 1.01-1.16x — the gate must
+    # judge host load from the steady samples (spread_steady precedent)
+    ref = 0.2045
+    cal = [0.2898, 0.2221, 0.2072, 0.2378]
+    ok, _ = quiet_verdict([0.15, 0.92, 0.75], cal, ref)
+    assert ok
+    # but a steadily-loaded band still fails regardless of sample 0
+    bad, why = quiet_verdict([0.2, 0.2], [0.20, 0.31, 0.30, 0.31], ref)
+    assert not bad and "bracket" in why
