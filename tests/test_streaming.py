@@ -886,3 +886,45 @@ def test_compact_append_state_crash_matrix(spark, tmp_path):
         lambda old: (seen.setdefault("n", old.count()),
                      old.limit(0))[1])
     assert seen["n"] == len(all_rows) + 1
+
+
+def test_cluster_executor_loss_stateful_streaming():
+    """Round 17: stateful Structured Streaming under REAL executor
+    loss. The r16/r17 cluster probes covered file-sourced batch
+    recovery (task re-execution over parquet lineage); this one covers
+    the state-store reload path — when an executor JVM dies
+    mid-microbatch, its state partitions (dedup fingerprints, windowed
+    partial aggregates) die with the heap / local RocksDB instance and
+    the respawned executor must rebuild them from the checkpoint's
+    delta/snapshot files before the retried task runs, while the file
+    sink's commit log keeps the retried batch exactly-once.
+
+    tools/cluster_stream_loss_probe drives dedup_stream and
+    hourly_rollup_stream on local-cluster[2,1,1024], SIGKILLing every
+    executor JVM twice mid-stream per (job, provider) leg — HDFS-backed
+    AND RocksDB providers — and asserts each leg's metadata-aware sink
+    read is identical to an undisturbed reference (which also pins
+    cross-provider parity under loss). Orphan part-files from killed
+    attempts must exist on disk yet stay invisible to the read.
+    Subprocess because a second SparkContext cannot share this JVM."""
+    import json
+    import os as _os
+    import subprocess
+    import sys
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, _os.path.join(here, "tools",
+                                       "cluster_stream_loss_probe.py")],
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert verdict["all_identical"] is True
+    assert len(verdict["legs"]) == 4      # {dedup,rollup} x {hdfs,rocksdb}
+    for leg in verdict["legs"]:
+        assert leg["kills"] >= 2, leg     # both kill points lost JVMs
+        assert leg["identical"] is True, leg
+        # exactly-once made visible: killed attempts leave orphan
+        # part-files that the _spark_metadata-aware read filters out
+        assert leg["disk_files"] >= leg["committed_files"], leg
+    assert verdict["kills_total"] >= 8
