@@ -1252,6 +1252,84 @@ def embed_knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("sim", 6).alias("sim"), "knn_rank"))
 
 
+@query("embed_ivf_extend_health", f"""
+WITH base AS (SELECT vec_id, label, embedding FROM embeddings
+              WHERE vec_id % 4 <> 0),
+inc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+cent0 AS (
+  SELECT label, dim,
+         {DEC_AVG_SQL.format(c='CAST(embedding[dim] AS DOUBLE)', s=6)} AS m
+  FROM base, range(1, 65) t(dim)
+  GROUP BY label, dim),
+cent AS (SELECT CAST(label AS INT) AS cell,
+                list(m ORDER BY dim) AS centroid
+         FROM cent0 GROUP BY label),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT i.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                              ORDER BY ROUND({cosine_sql('i.embedding',
+                                                         'c.centroid')},
+                                             9) DESC, c.cell) AS r
+    FROM inc i CROSS JOIN cent c) WHERE r = 1),
+nb AS (SELECT CAST(label AS INT) AS cell, COUNT(*) AS n_base
+       FROM base GROUP BY 1),
+nn AS (SELECT cell, COUNT(*) AS n_new FROM asg GROUP BY 1),
+per AS (SELECT COALESCE(nb.cell, nn.cell) AS cell,
+               COALESCE(n_base, 0) AS n_base, COALESCE(n_new, 0) AS n_new,
+               COALESCE(n_base, 0) + COALESCE(n_new, 0) AS n_now
+        FROM nb FULL OUTER JOIN nn ON nb.cell = nn.cell),
+tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+               CAST(SUM(n_now) AS BIGINT) AS tn FROM per)
+SELECT per.cell, per.n_base, per.n_new, per.n_now,
+       ROUND(CAST(per.n_now AS DOUBLE) / tn, 6) + 0.0 AS share_now,
+       ROUND(CAST(per.n_now AS DOUBLE) / NULLIF(per.n_base, 0), 6) + 0.0
+         AS density_ratio,
+       CAST(LEAST(50, GREATEST(2, CEIL(2.0 * tn / tb))) AS BIGINT)
+         AS suggested_overfetch
+FROM per CROSS JOIN tot
+""")
+def embed_ivf_extend_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest + index health — finding 2 of the round-17
+    ANN decade productized. The index is "trained at build" on the base
+    corpus (cells = label, centroids = exact per-(label, dim) decimal
+    means over the BASE only — params fixed at build, the production
+    discipline the decade measured under); the increment (vec_id % 4 = 0,
+    a 25% arrival) is ingested by ``ivf_assign`` against those FIXED
+    centroids — no retrain, the same assignment rule (round-9 cosine,
+    lowest-cell tiebreak) the search path uses. ``ivf_index_health``
+    then reports per-cell occupancy/density and the density-scaled
+    ``suggested_overfetch`` from the measured ADC recall curve
+    (SCALING.md "ANN scale decade": recall at fixed overfetch decays
+    with corpus density; widening the exact rerank recovers it at flat
+    cost).
+
+    Scale shape: ingest is the linear ``ivf_assign`` broadcast-NLJ over
+    the tiny centroid table; health is two cell-keyed count aggregates
+    plus a 1-row totals broadcast — O(corpus) with no new shuffle class.
+    An increment assigned to a DIFFERENT cell than its source label is
+    expected (that's real quantization, visible here as n_new moving
+    between cells)."""
+    from ..operators.similarity import ivf_assign, ivf_index_health
+
+    e = widen(load_table(spark, sf_dir, "embeddings"))
+    base = e.filter(F.col("vec_id") % 4 != 0)
+    inc = (e.filter(F.col("vec_id") % 4 == 0)
+           .select("vec_id", "embedding"))
+    cent = (base.select("label",
+                        F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(dec_avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("dm"))
+            .select(F.col("label").cast("int").alias("cell"),
+                    F.transform("dm", lambda s: s["m"]).alias("centroid")))
+    assigned_base = base.select(F.col("label").cast("int").alias("cell"))
+    assigned_new = ivf_assign(inc, cent).select("cell")
+    return ivf_index_health(assigned_base, assigned_new)
+
+
 # --- Product quantization (operators/pq.py) under the driver oracle ----
 _PQ_M, _PQ_K, _PQ_DSUB = 4, 8, 16  # m subspaces × k codes, 64-dim → 16/sub
 

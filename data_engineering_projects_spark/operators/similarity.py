@@ -223,6 +223,60 @@ def ivf_search(queries: DataFrame, assigned_corpus: DataFrame,
     return _final_topk(sims, k)
 
 
+def ivf_index_health(assigned_base: DataFrame, assigned_new: DataFrame,
+                     base_overfetch: int = 2, overfetch_cap: int = 50,
+                     cell_col: str = "cell") -> DataFrame:
+    """Health report for an IVF index under incremental ingest — the
+    operational counterpart of :func:`ivf_assign` used as the ingest
+    path (new vectors assigned to the FIXED build-time centroids; index
+    params are fixed at build in production, re-train is a deliberate
+    rebuild).
+
+    Per cell: build-time membership ``n_base``, ingested ``n_new``,
+    current ``n_now``, current occupancy ``share_now`` (a cell drifting
+    toward a large share is the skew signal that degrades the nprobe
+    cost model), and per-cell ``density_ratio`` = n_now / n_base.
+    Globally: ``suggested_overfetch`` — the round-17 ANN decade
+    measured ADC recall@10 degrading with corpus DENSITY at fixed
+    overfetch (0.60 → 0.37 → 0.28 across 1×/10×/100×) while widening
+    the exact rerank was nearly free (overfetch 50 recovered 0.91 at
+    flat wall, SCALING.md "ANN scale decade"), so the operating rule is
+    to scale overfetch with density growth, not nprobe:
+    ``clamp(ceil(base_overfetch × total_now/total_base),
+    base_overfetch, overfetch_cap)``.
+
+    Both inputs only need ``cell_col``; counts shuffle by cell (tiny —
+    the coarse-quantizer cardinality) and the two totals ride a 1-row
+    broadcast, so the report costs two cell-keyed aggregates at any
+    corpus size.
+    """
+    nb = (assigned_base.groupBy(cell_col)
+          .agg(F.count(F.lit(1)).alias("n_base")))
+    nn = (assigned_new.groupBy(cell_col)
+          .agg(F.count(F.lit(1)).alias("n_new")))
+    per = (nb.join(nn, cell_col, "full_outer")
+           .select(F.col(cell_col),
+                   F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                   F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    per = per.withColumn("n_now", F.col("n_base") + F.col("n_new"))
+    tot = per.agg(F.sum("n_base").alias("tb"), F.sum("n_now").alias("tn"))
+    tot = tot.select(
+        "tb", "tn",
+        F.least(F.lit(overfetch_cap),
+                F.greatest(F.lit(base_overfetch),
+                           F.ceil(F.lit(float(base_overfetch))
+                                  * F.col("tn") / F.col("tb"))))
+        .cast("long").alias("suggested_overfetch"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(cell_col, "n_base", "n_new", "n_now",
+                    (F.round(F.col("n_now") / F.col("tn"), 6)
+                     + F.lit(0.0)).alias("share_now"),
+                    (F.round(F.col("n_now")
+                             / F.nullif(F.col("n_base"), F.lit(0)), 6)
+                     + F.lit(0.0)).alias("density_ratio"),
+                    "suggested_overfetch"))
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup via centroid buckets + in-cell cosine pairs
 # ---------------------------------------------------------------------------

@@ -196,7 +196,11 @@ _ONE_ROW_BROADCAST_OK = {"dbt_outlier_3sigma", "docs_length_band",
                          "events_value_concentration",
                          # k-row label-centroid table broadcast into the
                          # row-local assignment map (the IVF-centroid shape)
-                         "embed_centroid_confusion"}
+                         "embed_centroid_confusion",
+                         # incremental ingest: the centroid-table NLJ of
+                         # ivf_assign (embed_centroid_confusion shape) +
+                         # the 1-row totals broadcast of ivf_index_health
+                         "embed_ivf_extend_health"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.QUERIES))
