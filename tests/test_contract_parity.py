@@ -35,13 +35,15 @@ def test_oracles_subset_of_queries():
 
 def test_registry_swap_invariants():
     """Swap contract (rounds 11+12): the driver-facing registry stays
-    frozen at exactly 128 entries, RETIRED names are excluded from it
+    frozen at a PINNED size — growth is a deliberate act that bumps the
+    pin here (128 through r16; 129 from round 17's
+    embed_ivf_extend_health) — RETIRED names are excluded from it
     (but remain registered for tests/tooling), and every swapped-in
     query is present with an oracle."""
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
-    assert len(qs) == 128 and len(osql) == 128
+    assert len(qs) == 129 and len(osql) == 129
     assert not (set(qs) & contract.RETIRED)
     assert contract.RETIRED <= set(contract.QUERIES)  # still registered
     for name in ("embed_pq_adc_topk", "orders_scd2_current",
