@@ -1360,7 +1360,8 @@ def run_ann_decade(spark, base: str, mults: list[int],
     from data_engineering_projects_spark.operators.pq import (
         _l2sq, ivf_pq_search, pq_encode, pq_train)
     from data_engineering_projects_spark.operators.similarity import (
-        cosine_similarity, ivf_assign, ivf_search, ivf_train)
+        cosine_similarity, ivf_assign, ivf_index_health, ivf_search,
+        ivf_train)
 
     M, N_CELLS, K, NPROBE = 16, 8, 10, 4
     n_base = spark.read.parquet(
@@ -1489,9 +1490,29 @@ def run_ann_decade(spark, base: str, mults: list[int],
         # while true-neighbor distance gaps shrink as the corpus
         # densifies; the exact rerank can only fix ordering INSIDE the
         # shortlist, so the shortlist must widen with density)
+        # closed-loop remedy check (round 17, after ivf_index_health
+        # landed): at every decade point, ask the health operator what
+        # overfetch the measured density calls for (vec_id < n_base
+        # plays build-time membership, so tn/tb = mult exactly) and
+        # measure recall AT that suggestion — the operator's clamp rule
+        # must actually buy the recall back, not just scale a number
+        health_sug = int(ivf_index_health(
+            assigned.filter(F.col("vec_id") < n_base).select("cell"),
+            assigned.filter(F.col("vec_id") >= n_base).select("cell"))
+            .select("suggested_overfetch").first()[0])
+        t0 = _t.perf_counter()
+        got_sug = {(r["query_id"], r["neighbor_id"]) for r in
+                   ivf_pq_search(queries, acodes, cents, cb, emb,
+                                 k=K, nprobe=NPROBE,
+                                 overfetch=health_sug, m=M).collect()}
+        at_suggested = {
+            "overfetch": health_sug,
+            "recall": round(len(got_sug & truth_l2)
+                            / max(len(truth_l2), 1), 3),
+            "sec": round(_t.perf_counter() - t0, 2)}
         overfetch_curve = {}
         if mult == max(mults):
-            for of in (2, 5, 10, 20):
+            for of in (2, 5, 10, 20, 50):
                 t0 = _t.perf_counter()
                 got_of = {(r["query_id"], r["neighbor_id"]) for r in
                           ivf_pq_search(queries, acodes, cents, cb, emb,
@@ -1508,6 +1529,7 @@ def run_ann_decade(spark, base: str, mults: list[int],
                                    / max(len(truth_cos), 1), 3),
                "recall_ivfpq": round(len(got_l2 & truth_l2)
                                      / max(len(truth_l2), 1), 3),
+               "at_suggested_overfetch": at_suggested,
                **({"overfetch_curve": overfetch_curve}
                   if overfetch_curve else {})}
         results.append(rec)
