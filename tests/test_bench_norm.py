@@ -187,3 +187,43 @@ def test_quiet_verdict_uses_steady_brackets():
     # but a steadily-loaded band still fails regardless of sample 0
     bad, why = quiet_verdict([0.2, 0.2], [0.20, 0.31, 0.30, 0.31], ref)
     assert not bad and "bracket" in why
+
+
+def test_classify_load_three_classes():
+    """The 2x2 the round-17 windows measured: high external jiffies ->
+    spin (series corrects); low ext but uniformly elevated brackets ->
+    steal (brackets correct, validated 1.2%/1.4% on two refused
+    windows); both low -> quiet."""
+    from bench import classify_load
+
+    ref = 0.2173
+    # spin: 16 hogs visible to the ledger
+    cls, me, mr = classify_load([16.2, 16.5, 16.1],
+                                [0.30, 0.32, 0.31, 0.33], ref)
+    assert cls == "spin" and me == 16.2
+    # steal: the 2026-08-17 refused-window shape (ext ~1 core,
+    # brackets ~1.8x)
+    cls, me, mr = classify_load([0.83, 1.35, 0.84],
+                                [0.368, 0.4179, 0.2424, 0.39], ref)
+    assert cls == "steal" and mr > 1.1
+    # quiet: the anchor-window shape
+    cls, me, mr = classify_load([0.5, 0.8, 0.6],
+                                [0.21, 0.19, 0.20, 0.20], ref)
+    assert cls == "quiet" and mr <= 1.1
+
+
+def test_classify_load_spin_wins_over_steal_and_handles_no_series():
+    """ext >= threshold classifies spin even with elevated brackets
+    (under pure spin the probe over-responds — that's the class where
+    trusting it would over-correct ~25%); a dead sampler (no ext
+    samples) can still classify steal/quiet from brackets alone."""
+    from bench import classify_load
+
+    ref = 0.2173
+    cls, _, _ = classify_load([8.0, 9.0, 8.5],
+                              [0.40, 0.42, 0.41, 0.43], ref)
+    assert cls == "spin"
+    cls, _, _ = classify_load([None, None], [0.40, 0.42, 0.41, 0.43], ref)
+    assert cls == "steal"
+    cls, _, _ = classify_load([None], [0.21, 0.20, 0.21], ref)
+    assert cls == "quiet"
