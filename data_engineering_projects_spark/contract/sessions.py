@@ -454,11 +454,22 @@ def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
     split admission into a loud failure instead of silent row loss).
     ``awaitTermination``'s boolean is checked: a timeout would otherwise
     return a silently partial memory table (round-3 ADVICE). The staging
-    dir is removed after termination (the memory sink holds the rows)."""
+    dir is removed after termination (the memory sink holds the rows).
+
+    The checkpoint is routed through ``scratch_dir`` (round 17,
+    optimization guide §6): with no explicit location Spark creates the
+    temp checkpoint under ``java.io.tmpdir`` (/tmp — disk-backed here),
+    and every micro-batch pays fsync latency for the offset log, commit
+    log, file-source log and one state-store snapshot per partition on
+    that mount. The ephemeral-scratch rule that already covers the
+    staged input applies to the checkpoint identically (on a real
+    cluster this is node-local NVMe / object store; the checkpoint of a
+    DURABLE stream stays on reliable storage — these contract runs are
+    one-shot by construction, enforced via _assert_single_batch)."""
     import shutil
-    import tempfile
 
     staged = scratch_dir(f"depa_stream_{prefix}_")
+    ck = scratch_dir(f"depa_stream_ck_{prefix}_")
     try:
         staged_input.write.mode("overwrite").parquet(staged)
         # footer-stats count: sizes the state partitioning to the staged
@@ -470,6 +481,7 @@ def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
         with _with_state_partitions(spark, n_rows):
             q = (build_agg(stream).writeStream.format("memory")
                  .queryName(name)
+                 .option("checkpointLocation", ck)
                  .outputMode("append").trigger(availableNow=True).start())
             if not q.awaitTermination(300):
                 q.stop()
@@ -480,6 +492,7 @@ def _run_stream_to_memory(spark: SparkSession, staged_input: DataFrame,
         return spark.table(name)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 def _assert_single_batch(q, name: str) -> None:
@@ -778,6 +791,10 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d_clk = scratch_dir("depa_stream_attr_clk_")
     d_pur = scratch_dir("depa_stream_attr_pur_")
+    # checkpoint on scratch, not java.io.tmpdir — see _run_stream_to_memory
+    # (round 17); a stream-stream join snapshots FOUR state stores per
+    # partition per micro-batch, so it pays the default-/tmp fsync tax 4x
+    d_ck = scratch_dir("depa_stream_attr_ck_")
     try:
         # Native-parallelism stage (round-5 VERDICT #5: the defensive
         # coalesce(1) was a data-proportional single-threaded write).
@@ -800,6 +817,7 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # matters most here (see _with_state_partitions).
         with _with_state_partitions(spark, n_rows):
             q = (joined.writeStream.format("memory").queryName(name)
+                 .option("checkpointLocation", d_ck)
                  .outputMode("append").trigger(availableNow=True).start())
             if not q.awaitTermination(300):
                 q.stop()
@@ -812,6 +830,7 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d_clk, ignore_errors=True)
         shutil.rmtree(d_pur, ignore_errors=True)
+        shutil.rmtree(d_ck, ignore_errors=True)
 
 
 @query("events_user_reach_hll", f"""
