@@ -600,11 +600,26 @@ def orders_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint picked once (A/B-measured in round 11, same-process
     # interleaved reps): all three batch filters — and through them
     # every scd2_apply state reference — would otherwise recompute the
-    # orders scan + dedup window per batch
-    picked = (o.withColumn("rn", F.row_number().over(w))
-              .filter("rn = 1")
-              .select("o_custkey", "o_orderpriority", "o_orderdate")
-              .localCheckpoint(eager=True))
+    # orders scan + dedup window per batch.
+    # KEY-ALIGNED partitioning (round 17, optimization guide §2.4):
+    # hash-repartition by o_custkey BEFORE the dedup window — the
+    # window's (custkey, orderdate) clustering is satisfied by
+    # hash(custkey), so no second exchange — and the checkpoint's
+    # LogicalRDD preserves hash(o_custkey) into every batch filter.
+    # Inside scd2_apply every shuffle boundary (the open-row join, both
+    # sequencing windows, touched-keys distinct, the closing semi/agg
+    # joins) requires exactly this clustering, so the per-batch work
+    # runs exchange-free off the one up-front shuffle. Checkpoints are
+    # built under aqe_disabled: AQE drops the recorded partitioning
+    # from LogicalRDD (see session.aqe_disabled), which silently
+    # re-inserts every downstream exchange.
+    from ..session import aqe_disabled
+    with aqe_disabled(spark):
+        picked = (o.repartition("o_custkey")
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter("rn = 1")
+                  .select("o_custkey", "o_orderpriority", "o_orderdate")
+                  .localCheckpoint(eager=True))
     c1 = F.lit("1994-01-01").cast("timestamp")
     c2 = F.lit("1996-01-01").cast("timestamp")
     batches = [picked.filter(F.col("o_orderdate") < c1),
@@ -614,7 +629,14 @@ def orders_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = scd2_init(batches[0], "o_custkey", ["o_orderpriority"],
                       eff_col="o_orderdate")
     for b in batches[1:]:
-        state = state.localCheckpoint(eager=True)
+        # scd2_apply returns a 4-way union, which erases the key
+        # partitioning — re-establish hash(o_custkey) before the
+        # inter-batch checkpoint so the NEXT batch's joins/windows
+        # against the state are exchange-free too (one exchange here
+        # replaces several inside the apply).
+        with aqe_disabled(spark):
+            state = (state.repartition("o_custkey")
+                     .localCheckpoint(eager=True))
         state = scd2_apply(state, b, "o_custkey", ["o_orderpriority"],
                            eff_col="o_orderdate")
     nv = state.groupBy("o_custkey").agg(

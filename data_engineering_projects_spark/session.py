@@ -86,6 +86,34 @@ def sized_shuffle_partitions(spark: SparkSession, n_rows: int,
         spark.conf.set(key, prev)
 
 
+@_contextmanager
+def aqe_disabled(spark: SparkSession):
+    """Scoped ``spark.sql.adaptive.enabled=false`` — for building
+    PARTITIONING-CARRYING checkpoints (round 17).
+
+    ``localCheckpoint``/``checkpoint`` record the physical plan's
+    ``outputPartitioning`` into the resulting ``LogicalRDD`` so that
+    downstream joins/windows/aggregations keyed the same way skip their
+    exchange (optimization guide §2.4). Under AQE the captured physical
+    plan is the un-finalized ``AdaptiveSparkPlanExec`` whose output
+    partitioning is not yet known, so the checkpoint degrades to
+    UnknownPartitioning and every consumer re-shuffles — measured on
+    ``orders_scd2_current``: a ``repartition(key)`` immediately before
+    ``localCheckpoint`` still left every downstream join/window with its
+    own Exchange. Building the checkpointed frame with AQE off restores
+    the recorded partitioning; the session value is restored on exit so
+    every later query keeps AQE's runtime re-planning. Same
+    serial-use-only contract as :func:`sized_shuffle_partitions` (the
+    conf is session-global)."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def free_local_checkpoint(df, deep: bool = False) -> bool:
     """Release the block-manager blocks behind a SUPERSEDED eager
     ``localCheckpoint`` DataFrame. Returns True when blocks were freed.
