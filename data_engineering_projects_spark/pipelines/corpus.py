@@ -83,6 +83,20 @@ def _barrier(df: DataFrame, reliable: bool) -> DataFrame:
     failed batch is acceptable (the corpus stream's replay protocol
     makes re-runs safe by construction).
 
+    Built under ``session.aqe_disabled`` (round 17): a checkpoint
+    records its physical plan's outputPartitioning into the LogicalRDD,
+    which is exactly what the ``repartition(key)`` call sites here rely
+    on so that every downstream consumer keyed the same way skips its
+    exchange — but under AQE the captured plan is the un-finalized
+    AdaptiveSparkPlan and the recorded partitioning degrades to
+    Unknown, silently re-inserting one exchange PER CONSUMER (measured
+    on orders_scd2_current, same mechanism; the round-13/14 "partition
+    once, consume thrice" design had been quietly repaying those
+    shuffles since AQE went on). The barrier subquery itself loses
+    AQE's runtime coalescing for its own build — at any scale the
+    barrier inputs are already sized by the pipeline's explicit
+    repartitions, and the exchange-per-consumer saving dominates.
+
     ``reliable=True``: eager RELIABLE ``checkpoint`` to the session's
     checkpoint dir (HDFS/object store on a real cluster) — same
     barrier, same lineage truncation, executor-loss survivable, at the
@@ -96,14 +110,17 @@ def _barrier(df: DataFrame, reliable: bool) -> DataFrame:
     finality for callers that opt in. Requires
     ``spark.sparkContext.setCheckpointDir(...)`` — raises with
     deployment guidance when unset rather than failing mid-plan."""
+    from ..session import aqe_disabled
     if not reliable:
-        return df.localCheckpoint(eager=True)
+        with aqe_disabled(df.sparkSession):
+            return df.localCheckpoint(eager=True)
     if df.sparkSession.sparkContext.getCheckpointDir() is None:
         raise ValueError(
             "reliable_barriers=True needs a reliable checkpoint dir: "
             "call spark.sparkContext.setCheckpointDir(<HDFS/object-"
             "store path>) first (a path every executor can read)")
-    return df.checkpoint(eager=True)
+    with aqe_disabled(df.sparkSession):
+        return df.checkpoint(eager=True)
 
 
 def _split_expr(split_weights: dict[str, float], split_seed: int):
