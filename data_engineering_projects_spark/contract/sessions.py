@@ -917,9 +917,12 @@ def events_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("src", "dst",
                  (F.col("cnt").cast("double")
                   / F.col("outc").cast("double")).alias("w")))
-    nodes = (seq.select(F.col("src").alias("node"))
-             .union(seq.select(F.col("dst").alias("node"))).distinct())
-    r = pagerank(nodes, w)
+    # nodes=None: the node universe here IS the edge endpoints (every
+    # seq row lands in the edge aggregate), so pagerank derives nodes
+    # from its materialized edge checkpoint instead of this query
+    # re-running the events window + union + distinct a second time
+    # (round 17 — that node pass was ~40% of the query's wall).
+    r = pagerank(None, w)
     return r.select(F.col("node").alias("event_type"),
                     F.col("r").alias("pagerank"))
 

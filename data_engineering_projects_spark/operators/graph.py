@@ -81,7 +81,7 @@ def _local_pagerank(nodes: DataFrame, node_vals: list, edges: DataFrame,
                                  schema=f"node {t}, r double")
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame,
+def pagerank(nodes: DataFrame | None, edges: DataFrame,
              iters: int = DEFAULT_PR_ITERS,
              damping: float = DAMPING,
              local_finish_edges: int = LOCAL_ITER_EDGES) -> DataFrame:
@@ -93,6 +93,17 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     uniform start r0 = 1/N — a deterministic function of the inputs:
     every term ``w·r`` is one IEEE multiply of identical operands on any
     engine, and per-destination sums fold in sorted order.
+
+    ``nodes=None`` (round 17): derive the node set from the
+    MATERIALIZED edge checkpoint (distinct src ∪ dst). For a caller
+    whose node universe is exactly the edge endpoints — the transition-
+    graph shape, where every sequence row contributes both of its
+    endpoints to the edge aggregate — this is set-identical to deriving
+    nodes from the raw sequence, but reads the few-row checkpoint
+    instead of re-running the full upstream derivation (the
+    events_pagerank_types node pass re-ran the events window + union +
+    distinct per run). Pass an explicit ``nodes`` when the universe
+    includes isolated nodes.
 
     ``local_finish_edges``: when both relations fit this driver bound
     (checked on the materialized edge checkpoint — graphs here are
@@ -106,6 +117,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     # linear plan. On a real cluster swap localCheckpoint for
     # fault-tolerant checkpoint(), as documented in clustering.py.
     edges = edges.localCheckpoint()
+    if nodes is None:
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct())
     if local_finish_edges and edges.count() <= local_finish_edges:
         # probe-and-collect in one pass: take(cap+1) either proves the
         # node set exceeds the bound (fall through to the distributed

@@ -103,6 +103,28 @@ def test_pagerank_sink_attracts_mass(spark):
     assert a[2] > a[0] and a[2] > a[1]
 
 
+def test_pagerank_nodes_none_derives_edge_endpoints(spark):
+    """``nodes=None`` (round 17) derives the node set from the edge
+    checkpoint's endpoints — BIT-identical to passing the explicit
+    endpoint node set, on an asymmetric weighted graph with a pure-sink
+    node (2 appears only as dst), in both the local-bypass and
+    distributed paths."""
+    from data_engineering_projects_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1, 0.7), (0, 2, 0.3), (1, 2, 1.0), (3, 0, 1.0)],
+        "src long, dst long, w double")
+    for lfe in (100_000, 0):
+        explicit = {r["node"]: repr(r["r"])
+                    for r in pagerank(nodes, edges,
+                                      local_finish_edges=lfe).collect()}
+        derived = {r["node"]: repr(r["r"])
+                   for r in pagerank(None, edges,
+                                     local_finish_edges=lfe).collect()}
+        assert explicit == derived
+
+
 def test_pagerank_local_bypass_bit_identical(spark):
     """The driver bypass (graphs under LOCAL_ITER_EDGES iterate locally)
     must be BIT-identical to the distributed fold path — same IEEE
