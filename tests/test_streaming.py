@@ -319,6 +319,38 @@ def test_state_partition_sizing(spark):
     assert spark.conf.get(key) == before
 
 
+def test_flush_batch_skip_is_result_identical(spark):
+    """``flush_batch=False`` (round 17) suppresses the empty
+    watermark-advance micro-batch for streams that emit in the data
+    batch (dropDuplicates / inner stream-stream join). The rows must be
+    IDENTICAL with and without the flush batch, and the session conf
+    must be restored either way."""
+    from data_engineering_projects_spark.contract.sessions import (
+        _run_stream_to_memory)
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+    d = load_table(spark, SF, "documents").select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_dt_interval(secs=F.col("doc_id").cast("double")))
+        .alias("ts"),
+        (F.col("doc_id") % 50).alias("fp"))
+
+    def agg(stream):
+        return (stream.withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["fp"]).select("fp"))
+
+    with_flush = sorted(
+        r["fp"] for r in
+        _run_stream_to_memory(spark, d, "flushT", agg).collect())
+    assert spark.conf.get(key) == before
+    without = sorted(
+        r["fp"] for r in
+        _run_stream_to_memory(spark, d, "flushF", agg,
+                              flush_batch=False).collect())
+    assert spark.conf.get(key) == before
+    assert with_flush == without and len(without) > 0
+
+
 def test_streaming_query_restores_shuffle_partitions(spark):
     """End-to-end: a streaming contract query must leave the session's
     shuffle partitioning untouched for subsequent batch queries."""
