@@ -2780,8 +2780,15 @@ def events_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("event_type", F.to_date("ts").alias("day"), "value"))
     sk = build_sketch_partitions(ev, ["event_type", "day"], ["value"],
                                  kll_k=kll_k)
+    # eager checkpoint of the ~grain-sized report (round 17): the drift
+    # relation is referenced THREE times below (both rank-verification
+    # broadcasts + the final report grain), and each reference re-ran
+    # the whole sketch build over events (plan: 8 parquet scans -> 4).
+    # Also a correctness-coherence win: KLL compaction is randomized,
+    # so un-checkpointed siblings could materialize three different
+    # quantile draws — the checkpoint pins ONE draw for the whole run.
     drift = sketch_drift(sk, ["event_type"], "day", "value",
-                         prob=0.5, window_days=7)
+                         prob=0.5, window_days=7).localCheckpoint(eager=True)
     rep = F.broadcast(drift.select(
         "event_type", "day", "day_q", "baseline_q",
         "n_rows", "baseline_days"))
