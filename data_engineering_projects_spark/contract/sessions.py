@@ -824,7 +824,6 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by watermark + the 1-hour join bound — the canonical
     attribution-pipeline shape for unbounded click/purchase streams."""
     import shutil
-    import tempfile
 
     from ..streaming.jobs import stream_stream_join
 
@@ -1073,7 +1072,6 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
     table, not the stream — no watermark needed for latest-state CDC."""
     import os
     import shutil
-    import tempfile
 
     from ..plans.models import ModelGraph
 
