@@ -164,11 +164,24 @@ def test_resolve_ref_prefers_file_at_matching_cores():
 
 def test_resolve_ref_rejects_mismatched_probe_cores():
     # a file measured at 32 partitions does not describe a 16-core
-    # probe; with no valid file the pinned fallback asserts n_cores==32
+    # probe; at 32 cores the pinned fallback applies
     got = resolve_ref({"ref_mc_idle": 0.218, "n_cores": 16}, 32)
     assert got["source"] == "pinned-r16"
-    with pytest.raises(AssertionError):
-        resolve_ref({"ref_mc_idle": 0.218, "n_cores": 32}, 16)
+    # at any OTHER core count the resolver degrades gracefully instead
+    # of asserting (round 18: the assert killed SPARK_GRAFT_CPUS=8 runs
+    # AFTER the full suite executed, before any JSON printed — the
+    # driver's scaling block came back empty)
+    got16 = resolve_ref({"ref_mc_idle": 0.218, "n_cores": 32}, 16)
+    assert got16["value"] is None
+    assert got16["source"] == "unavailable"
+    assert got16["n_cores"] == 16
+
+
+def test_resolve_ref_matches_non32_reference():
+    # a reference re-pinned at 8 cores serves an 8-core run directly
+    got = resolve_ref({"ref_mc_idle": 0.61, "k_ext": 0.05,
+                       "n_cores": 8, "date": "2026-08-18"}, 8)
+    assert got["value"] == 0.61 and got["source"] == "BENCH_ref.json"
 
 
 def test_resolve_ref_pinned_fallback_without_file():
